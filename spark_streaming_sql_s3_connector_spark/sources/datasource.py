@@ -1,0 +1,196 @@
+"""``format("s3-connector")`` — PySpark Python Data Source.
+
+The reference registers a Scala V1 StreamSourceProvider via Java services
+(S3ConnectorSourceProvider.scala:26-52, META-INF/services). The rebuild
+uses the Spark 4.x Python Data Source API (pyspark.sql.datasource):
+
+- ``S3ConnectorDataSource``  — name "s3-connector"; mandatory user schema
+  (reference: ``require(schema.isDefined)``, S3ConnectorSourceProvider.scala:37);
+- ``S3ConnectorStreamReader`` — DataSourceStreamReader whose driver side is
+  the AdmissionController (queue → cache → log → offset) and whose executor
+  side reads admitted files to Arrow batches (file_read.py). Offsets are
+  ``{"logOffset": N}``, matching FileStreamSourceOffset
+  (S3ConnectorSource.scala:160-161,241);
+- ``S3ConnectorBatchReader`` — batch read of an explicit file list or
+  directory (the reference exposes no batch path; this one exists so the
+  same reader stack is usable in ``spark.read``).
+
+Usage::
+
+    spark.dataSource.register(S3ConnectorDataSource)
+    df = (spark.readStream.format("s3-connector")
+          .schema(user_schema)
+          .option("spark.s3conn.fileFormat", "csv")
+          .option("spark.s3conn.queueUrl", "local:///tmp/q")
+          .option("spark.s3conn.queueType", "local")
+          .option("spark.s3conn.metadataPath", "/tmp/ckpt-meta")
+          .load())
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from spark_streaming_sql_s3_connector_spark.options import S3ConnectorSourceOptions
+
+METADATA_PATH_OPTION = "spark.s3conn.metadataPath"
+
+
+@dataclass
+class FileSlicePartition(InputPartition):
+    """One task's worth of input: a list of (path, timestamp_ms)."""
+
+    files: list
+
+
+class S3ConnectorNoSchemaError(ValueError):
+    pass
+
+
+class S3ConnectorDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "s3-connector"
+
+    def schema(self):
+        # User schema is mandatory, as in the reference
+        # (S3ConnectorSourceProvider.scala:37, S3ConnectorSource.scala:47-49).
+        raise S3ConnectorNoSchemaError(
+            "S3-connector source doesn't support empty schema; call .schema(...)"
+        )
+
+    def streamReader(self, schema: StructType) -> "S3ConnectorStreamReader":
+        return S3ConnectorStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType) -> "S3ConnectorBatchReader":
+        return S3ConnectorBatchReader(schema, dict(self.options))
+
+
+def _pop_metadata_path(options: dict) -> Optional[str]:
+    for k in list(options.keys()):
+        if k.lower() == METADATA_PATH_OPTION.lower():
+            return options[k]
+    return None
+
+
+class S3ConnectorStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, raw_options: dict):
+        self._schema = schema
+        self._raw_options = raw_options
+        self._options = S3ConnectorSourceOptions.parse(raw_options)
+        self._metadata_path = _pop_metadata_path(raw_options)
+        self._admission = None  # driver-only, lazily built, never pickled
+
+    # -- driver side --
+
+    def _controller(self):
+        if self._admission is None:
+            if not self._metadata_path:
+                raise ValueError(f"option {METADATA_PATH_OPTION} is required for streaming")
+            from spark_streaming_sql_s3_connector_spark.sources.admission import AdmissionController
+
+            self._admission = AdmissionController(self._options, self._metadata_path)
+        return self._admission
+
+    def initialOffset(self) -> dict:
+        return {"logOffset": self._controller().initial_offset}
+
+    def latestOffset(self) -> dict:
+        return {"logOffset": self._controller().fetch_max_offset()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        start_off = int(start["logOffset"])
+        end_off = int(end["logOffset"])
+        if end_off <= start_off:
+            return [FileSlicePartition(files=[])]
+        entries = self._controller().get_batch_files(start_off, end_off)
+        if not entries:
+            return [FileSlicePartition(files=[])]
+        # one file per task: reads stay embarrassingly parallel at any
+        # cluster size (5000 files/trigger → 5000 tasks, fine at 1000
+        # executors; locally Spark just queues them over 32 cores)
+        return [FileSlicePartition(files=[(e.path, e.timestamp)]) for e in entries]
+
+    def commit(self, end: dict) -> None:
+        self._controller().commit(int(end["logOffset"]))
+
+    def stop(self) -> None:
+        if self._admission is not None:
+            self._admission.close()
+            self._admission = None
+
+    # -- executor side --
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_admission"] = None  # queue clients / locks stay on the driver
+        return state
+
+    def read(self, partition: FileSlicePartition) -> Iterator:
+        from spark_streaming_sql_s3_connector_spark.sources.file_read import iter_record_batches
+
+        opts = self._options
+        yield from iter_record_batches(
+            partition.files,
+            opts.file_format,
+            self._schema,
+            opts.reader_options,
+            opts.partition_column_names,
+            opts.base_path,
+        )
+
+
+class S3ConnectorBatchReader(DataSourceReader):
+    """Batch analog: read an explicit comma-separated ``paths`` list, or
+    every file currently recorded in a metadata log (``metadataPath``)."""
+
+    def __init__(self, schema: StructType, raw_options: dict):
+        self._schema = schema
+        self._options = S3ConnectorSourceOptions.parse(raw_options)
+        self._metadata_path = _pop_metadata_path(raw_options)
+        lowered = {k.lower(): v for k, v in raw_options.items()}
+        self._paths = [p for p in (lowered.get("paths") or "").split(",") if p]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files: list[tuple[str, int]] = [(p, 0) for p in self._paths]
+        if not files and self._metadata_path:
+            from spark_streaming_sql_s3_connector_spark.state.metadata_log import JsonMetadataLog
+
+            log = JsonMetadataLog(os.path.join(self._metadata_path, "s3conn-log"))
+            latest = log.get_latest_batch_id()
+            if latest is not None:
+                seen = {}
+                for e in log.get_range(0, latest):
+                    seen[e.path] = e.timestamp
+                files = sorted(seen.items())
+        if not files:
+            return [FileSlicePartition(files=[])]
+        return [FileSlicePartition(files=[f]) for f in files]
+
+    def read(self, partition: FileSlicePartition) -> Iterator:
+        from spark_streaming_sql_s3_connector_spark.sources.file_read import iter_record_batches
+
+        opts = self._options
+        yield from iter_record_batches(
+            partition.files,
+            opts.file_format,
+            self._schema,
+            opts.reader_options,
+            opts.partition_column_names,
+            opts.base_path,
+        )
+
+
+def register(spark) -> None:
+    """Register the data source on a SparkSession."""
+    spark.dataSource.register(S3ConnectorDataSource)

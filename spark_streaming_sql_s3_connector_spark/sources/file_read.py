@@ -1,0 +1,272 @@
+"""Executor-side file reading for the Python data source.
+
+The reference hands its file list to stock Spark's ``DataSource``
+(S3ConnectorSource.scala:170-181) so the JVM reads the files. A PySpark
+Python data source's ``read(partition)`` runs in a Python worker on the
+executor instead, so this module implements the file→Arrow path with
+pyarrow (Arrow batches cross to the JVM zero-copy — the vectorized
+fast path of the Python Data Source API):
+
+- csv / json / parquet readers with the reference-exercised options
+  (``header``, ``sep``, ``mode=PERMISSIVE|DROPMALFORMED``);
+- projection of the user schema onto mismatched files: by-name for
+  parquet/json/header-CSV, positional for headerless CSV, missing
+  columns → nulls, unparsable values → null (PERMISSIVE) or row drop
+  (DROPMALFORMED) — reference behaviors S3ConnectorSourceItSuite.scala:
+  257-322, 352-386;
+- Hive-style partition-column reconstruction from the file path relative
+  to ``basePath`` (S3ConnectorSourceItSuite.scala:224-255).
+
+Scale note: one task per file (or per parquet row-group span) keeps reads
+embarrassingly parallel; no driver bottleneck beyond the file list itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from pyspark.sql.types import StructType
+
+
+def normalize_local_path(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return path
+
+
+def arrow_schema_for(spark_schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def partition_values_from_path(
+    file_path: str, base_path: Optional[str], partition_cols: list[str]
+) -> dict[str, str]:
+    """Parse Hive-style ``k=v`` directory components into raw strings."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str] = {}
+    p = normalize_local_path(file_path)
+    rel = p
+    if base_path:
+        bp = normalize_local_path(base_path).rstrip("/")
+        if p.startswith(bp):
+            rel = p[len(bp):].lstrip("/")
+    for comp in os.path.dirname(rel).split("/"):
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            if not partition_cols or k in partition_cols:
+                vals[k] = unquote(v)
+    return vals
+
+
+def _cast_permissive(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> tuple[pa.Array, pa.Array]:
+    """Cast with per-value null-on-failure. Returns (cast_column, failed_mask)
+    where failed_mask marks values that were non-null before and null after
+    (the DROPMALFORMED signal)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type == target:
+        return col, pa.array([False] * len(col))
+    if pa.types.is_timestamp(target) and pa.types.is_timestamp(col.type):
+        # allow precision truncation (e.g. parquet ns → spark us)
+        return col.cast(target, safe=False), pa.array([False] * len(col))
+    try:
+        cast = col.cast(target, safe=True)
+        return cast, pa.array([False] * len(col))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        pass
+    # slow path: python-level value coercion
+    pydata = col.to_pylist()
+    out = []
+    failed = []
+    for v in pydata:
+        if v is None:
+            out.append(None)
+            failed.append(False)
+            continue
+        try:
+            if pa.types.is_boolean(target):
+                if isinstance(v, str):
+                    lv = v.strip().lower()
+                    if lv in ("true", "1"):
+                        out.append(True)
+                    elif lv in ("false", "0"):
+                        out.append(False)
+                    else:
+                        raise ValueError(v)
+                else:
+                    out.append(bool(v))
+            elif pa.types.is_integer(target):
+                out.append(int(str(v).strip()))
+            elif pa.types.is_floating(target):
+                out.append(float(str(v).strip()))
+            elif pa.types.is_string(target) or pa.types.is_large_string(target):
+                out.append(str(v))
+            elif pa.types.is_timestamp(target):
+                from datetime import datetime
+
+                out.append(datetime.fromisoformat(str(v).replace("Z", "+00:00")))
+            else:
+                out.append(v)
+            failed.append(False)
+        except (ValueError, TypeError):
+            out.append(None)
+            failed.append(True)
+    return pa.array(out, type=target), pa.array(failed)
+
+
+def _project_to_schema(
+    table: pa.Table,
+    target: pa.Schema,
+    by_name: bool,
+    drop_malformed: bool,
+    partition_values: dict[str, str],
+) -> pa.Table:
+    """Project a raw table onto the target schema (which includes partition
+    columns). Missing → null; wrong type → permissive cast; partition
+    columns filled from the path."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    cols: list[pa.Array] = []
+    any_failed: Optional[pa.Array] = None
+    data_field_idx = 0
+    non_part_indices = [i for i, f in enumerate(target) if f.name not in partition_values]
+    for field in target:
+        if field.name in partition_values:
+            raw = pa.array([partition_values[field.name]] * n, type=pa.string())
+            cast, _ = _cast_permissive(raw, field.type)
+            cols.append(cast)
+            continue
+        src = None
+        if by_name:
+            if field.name in table.column_names:
+                src = table.column(field.name)
+        else:
+            # positional mapping over non-partition target fields
+            pos = non_part_indices.index([i for i, f in enumerate(target) if f.name == field.name][0])
+            if pos < table.num_columns:
+                src = table.column(pos)
+        if src is None:
+            cols.append(pa.nulls(n, type=field.type))
+            # a fully-missing column is not "malformed" for parquet/json
+            # by-name reads; for positional CSV a short row already failed
+            continue
+        cast, failed = _cast_permissive(src, field.type)
+        cols.append(cast)
+        if any_failed is None:
+            any_failed = failed
+        else:
+            any_failed = pc.or_(any_failed, failed)
+        data_field_idx += 1
+    out = pa.table(dict(zip([f.name for f in target], cols)))
+    out = out.cast(target)
+    if drop_malformed and any_failed is not None:
+        keep = pc.invert(any_failed)
+        out = out.filter(keep)
+    return out
+
+
+def read_file_to_table(
+    path: str,
+    file_format: str,
+    spark_schema: StructType,
+    options: dict,
+    partition_cols: list[str],
+    base_path: Optional[str],
+) -> pa.Table:
+    """Read ONE file and return an Arrow table matching the user schema."""
+    fmt = file_format.lower()
+    target = arrow_schema_for(spark_schema)
+    local = normalize_local_path(path)
+    partition_values = partition_values_from_path(path, base_path, partition_cols or [])
+    # only keep partition values for columns actually in the schema
+    partition_values = {k: v for k, v in partition_values.items() if k in target.names}
+    drop_malformed = str(options.get("mode", "PERMISSIVE")).upper() == "DROPMALFORMED"
+
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        wanted = [f.name for f in target if f.name not in partition_values]
+        pf = pq.ParquetFile(local)
+        present = [c for c in wanted if c in pf.schema_arrow.names]
+        raw = pf.read(columns=present)
+        return _project_to_schema(raw, target, True, drop_malformed, partition_values)
+
+    if fmt == "json":
+        import pyarrow.json as pj
+
+        try:
+            raw = pj.read_json(local)
+        except pa.ArrowInvalid:
+            if drop_malformed:
+                return target.empty_table()
+            raise
+        return _project_to_schema(raw, target, True, drop_malformed, partition_values)
+
+    if fmt == "csv":
+        import pyarrow.csv as pcsv
+
+        header = str(options.get("header", "false")).lower() == "true"
+        sep = options.get("sep", options.get("delimiter", ","))
+        read_opts = pcsv.ReadOptions(autogenerate_column_names=not header)
+        parse_opts = pcsv.ParseOptions(delimiter=sep)
+        if drop_malformed:
+            parse_opts.invalid_row_handler = lambda row: "skip"
+        # read everything as string, then cast permissively: matches Spark's
+        # CSV semantics where a bad cell nulls (PERMISSIVE) or drops the row
+        # (DROPMALFORMED) rather than failing the task
+        try:
+            probe = pcsv.read_csv(
+                local,
+                read_options=pcsv.ReadOptions(
+                    autogenerate_column_names=not header, block_size=1 << 20
+                ),
+                parse_options=parse_opts,
+            )
+        except pa.ArrowInvalid:
+            if drop_malformed:
+                return target.empty_table()
+            raise
+        conv = pcsv.ConvertOptions(
+            column_types={name: pa.string() for name in probe.column_names}
+        )
+        raw = pcsv.read_csv(
+            local, read_options=read_opts, parse_options=parse_opts, convert_options=conv
+        )
+        return _project_to_schema(raw, target, header, drop_malformed, partition_values)
+
+    raise ValueError(f"Unsupported file format for python reader: {file_format}")
+
+
+def iter_record_batches(
+    paths_with_meta: list[tuple[str, int]],
+    file_format: str,
+    spark_schema: StructType,
+    options: dict,
+    partition_cols: list[str],
+    base_path: Optional[str],
+    batch_rows: int = 1 << 16,
+) -> Iterator[pa.RecordBatch]:
+    target = arrow_schema_for(spark_schema)
+    empty = True
+    for path, _ts in paths_with_meta:
+        try:
+            table = read_file_to_table(path, file_format, spark_schema, options, partition_cols, base_path)
+        except FileNotFoundError:
+            # checkFilesExist=false semantics (S3ConnectorSource.scala:179):
+            # a logged-but-deleted file must not fail the batch
+            continue
+        for rb in table.to_batches(max_chunksize=batch_rows):
+            empty = False
+            yield rb
+    if empty:
+        # yield a zero-row batch so the scan keeps a stable schema
+        yield pa.RecordBatch.from_pylist([], schema=target)

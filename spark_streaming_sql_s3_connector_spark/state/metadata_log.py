@@ -1,0 +1,222 @@
+"""Exactly-once metadata log: batchId → [FileEntry], plus a seen-files index.
+
+Replaces the reference's ~1,600-LoC RocksDB state store
+(RocksDBS3SourceLog.scala + org.apache.spark.sql.streaming.connector.s3.*)
+with the HDFSMetadataLog pattern Spark's own FileStreamSource uses, per
+SURVEY.md §7.1: one JSON file per batch under ``<dir>/batches/``, written
+atomically (tmp + rename, exclusive create detects duplicate batch ids),
+plus a periodically compacted ``seen`` snapshot so startup doesn't replay
+the whole history.
+
+Behavioral parity with RocksDBS3SourceLog:
+- ``add`` returns False on duplicate batchId (scala:191-255);
+- ``get_range`` raises on holes (scala:345-360);
+- ``is_new_file`` re-admits files whose logged ts < purge horizon (scala:295-314);
+- bounded GC: ≤ MAX_BATCH_TO_REMOVE_PER_ADD batches cleaned per add, a batch
+  is only removed when batch ts AND max file ts are below the horizon
+  (scala:416-460, 489).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import threading
+from typing import Callable, Optional
+
+from spark_streaming_sql_s3_connector_spark.models import FileEntry
+
+MAX_BATCH_TO_REMOVE_PER_ADD = 20
+COMPACT_EVERY_N_ADDS = 25
+VERSION = 1
+
+
+class MetadataLogHoleError(RuntimeError):
+    """Missing batch inside a requested range (RocksDBS3SourceLog.scala:352-356)."""
+
+
+class JsonMetadataLog:
+    def __init__(
+        self,
+        log_dir: str,
+        purge_timestamp_provider: Optional[Callable[[], int]] = None,
+    ):
+        self._dir = log_dir
+        self._batches_dir = os.path.join(log_dir, "batches")
+        self._snapshot_path = os.path.join(log_dir, "seen-snapshot.json")
+        os.makedirs(self._batches_dir, exist_ok=True)
+        self._purge_ts = purge_timestamp_provider or (lambda: 0)
+        self._lock = threading.RLock()
+        # path -> timestamp for every file currently tracked by the log
+        self._seen: dict[str, int] = {}
+        # batchId -> batch timestamp (for bounded GC without re-reading files)
+        self._batch_ts: dict[int, int] = {}
+        self._adds_since_compact = 0
+        self._recover()
+
+    # ---------- recovery ----------
+
+    def _batch_path(self, batch_id: int) -> str:
+        return os.path.join(self._batches_dir, f"{batch_id}.json")
+
+    def _recover(self) -> None:
+        if os.path.exists(self._snapshot_path):
+            with open(self._snapshot_path) as f:
+                snap = json.load(f)
+            self._seen.update({k: int(v) for k, v in snap.get("seen", {}).items()})
+        for name in os.listdir(self._batches_dir):
+            if not name.endswith(".json"):
+                continue
+            batch_id = int(name[: -len(".json")])
+            doc = self._read_batch_doc(batch_id)
+            if doc is None:
+                continue
+            self._batch_ts[batch_id] = doc["timestamp"]
+            for e in doc["entries"]:
+                self._seen[e["path"]] = max(int(e["timestamp"]), self._seen.get(e["path"], 0))
+
+    def _read_batch_doc(self, batch_id: int) -> Optional[dict]:
+        try:
+            with open(self._batch_path(batch_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    # ---------- write path ----------
+
+    def add(
+        self,
+        batch_id: int,
+        file_entries: list[FileEntry],
+        timestamp: Optional[int] = None,
+    ) -> bool:
+        """Atomically persist a batch. False if batchId already stored."""
+        if batch_id < 0:
+            raise ValueError("batchId must not less than 0")
+        for e in file_entries:
+            if e.batch_id != batch_id:
+                raise ValueError(f"{e} batchId doesn't equal to {batch_id}")
+        with self._lock:
+            # Clean before add so the latest batch is never removed
+            self._clean_log(self._purge_ts())
+            target = self._batch_path(batch_id)
+            if os.path.exists(target):
+                return False
+            ts = timestamp if timestamp is not None else int(time.time() * 1000)
+            doc = {
+                "v": VERSION,
+                "batchId": batch_id,
+                "timestamp": ts,
+                "entries": [e.to_dict() for e in file_entries],
+            }
+            fd, tmp = tempfile.mkstemp(dir=self._batches_dir, prefix=f".{batch_id}-", suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(doc, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    # atomic, fails if target appeared concurrently (POSIX link semantics
+                    # via rename-with-check under the log lock)
+                    os.link(tmp, target)
+                except FileExistsError:
+                    return False
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
+            self._batch_ts[batch_id] = ts
+            for e in file_entries:
+                self._seen[e.path] = max(e.timestamp, self._seen.get(e.path, 0))
+            self._adds_since_compact += 1
+            if self._adds_since_compact >= COMPACT_EVERY_N_ADDS:
+                self._write_snapshot()
+                self._adds_since_compact = 0
+            return True
+
+    def _write_snapshot(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self._dir, prefix=".seen-", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"v": VERSION, "seen": self._seen}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._snapshot_path)
+
+    def _clean_log(self, last_purge_timestamp: int) -> int:
+        """Bounded GC (RocksDBS3SourceLog.scala:416-460): remove at most
+        MAX_BATCH_TO_REMOVE_PER_ADD batches whose batch timestamp AND max
+        file timestamp are both below the horizon."""
+        removed = 0
+        for batch_id in sorted(self._batch_ts):
+            if removed >= MAX_BATCH_TO_REMOVE_PER_ADD:
+                break
+            if self._batch_ts[batch_id] >= last_purge_timestamp:
+                continue
+            doc = self._read_batch_doc(batch_id)
+            if doc is None:
+                self._batch_ts.pop(batch_id, None)
+                continue
+            max_file_ts = max((int(e["timestamp"]) for e in doc["entries"]), default=0)
+            if max_file_ts < last_purge_timestamp:
+                try:
+                    os.unlink(self._batch_path(batch_id))
+                except FileNotFoundError:
+                    pass
+                self._batch_ts.pop(batch_id, None)
+                for e in doc["entries"]:
+                    # drop from seen index only if not re-logged with a newer ts
+                    if self._seen.get(e["path"], 0) <= int(e["timestamp"]):
+                        self._seen.pop(e["path"], None)
+                removed += 1
+        return removed
+
+    # ---------- read path ----------
+
+    def get(self, batch_id: int) -> Optional[list[FileEntry]]:
+        doc = self._read_batch_doc(batch_id)
+        if doc is None:
+            return None
+        return [FileEntry.from_dict(d) for d in doc["entries"]]
+
+    def get_range(self, start_batch_id: int, end_batch_id: int) -> list[FileEntry]:
+        """Entries of [start, end]; raises MetadataLogHoleError on a missing
+        batch (RocksDBS3SourceLog.scala:345-360)."""
+        out: list[FileEntry] = []
+        for bid in range(start_batch_id, end_batch_id + 1):
+            entries = self.get(bid)
+            if entries is None:
+                raise MetadataLogHoleError(
+                    f"batch {bid} doesn't exist in range [{start_batch_id}, {end_batch_id}]"
+                )
+            out.extend(entries)
+        return out
+
+    def get_latest_batch_id(self) -> Optional[int]:
+        with self._lock:
+            return max(self._batch_ts) if self._batch_ts else None
+
+    def get_latest(self) -> Optional[tuple[int, list[FileEntry]]]:
+        bid = self.get_latest_batch_id()
+        if bid is None:
+            return None
+        entries = self.get(bid)
+        return (bid, entries if entries is not None else [])
+
+    def get_file(self, path: str) -> Optional[int]:
+        with self._lock:
+            return self._seen.get(path)
+
+    def is_new_file(self, path: str, last_purge_timestamp: int) -> bool:
+        """New if never logged, or logged with ts older than the purge
+        horizon (expired → re-admittable; RocksDBS3SourceLog.scala:295-314)."""
+        ts = self.get_file(path)
+        if ts is None:
+            return True
+        return ts < last_purge_timestamp
+
+    def close(self) -> None:
+        with self._lock:
+            self._write_snapshot()
