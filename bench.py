@@ -1,0 +1,213 @@
+"""Benchmark harness: headline queries + streaming-ingest comparison.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The ``queries`` map holds per-query wall seconds; ``ingest_connector`` /
+``ingest_file_source`` time the s3-connector stream vs Spark's stock
+listing-based file stream over the same files + sink — the reference's own
+comparator (FileSourceConsumer.scala:25-60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "b1_lineitem_count",
+    "b5_filter",
+    "b6_agg",
+    "b7_join",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "window_top_orders",
+    "rollup_sales",
+    "events_by_type_hour",
+    "semi_anti_join",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "dedup_ngram_jaccard_docs",
+    "dedup_embedding_pairs",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "text_stats_docs",
+    "text_fingerprint_docs",
+    "lang_id_docs",
+    "corpus_curation",
+    "multimodal_image_stats",
+]
+
+N_INGEST_FILES = 32
+
+
+def bench_streaming_ingest(spark, sf_dir: str) -> dict[str, float]:
+    """Time ingesting the events table split into N files: s3-connector
+    (queue-driven) vs stock parquet file stream (listing-driven)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+    from spark_streaming_sql_s3_connector_spark.queueing.local import LocalFileQueueClient
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="s3conn-bench-")
+    out = {}
+    try:
+        data_dir = os.path.join(work, "files")
+        ev = load_table(spark, sf_dir, "lineitem")
+        ev.repartition(N_INGEST_FILES).write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        schema = ev.schema
+
+        # pre-warm the Python worker pool (interpreter + pyarrow import is a
+        # fixed per-worker cost that a long-running stream amortizes away;
+        # without this the first trigger measures cold-start, not ingest)
+        warm = (
+            spark.read.format("s3-connector")
+            .schema(schema)
+            .option("spark.s3conn.fileFormat", "parquet")
+            .option("spark.s3conn.queueUrl", "warmup")
+            .option("spark.s3conn.queueType", "local")
+            .option("paths", ",".join(files))
+            .load()
+        )
+        warm.count()
+
+        # Steady-state measurement for BOTH pipelines: start the stream on
+        # an empty source, drain, then deliver the files and time until
+        # processed — matching the reference's continuous perf harness
+        # (DataConsumer: long-running stream, 15 s cadence) rather than
+        # counting one-time query-startup machinery as ingest cost.
+
+        # --- s3-connector ingest ---
+        qdir = os.path.join(work, "queue")
+        q = LocalFileQueueClient(f"local://{qdir}")
+        stream = (
+            spark.readStream.format("s3-connector")
+            .schema(schema)
+            .option("spark.s3conn.fileFormat", "parquet")
+            .option("spark.s3conn.queueUrl", f"local://{qdir}")
+            .option("spark.s3conn.queueType", "local")
+            .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+            .option("spark.s3conn.maxFilesPerTrigger", "-1")
+            .option("spark.s3conn.metadataPath", os.path.join(work, "meta"))
+            .load()
+        )
+        query = (
+            stream.groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.format("memory")
+            .queryName("bench_conn")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt1"))
+            .start()
+        )
+        query.processAllAvailable()  # stream is up, queue empty
+        now = int(time.time() * 1000)
+        for f in files:
+            q.send_file_event(f, now)
+        t0 = time.time()
+        query.processAllAvailable()
+        out["ingest_connector"] = round(time.time() - t0, 3)
+        n1 = spark.sql("SELECT SUM(cnt) c FROM bench_conn").collect()[0].c
+        query.stop()
+
+        # --- stock file stream source, same pipeline ---
+        watch_dir = os.path.join(work, "watched")
+        os.makedirs(watch_dir)
+        stream2 = spark.readStream.schema(schema).parquet(watch_dir)
+        query2 = (
+            stream2.groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.format("memory")
+            .queryName("bench_fss")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt2"))
+            .start()
+        )
+        query2.processAllAvailable()  # stream is up, dir empty
+        for f in files:
+            os.rename(f, os.path.join(watch_dir, os.path.basename(f)))
+        t0 = time.time()
+        query2.processAllAvailable()
+        out["ingest_file_source"] = round(time.time() - t0, 3)
+        n2 = spark.sql("SELECT SUM(cnt) c FROM bench_fss").collect()[0].c
+        query2.stop()
+        if n1 != n2:
+            out["ingest_row_mismatch"] = float(abs((n1 or 0) - (n2 or 0)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-streaming-sql-s3-connector-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        results[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr, flush=True)
+
+    try:
+        results.update(bench_streaming_ingest(spark, SF_DIR))
+    except Exception as e:  # keep the JSON line even if streaming bench dies
+        print(f"# streaming bench failed: {e}", file=sys.stderr)
+        results["ingest_error"] = -1.0
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
+    total = round(sum(v for k, v in results.items() if not k.startswith("ingest_")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

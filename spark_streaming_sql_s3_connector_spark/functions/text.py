@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines — all JVM-side expressions.
+
+Every function here returns Column expressions built from
+``pyspark.sql.functions`` only (no Python UDFs): at 100 TB these run inside
+whole-stage codegen, vectorized, with zero Python-worker round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text → empty array (F.split yields
+    [''] for '' — normalize that away)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+# BPE-ish word/punct segmentation: runs of letters+digits+apostrophe, or a
+# single non-space symbol — approximates subword pre-tokenization
+_BPE_RE = r"[A-Za-z0-9']+|[^\sA-Za-z0-9']"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of regex token matches (letters/digit runs + punct symbols)."""
+    toks = F.regexp_extract_all(col, F.lit(_BPE_RE), 0)
+    return F.size(toks)
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Integer-valued quality signals (ints hash stably across engines):
+    character counts, token counts, distinct-token count, max run of the
+    same token (repetition smell)."""
+    toks = tokenize(col)
+    return {
+        "n_chars": F.length(col),
+        "n_tokens": F.size(toks),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "n_alpha": F.length(F.regexp_replace(col, r"[^A-Za-z]", "")),
+        "n_digit": F.length(F.regexp_replace(col, r"[^0-9]", "")),
+        "n_punct": F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")),
+        "n_space": F.length(col) - F.length(F.regexp_replace(col, r"\s", "")),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize too-short docs, low
+    distinct-token ratio, high punct ratio, low alpha ratio."""
+    m = quality_metrics(col)
+    n_chars = m["n_chars"].cast("double")
+    n_tokens = m["n_tokens"].cast("double")
+    length_ok = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    distinct_ratio = F.when(n_tokens > 0, m["n_distinct_tokens"] / n_tokens).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, m["n_alpha"] / n_chars).otherwise(0.0)
+    punct_penalty = F.when(n_chars > 0, 1.0 - F.least(m["n_punct"] / n_chars * 4, F.lit(1.0))).otherwise(1.0)
+    return (length_ok * 0.3 + distinct_ratio * 0.3 + alpha_ratio * 0.2 + punct_penalty * 0.2).alias(
+        "quality_score"
+    )
+
+
+def document_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. Identical in any engine with md5 (oracle-checkable)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over character ``window``-
+    grams — robust to local edits, pure JVM expressions."""
+    n = F.length(col)
+    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(starts, lambda i: col.substr(i, F.lit(window)))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# minimal per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on", "at", "this"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "es", "por", "con", "para", "del"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "que", "pour", "dans", "qui"],
+    "de": ["der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "sich", "auf", "für", "ein", "nicht"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "gli", "le", "si", "da", "non"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "com", "para", "os", "as", "não"],
+}
+
+
+def language_id(col: Column, default: str = "und") -> Column:
+    """Stopword-profile language heuristic (JVM-side, no UDF): score each
+    language by how many tokens fall in its stopword set, pick the argmax
+    via max-of-structs; ``und`` when nothing matches."""
+    toks = F.transform(tokenize(F.lower(col)), lambda t: F.regexp_replace(t, r"[^\p{L}']", ""))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(*words))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in _LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_sim``      — pure-expression cosine (zip_with + aggregate fold,
+                        double precision, deterministic left-to-right sum
+                        order so results hash-match external oracles);
+- ``brute_force_topk`` — exact top-k for one query vector: a single
+                        column-expression pass + ORDER BY LIMIT k (Spark
+                        plans TakeOrderedAndProject — no full sort);
+- ``lsh_bucket_pairs`` / ``lsh_ann_topk`` — random-hyperplane LSH: sign
+                        signature → equi-join on (table, signature) →
+                        rerank candidates. The scale path: shuffle is an
+                        equi-join on uniform hash buckets.
+
+Hyperplanes are generated from a seeded ``random.Random`` so plans are
+deterministic across runs/restarts.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<double> columns, all JVM expressions.
+
+    Left-to-right fold order (F.aggregate) is deterministic, so double
+    results are bit-stable and comparable against DuckDB's sequential
+    list_dot_product on DOUBLE[]."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: Sequence[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors of ``query_vec`` by cosine. One scan; Spark
+    turns ORDER BY+LIMIT into TakeOrderedAndProject (per-partition top-k +
+    driver merge), so no global sort even at 10^9 rows."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_sim(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature: bit i = (vec · plane_i) >= 0. Returns a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: rows sharing a full signature in ANY of
+    ``n_tables`` hash tables become candidates (equi-join on
+    (table, signature)), then exact cosine reranks. Recall grows with
+    n_tables; cost stays an equi-join."""
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        sigs.append(
+            F.struct(F.lit(t).alias("table_idx"), lsh_signature(F.col("_v"), planes).alias("sig"))
+        )
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_t", F.explode(F.array(*sigs)))
+        .select("_id", "_v", "_t.table_idx", "_t.sig")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table_idx") == F.col("r.table_idx"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine_sim(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k for one query: candidates = rows whose signature is within
+    ``max_hamming`` bits of the query's in any table (signature comparison
+    is a cheap long XOR popcount — the scan prunes most rows before any
+    cosine is computed), then exact rerank of the survivors."""
+    dim = len(query_vec)
+    conds = []
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qsig = 0
+        for i, plane in enumerate(planes):
+            dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+            if dot >= 0:
+                qsig |= 1 << i
+        col = lsh_signature(F.col("_v"), planes)
+        sig_cols.append(col.alias(f"_sig{t}"))
+        conds.append(
+            F.bit_count(F.col(f"_sig{t}").bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select("neighbor_id", "_v", *sig_cols)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return (
+        base.where(cond)
+        .select("neighbor_id", cosine_sim(F.col("_v"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+    )

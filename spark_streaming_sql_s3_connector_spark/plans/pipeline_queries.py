@@ -1,0 +1,277 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings`` —
+the SURVEY.md §7.2-M7 extension surface, exposed through the same
+QuerySpec registry as the relational queries.
+
+Oracle-expressible ops carry exact DuckDB SQL (integer/string outputs
+preferred; cosine computed in double with matching fold order). Genuinely
+non-SQL ops (MinHash/SimHash/LSH, language-ID) omit the oracle — the
+driver records a rows-only check and pytest covers their semantics
+against pure-Python reimplementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+    decode_image_meta,
+    with_binary_payload,
+)
+from spark_streaming_sql_s3_connector_spark.functions.text import (
+    bpe_ish_token_count,
+    document_fingerprint,
+    language_id,
+    quality_metrics,
+)
+from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    lsh_bucket_pairs,
+)
+from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+from spark_streaming_sql_s3_connector_spark.plans.queries import QuerySpec
+
+# ---------------------------------------------------------------- dedup ----
+
+
+def _dedup_exact_docs(spark, sf):
+    return dedup_exact(load_table(spark, sf, "documents"), "text", "doc_id").orderBy("keeper_id")
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+ORDER BY keeper_id
+"""
+
+
+def _minhash_pairs_docs(spark, sf):
+    return minhash_near_dup_pairs(
+        load_table(spark, sf, "documents"), "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_docs(spark, sf):
+    return (
+        simhash_near_dup_pairs(load_table(spark, sf, "documents"), "text", "doc_id", max_hamming=8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _ngram_jaccard_docs(spark, sf):
+    return (
+        ngram_jaccard_pairs(load_table(spark, sf, "documents"), "text", "doc_id", threshold=0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _embedding_pairs_docs(spark, sf):
+    return (
+        embedding_cosine_pairs(load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# cosine in DOUBLE on both sides, same sequential fold order
+_EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def _lsh_bucket_pairs_docs(spark, sf):
+    # approximate variant of embedding_pairs (recall < 1) — rows-only check
+    return (
+        lsh_bucket_pairs(
+            load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4, dim=64
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------------------- similarity ----
+
+
+def _query_vector(spark, sf):
+    row = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _ann_brute_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vector(spark, sf)
+    return brute_force_topk(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10).select(
+        "neighbor_id"
+    )
+
+
+_ANN_BRUTE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id AS neighbor_id
+FROM embeddings b, q
+WHERE b.vec_id != 0
+ORDER BY list_dot_product(b.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         b.vec_id ASC
+LIMIT 10
+"""
+
+
+def _ann_lsh_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vector(spark, sf)
+    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10).select(
+        "neighbor_id"
+    )
+
+
+# ------------------------------------------------------------- text ops ----
+
+
+def _text_stats_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct_tokens"].alias("n_distinct_tokens"),
+        m["n_alpha"].alias("n_alpha"),
+        m["n_space"].alias("n_space"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+       len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^\sA-Za-z0-9'']')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _fingerprint_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", document_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _lang_id_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def _corpus_curation(spark, sf):
+    """Composite curation pipeline: quality gate → exact dedup → corpus
+    stats per (lang, source). The flagship shape of a 100 TB run: one scan,
+    one groupBy for dedup, one broadcast-join back, one final agg."""
+    docs = load_table(spark, sf, "documents")
+    m = quality_metrics(F.col("text"))
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct_tokens"].alias("n_distinct_tokens"),
+    ).where((F.col("n_tokens") >= 10) & (F.col("n_distinct_tokens") * 4 >= F.col("n_tokens")))
+    keepers = dedup_exact(docs, "text", "doc_id").select(F.col("keeper_id").alias("doc_id"))
+    kept = enriched.join(keepers, "doc_id")
+    return (
+        kept.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang", "source")
+    )
+
+
+_CORPUS_CURATION_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct_tokens
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+)
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM enriched
+JOIN keepers USING (doc_id)
+WHERE n_tokens >= 10 AND n_distinct_tokens * 4 >= n_tokens
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ----------------------------------------------------------- multimodal ----
+
+
+def _multimodal_image_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    packed = with_binary_payload(docs.select("doc_id", "text"), "text")
+    decoded = decode_image_meta(packed.select("doc_id", "payload"))
+    return decoded.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+# the fake decoder derives dims from byte length — SQL-expressible, so even
+# the mapInPandas plumbing gets an exact oracle
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
+       CAST(strlen(text) % 48 + 1 AS INTEGER) AS height,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+
+PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "dedup_minhash_docs": QuerySpec(_minhash_pairs_docs, None),
+    "dedup_simhash_docs": QuerySpec(_simhash_pairs_docs, None),
+    "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, None),
+    "dedup_embedding_pairs": QuerySpec(_embedding_pairs_docs, _EMBEDDING_PAIRS_SQL),
+    "dedup_embedding_lsh_pairs": QuerySpec(_lsh_bucket_pairs_docs, None),
+    "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
+    "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None),
+    "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
+    "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
+    "lang_id_docs": QuerySpec(_lang_id_docs, None),
+    "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
+    "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
+}

@@ -90,6 +90,11 @@ class S3ConnectorStreamReader(DataSourceStreamReader):
         self._options = S3ConnectorSourceOptions.parse(raw_options)
         self._metadata_path = _pop_metadata_path(raw_options)
         self._admission = None  # driver-only, lazily built, never pickled
+        # precomputed on the driver; ships pickled so executors never touch
+        # the pandas-types import path (worker cold-start cost)
+        from spark_streaming_sql_s3_connector_spark.sources.file_read import arrow_schema_for
+
+        self._arrow_schema = arrow_schema_for(schema)
 
     # -- driver side --
 
@@ -147,6 +152,7 @@ class S3ConnectorStreamReader(DataSourceStreamReader):
             opts.reader_options,
             opts.partition_column_names,
             opts.base_path,
+            arrow_schema=self._arrow_schema,
         )
 
 
@@ -160,6 +166,9 @@ class S3ConnectorBatchReader(DataSourceReader):
         self._metadata_path = _pop_metadata_path(raw_options)
         lowered = {k.lower(): v for k, v in raw_options.items()}
         self._paths = [p for p in (lowered.get("paths") or "").split(",") if p]
+        from spark_streaming_sql_s3_connector_spark.sources.file_read import arrow_schema_for
+
+        self._arrow_schema = arrow_schema_for(schema)
 
     def partitions(self) -> Sequence[InputPartition]:
         files: list[tuple[str, int]] = [(p, 0) for p in self._paths]
@@ -188,6 +197,7 @@ class S3ConnectorBatchReader(DataSourceReader):
             opts.reader_options,
             opts.partition_column_names,
             opts.base_path,
+            arrow_schema=self._arrow_schema,
         )
 
 

@@ -181,10 +181,12 @@ def read_file_to_table(
     options: dict,
     partition_cols: list[str],
     base_path: Optional[str],
+    target: Optional[pa.Schema] = None,
 ) -> pa.Table:
     """Read ONE file and return an Arrow table matching the user schema."""
     fmt = file_format.lower()
-    target = arrow_schema_for(spark_schema)
+    if target is None:
+        target = arrow_schema_for(spark_schema)
     local = normalize_local_path(path)
     partition_values = partition_values_from_path(path, base_path, partition_cols or [])
     # only keep partition values for columns actually in the schema
@@ -254,12 +256,18 @@ def iter_record_batches(
     partition_cols: list[str],
     base_path: Optional[str],
     batch_rows: int = 1 << 16,
+    arrow_schema: Optional[pa.Schema] = None,
 ) -> Iterator[pa.RecordBatch]:
-    target = arrow_schema_for(spark_schema)
+    # the caller (driver) precomputes the arrow schema so executors skip the
+    # pandas-conversion import path entirely — worker cold-start matters at
+    # per-trigger latency scale
+    target = arrow_schema if arrow_schema is not None else arrow_schema_for(spark_schema)
     empty = True
     for path, _ts in paths_with_meta:
         try:
-            table = read_file_to_table(path, file_format, spark_schema, options, partition_cols, base_path)
+            table = read_file_to_table(
+                path, file_format, spark_schema, options, partition_cols, base_path, target
+            )
         except FileNotFoundError:
             # checkFilesExist=false semantics (S3ConnectorSource.scala:179):
             # a logged-but-deleted file must not fail the batch

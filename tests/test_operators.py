@@ -1,0 +1,210 @@
+"""Semantic tests for dedup/similarity/text operators against pure-Python
+reference computations on collected rows."""
+
+import itertools
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.text import (
+    document_fingerprint,
+    language_id,
+    quality_metrics,
+    token_count,
+)
+from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about machine learning and neural networks"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "short text"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def py_shingles(text, k=3):
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard(a, b):
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def test_dedup_exact(docs_df):
+    res = {r.keeper_id: r.dup_count for r in dedup_exact(docs_df, "text", "doc_id").collect()}
+    assert res[0] == 2  # docs 0 and 3
+    assert res[1] == 1
+    assert 3 not in res
+
+
+def test_ngram_jaccard_matches_python(docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()
+    }
+    expected = {}
+    texts = dict(DOCS)
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = py_jaccard(py_shingles(texts[a]), py_shingles(texts[b]))
+        if j >= 0.3:
+            expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_minhash_finds_near_and_exact_dups(docs_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs_df, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup (1-word diff, j≈0.67)
+    assert all(a != 2 and b != 2 for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_verification_bounds_false_positives(docs_df):
+    # with verify=True every reported pair must truly meet the threshold
+    texts = dict(DOCS)
+    for r in minhash_near_dup_pairs(docs_df, "text", "doc_id", jaccard_threshold=0.5).collect():
+        true_j = py_jaccard(py_shingles(texts[r.id_a]), py_shingles(texts[r.id_b]))
+        assert true_j >= 0.5
+        assert abs(r.jaccard_sim - true_j) < 1e-9
+
+
+def test_simhash_near_dups(docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            docs_df.where(F.col("text") != ""), "text", "doc_id", max_hamming=16
+        ).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0  # identical text → identical signature
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] <= 16
+    # unrelated doc should not be within a tight radius of doc 0
+    assert pairs.get((0, 2), 99) > 16 or (0, 2) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+        (3, [1.0, 0.0, 0.0]),  # identical to 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b) for r in embedding_cosine_pairs(df, "embedding", "vec_id", 0.95).collect()
+    }
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs  # cos ≈ 0.994
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = brute_force_topk(df, "embedding", "vec_id", [1.0, 0.0], k=3).collect()
+    assert [r.neighbor_id for r in res] == [0, 1, 2]
+    assert res[0].cosine == pytest.approx(1.0)
+
+
+def test_lsh_ann_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[5][1]
+    exact = [r.neighbor_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    approx = [
+        r.neighbor_id
+        for r in lsh_ann_topk(
+            df, "embedding", "vec_id", q, k=5, n_planes=8, n_tables=8, max_hamming=2
+        ).collect()
+    ]
+    # the query point itself (vec 5) must always be found
+    assert 5 in approx
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.4  # generous: ANN is approximate on random gaussians
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([(0, "hello world  foo"), (1, ""), (2, "  ")], ["id", "t"])
+    got = {
+        r.id: (r.n, r.d)
+        for r in df.select(
+            "id",
+            token_count(F.col("t")).alias("n"),
+            quality_metrics(F.col("t"))["n_distinct_tokens"].alias("d"),
+        ).collect()
+    }
+    assert got[0] == (3, 3)
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "  hello world "), (2, "hello worlds")], ["id", "t"]
+    )
+    fps = {r.id: r.fp for r in df.select("id", document_fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_language_id_real_sentences(spark):
+    samples = [
+        (0, "the cat sat on the mat and it was happy with this", "en"),
+        (1, "el gato se sienta en la alfombra y es feliz con esto", "es"),
+        (2, "le chat est assis sur le tapis et il est content dans la maison", "fr"),
+        (3, "die katze sitzt auf der matte und sie ist mit einem buch", "de"),
+        (4, "xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], ["id", "t"])
+    got = {r.id: r.lang for r in df.select("id", language_id(F.col("t")).alias("lang")).collect()}
+    for i, _, expect in samples:
+        assert got[i] == expect, f"sample {i}: got {got[i]}, want {expect}"
+
+
+def test_multimodal_plumbing(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        decode_image_meta,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame([(0, "abc"), (1, "x" * 100)], ["doc_id", "text"])
+    out = decode_image_meta(with_binary_payload(df, "text").select("doc_id", "payload"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].width == 3 % 64 + 1 and rows[0].n_bytes == 3
+    assert rows[1].width == 100 % 64 + 1 and rows[1].height == 100 % 48 + 1
+    assert rows[0].format == "fake"

@@ -1,0 +1,100 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf dir; compare row count, column names, and order-insensitive
+values. Usage: python tools/check_oracle.py [sf_dir] [query ...]"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat().replace("+00:00", ""))
+    return v
+
+
+def compare(name, spark_df, con) -> tuple[bool, str]:
+    sql = entrymod.oracle_sql().get(name)
+    spark_rows = spark_df.collect()
+    spark_cols = spark_df.columns
+    if sql is None:
+        return True, f"rows-only ({len(spark_rows)} rows)"
+    oracle = con.execute(sql)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+    if sorted(spark_cols) != sorted(o_cols):
+        return False, f"column mismatch: spark {sorted(spark_cols)} vs oracle {sorted(o_cols)}"
+    if len(spark_rows) != len(o_rows):
+        return False, f"row count: spark {len(spark_rows)} vs oracle {len(o_rows)}"
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    s_norm = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    d_norm = sorted(tuple(norm(r[i]) for i in o_order) for r in o_rows)
+    if s_norm != d_norm:
+        for a, b in zip(s_norm, d_norm):
+            if a != b:
+                return False, f"value mismatch: spark {a} vs oracle {b}"
+        return False, "value mismatch (row ordering)"
+    return True, f"match ({len(spark_rows)} rows)"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    qs = entrymod.queries()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ok, msg = compare(name, fn(spark, sf_dir), con)
+        except Exception as e:
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.1f}s  {msg}", flush=True)
+        failures += 0 if ok else 1
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
