@@ -1,0 +1,126 @@
+"""Unit tests for the executor-side Arrow file reader (no Spark session):
+schema projection, permissive nulls, DROPMALFORMED, partition columns."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+    partition_values_from_path,
+    read_file_to_table,
+)
+
+BASIC = StructType(
+    [
+        StructField("testString", StringType()),
+        StructField("testBoolean", BooleanType()),
+        StructField("testInt", IntegerType()),
+    ]
+)
+
+
+def write_csv(path, rows, header=False, sep=","):
+    with open(path, "w") as f:
+        if header:
+            f.write(sep.join(["testString", "testBoolean", "testInt"]) + "\n")
+        for r in rows:
+            f.write(sep.join(str(x).lower() if isinstance(x, bool) else str(x) for x in r) + "\n")
+
+
+ROWS = [("James", True, 3000), ("Michael", False, 5000), ("Robert", False, 5000)]
+
+
+def test_csv_positional(tmp_path):
+    p = str(tmp_path / "f.csv")
+    write_csv(p, ROWS)
+    t = read_file_to_table(p, "csv", BASIC, {}, [], None)
+    assert t.column("testString").to_pylist() == ["James", "Michael", "Robert"]
+    assert t.column("testBoolean").to_pylist() == [True, False, False]
+    assert t.column("testInt").to_pylist() == [3000, 5000, 5000]
+
+
+def test_csv_header_and_sep(tmp_path):
+    p = str(tmp_path / "f.csv")
+    write_csv(p, ROWS, header=True, sep="|")
+    t = read_file_to_table(p, "csv", BASIC, {"header": "true", "sep": "|"}, [], None)
+    assert t.column("testInt").to_pylist() == [3000, 5000, 5000]
+
+
+def test_csv_projection_permissive_nulls(tmp_path):
+    # project 3-col csv onto (testInt int): first col "James" fails the int
+    # cast → null in PERMISSIVE (reference ItSuite:257-290)
+    p = str(tmp_path / "f.csv")
+    write_csv(p, ROWS)
+    narrow = StructType([StructField("testInt", IntegerType())])
+    t = read_file_to_table(p, "csv", narrow, {}, [], None)
+    assert t.column("testInt").to_pylist() == [None, None, None]
+
+
+def test_csv_projection_drop_malformed(tmp_path):
+    p = str(tmp_path / "f.csv")
+    write_csv(p, ROWS)
+    narrow = StructType([StructField("testInt", IntegerType())])
+    t = read_file_to_table(p, "csv", narrow, {"mode": "DROPMALFORMED"}, [], None)
+    assert t.num_rows == 0
+
+
+def test_json_by_name(tmp_path):
+    p = str(tmp_path / "f.json")
+    with open(p, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps({"testString": r[0], "testBoolean": r[1], "testInt": r[2]}) + "\n")
+    t = read_file_to_table(p, "json", BASIC, {}, [], None)
+    assert t.column("testInt").to_pylist() == [3000, 5000, 5000]
+
+
+def test_parquet_by_name_with_missing_column(tmp_path):
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table({"testString": ["a", "b"], "testInt": [1, 2]}), p
+    )
+    proj = StructType(
+        [StructField("newtestInt", IntegerType()), StructField("testString", StringType())]
+    )
+    t = read_file_to_table(p, "parquet", proj, {}, [], None)
+    assert t.column("newtestInt").to_pylist() == [None, None]
+    assert t.column("testString").to_pylist() == ["a", "b"]
+
+
+def test_partition_values_from_path():
+    vals = partition_values_from_path(
+        "file:///data/base/testPart1=p1/testPart2=2/part-0.csv",
+        "/data/base",
+        ["testPart1", "testPart2"],
+    )
+    assert vals == {"testPart1": "p1", "testPart2": "2"}
+    # url-encoded partition values decode (reference fixture key has %3D)
+    vals = partition_values_from_path("/b/k=a%20b/f.csv", "/b", ["k"])
+    assert vals == {"k": "a b"}
+
+
+def test_partition_columns_attached_and_cast(tmp_path):
+    d = tmp_path / "base" / "p=7"
+    d.mkdir(parents=True)
+    p = str(d / "f.csv")
+    write_csv(p, ROWS)
+    schema = BASIC.add("p", IntegerType())
+    t = read_file_to_table(p, "csv", schema, {}, ["p"], str(tmp_path / "base"))
+    assert t.column("p").to_pylist() == [7, 7, 7]
+    assert t.schema.field("p").type == pa.int32()
+
+
+def test_missing_file_skipped():
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import iter_record_batches
+
+    batches = list(iter_record_batches([("/nope/missing.csv", 0)], "csv", BASIC, {}, [], None))
+    # one zero-row batch keeps the schema stable
+    assert len(batches) == 1 and batches[0].num_rows == 0
