@@ -238,6 +238,37 @@ ORDER BY lang, source
 """
 
 
+# ------------------------------------------------------------- sessions ----
+
+
+def _sessionize_batch_events(spark, sf):
+    from spark_streaming_sql_s3_connector_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(load_table(spark, sf, "events"), gap_minutes=30)
+
+
+_SESSIONIZE_BATCH_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 # ----------------------------------------------------------- multimodal ----
 
 
@@ -273,5 +304,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
     "lang_id_docs": QuerySpec(_lang_id_docs, None),
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
+    "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
 }
