@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "sessionize_batch",
+    "connector_batch_read",
     "text_stats_docs",
     "text_fingerprint_docs",
     "lang_id_docs",
@@ -173,6 +176,12 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warmup outside the timed loop (first parquet scan pays codegen +
+    # class-loading; attributing that to b1 would misstate per-query cost)
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
 
     qs = entrymod.queries()
     results: dict[str, float] = {}

@@ -18,7 +18,7 @@ deterministic across runs/restarts.
 from __future__ import annotations
 
 import random
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -112,6 +112,88 @@ def lsh_bucket_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 16, seed: int = 42, sample_rows: int = 100_000
+) -> list[list[float]]:
+    """Coarse quantizer: KMeans centers fitted on (a sample of) the
+    vectors. Fit cost is bounded by ``sample_rows``; at 100 TB you fit on a
+    sample and assign the full corpus with expressions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    n = sample.count()
+    if n > sample_rows:
+        sample = sample.sample(fraction=sample_rows / n, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(sample)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+    """argmin over squared L2 distance to each centroid — pure expressions,
+    assignment scans stay in whole-stage codegen."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["idx"]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], bucket_col: str = "ivf_bucket") -> DataFrame:
+    return df.withColumn(
+        bucket_col, _nearest_centroid_expr(F.col(vec_col).cast("array<double>"), centroids)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    centroids: Optional[list[list[float]]] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: assign rows to their nearest KMeans centroid, search only
+    the ``n_probe`` buckets nearest the query, exact-rerank survivors.
+    The bucket filter prunes ~(1 - n_probe/n_centroids) of the corpus
+    before any cosine; with a persisted assignment (``ivf_assign`` +
+    partitionBy(bucket) on write) the scan prunes at the file level."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+    q = [float(x) for x in query_vec]
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i) for i, c in enumerate(centroids)
+    ]
+    probes = [i for _, i in sorted(dists)[:n_probe]]
+    assigned = ivf_assign(df, vec_col, centroids)
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    return (
+        assigned.where(F.col("ivf_bucket").isin(probes))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_sim(F.col(vec_col).cast("array<double>"), qcol).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
     )
 
 

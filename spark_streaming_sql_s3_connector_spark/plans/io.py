@@ -51,3 +51,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile so Python data source
+    workers can import it even when the host session was launched without
+    the repo on PYTHONPATH (e.g. an external verification harness)."""
+    if getattr(spark, "_s3conn_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="s3conn-pkg-", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._s3conn_pkg_shipped = True

@@ -147,6 +147,16 @@ def _ann_lsh_topk(spark, sf):
     )
 
 
+def _ann_ivf_topk(spark, sf):
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vector(spark, sf)
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10, n_probe=6
+    ).select("neighbor_id")
+
+
 # ------------------------------------------------------------- text ops ----
 
 
@@ -291,6 +301,43 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- connector batch read ----
+
+
+def _connector_batch_read(spark, sf):
+    """Read lineitem through the s3-connector Python data source (Arrow
+    executor reads) and aggregate — proves the connector's read path against
+    the DuckDB oracle, not just the JVM reader."""
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.plans.io import ensure_package_shipped
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    ensure_package_shipped(spark)
+    register(spark)
+    schema = load_table(spark, sf, "lineitem").schema
+    df = (
+        spark.read.format("s3-connector")
+        .schema(schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", _os.path.join(sf, "lineitem.parquet"))
+        .load()
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+_CONNECTOR_BATCH_READ_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
     "dedup_minhash_docs": QuerySpec(_minhash_pairs_docs, None),
@@ -300,10 +347,12 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_lsh_pairs": QuerySpec(_lsh_bucket_pairs_docs, None),
     "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
     "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(_ann_ivf_topk, None),
     "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
     "lang_id_docs": QuerySpec(_lang_id_docs, None),
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
+    "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
     "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
 }

@@ -158,6 +158,34 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.4  # generous: ANN is approximate on random gaussians
 
 
+def test_ivf_topk_recall(spark):
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_centroids(df, "embedding", n_centroids=8)
+    assert len(cents) == 8 and len(cents[0]) == dim
+    # every row lands in exactly one bucket in [0, 8)
+    buckets = ivf_assign(df, "embedding", cents).select("ivf_bucket").distinct().collect()
+    assert all(0 <= r.ivf_bucket < 8 for r in buckets)
+    q = rows[7][1]
+    exact = [r.neighbor_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    approx = [
+        r.neighbor_id
+        for r in ivf_topk(df, "embedding", "vec_id", q, k=5, centroids=cents, n_probe=4).collect()
+    ]
+    assert 7 in approx  # the query point's own row is always in the probed bucket
+    assert len(set(exact) & set(approx)) / 5 >= 0.4
+
+
 def test_token_count_and_quality(spark):
     df = spark.createDataFrame([(0, "hello world  foo"), (1, ""), (2, "  ")], ["id", "t"])
     got = {
