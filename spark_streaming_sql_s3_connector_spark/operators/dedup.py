@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,15 +72,83 @@ def word_shingles(col, k: int = 3):
     )
 
 
+# Carter-Wegman permutation constants over the Mersenne prime 2^61-1:
+# h_i(x) = (a_i * x + b_i) mod p — the classic MinHash family. Constants
+# derive from a fixed seed so signatures are deterministic across runs.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signature(shingles, num_perm: int = 64):
-    """num_perm-wide MinHash signature: per seed, min of xxhash64(shingle,
-    seed) over the shingle set — all whole-stage-codegen expressions."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
-    )
+    """num_perm-wide MinHash signature as pure expressions.
+
+    Shingles are hashed once per permutation via the universal-hash map
+    ``(a*h + b) mod p`` (p = 2^31-1, products < 2^62 so no ANSI
+    overflow). NOTE: array higher-order functions evaluate interpreted
+    (no codegen); for large corpora the Arrow-vectorized signature path in
+    ``minhash_near_dup_pairs(use_arrow=True)`` is ~an order of magnitude
+    faster — this expression form remains for option-free composition."""
+    p = F.lit(_MERSENNE_P).cast("long")
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+    sig = []
+    for a, b in _perm_constants(num_perm):
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(h * F.lit(a).cast("long") + F.lit(b).cast("long"), p),
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+def _minhash_sig_udf(num_perm: int, shingle_k: int):
+    """Arrow-batched signature computation: blake2b shingle hashes + one
+    numpy (n_shingles × num_perm) affine-mod-min — C-speed inner loop."""
+    from hashlib import blake2b
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = _perm_constants(num_perm)
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+    P = _MERSENNE_P
+
+    def compute(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if len(toks) >= shingle_k:
+                sh = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+            elif toks:
+                sh = {" ".join(toks)}
+            else:
+                out.append([P] * num_perm)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little") % P
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            out.append(((np.outer(h, A) + B) % P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return pandas_udf(compute, ArrayType(LongType()))
 
 
 def jaccard(a, b):
@@ -96,6 +166,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     verify: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (id_a < id_b).
 
@@ -103,15 +174,30 @@ def minhash_near_dup_pairs(
     ``num_perm/bands`` rows → hash each band → explode → equi-join on
     (band_idx, band_hash) → optional exact-Jaccard verification on the
     shingle sets. The only shuffle is the band-hash join; band hashes are
-    uniform so no skew."""
+    uniform so no skew.
+
+    ``use_arrow=True`` (default) computes signatures in an Arrow-batched
+    pandas UDF (numpy inner loop) — array higher-order functions run
+    interpreted in Spark, so at corpus scale the vectorized path wins by
+    ~an order of magnitude. Candidate recall is identical in distribution;
+    the verification step makes the final output threshold-exact either
+    way."""
     rows = num_perm // bands
-    base = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_k).alias("_shingles"),
-    ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_perm))
-    banded = base.select(
+    spread = _spread(df)
+    if use_arrow:
+        sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+        sig_base = spread.select(
+            F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
+        )
+    else:
+        sig_base = spread.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm).alias("_sig"),
+        )
+    # band join moves only (id, band_idx, band_hash) — never the shingle
+    # arrays (at scale that's bytes per doc per band, not kilobytes)
+    banded = sig_base.select(
         "_id",
-        "_shingles",
         F.explode(
             F.array(
                 *[
@@ -125,7 +211,7 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_shingles", "_band.band_idx", "_band.band_hash")
+    ).select("_id", "_band.band_idx", "_band.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -135,20 +221,34 @@ def minhash_near_dup_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._shingles").alias("_sa"),
-            F.col("r._shingles").alias("_sb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    if verify:
-        pairs = pairs.withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb"))).where(
-            F.col("jaccard_sim") >= jaccard_threshold
+    if not verify:
+        return pairs.select("id_a", "id_b")
+    # exact-Jaccard verification: shingle ONLY the candidate ids (semi-join
+    # first — shingling every document for a handful of candidates is the
+    # dominant cost otherwise)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_sid"))
+        .union(pairs.select(F.col("id_b").alias("_sid")))
+        .distinct()
+    )
+    shingle_map = (
+        spread.join(cand_ids, spread[id_col] == cand_ids["_sid"], "left_semi")
+        .select(
+            F.col(id_col).alias("_sid"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
         )
-        return pairs.select("id_a", "id_b", "jaccard_sim")
-    return pairs.select("id_a", "id_b")
+    )
+    sa = shingle_map.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = shingle_map.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        .where(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
 
 
 def simhash_signature(col, bits: int = 64):
@@ -179,6 +279,43 @@ def simhash_signature(col, bits: int = 64):
     return sig
 
 
+def _simhash_sig_udf():
+    """Arrow-batched SimHash: blake2b token hashes → numpy unpackbits →
+    bit votes → signed-64 signature."""
+    from hashlib import blake2b
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def compute(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = " ".join((t or "").lower().split()).split()
+            if not toks:
+                out.append(0)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                    for s in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+            sig = 0
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= 1 << int(b)
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return pandas_udf(compute, LongType())
+
+
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -189,18 +326,25 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs (id_a < id_b, hamming ≤ max_hamming).
 
     Pigeonhole blocking: split the 64-bit signature into ``blocks`` chunks;
     any pair within ``blocks-1`` bit flips shares at least one exact chunk,
     so candidates come from ``blocks`` equi-joins (union) — never a cross
-    join. With blocks=4, max_hamming=3 the recall is exact."""
+    join. With blocks=4, max_hamming=3 the recall is exact.
+
+    ``use_arrow=True`` computes signatures numpy-vectorized (the 64
+    per-bit aggregate expressions run interpreted otherwise)."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    base = _spread(df).select(
-        F.col(id_col).alias("_id"), simhash_signature(F.col(text_col)).alias("_sim")
+    sig_expr = (
+        _simhash_sig_udf()(F.col(text_col))
+        if use_arrow
+        else simhash_signature(F.col(text_col))
     )
+    base = _spread(df).select(F.col(id_col).alias("_id"), sig_expr.alias("_sim"))
     chunked = base.select(
         "_id",
         "_sim",
