@@ -184,6 +184,30 @@ class S3ConnectorBatchReader(DataSourceReader):
                 files = sorted(seen.items())
         if not files:
             return [FileSlicePartition(files=[])]
+        return self._split_partitions(files)
+
+    def _split_partitions(self, files: list[tuple[str, int]]) -> list[FileSlicePartition]:
+        """One partition per file; multi-row-group parquet files split
+        further so a single large file parallelizes across tasks."""
+        parts: list[FileSlicePartition] = []
+        if self._options.file_format.lower() == "parquet":
+            from spark_streaming_sql_s3_connector_spark.sources.file_read import normalize_local_path
+
+            for path, ts in files:
+                n_groups = 1
+                try:
+                    import pyarrow.parquet as pq
+
+                    n_groups = pq.ParquetFile(normalize_local_path(path)).num_row_groups
+                except Exception:
+                    pass  # remote/unreadable here: fall back to whole-file task
+                if n_groups > 1:
+                    parts.extend(
+                        FileSlicePartition(files=[(path, ts, [g])]) for g in range(n_groups)
+                    )
+                else:
+                    parts.append(FileSlicePartition(files=[(path, ts)]))
+            return parts
         return [FileSlicePartition(files=[f]) for f in files]
 
     def read(self, partition: FileSlicePartition) -> Iterator:

@@ -64,22 +64,22 @@ def partition_values_from_path(
     return vals
 
 
-def _cast_permissive(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> tuple[pa.Array, pa.Array]:
-    """Cast with per-value null-on-failure. Returns (cast_column, failed_mask)
-    where failed_mask marks values that were non-null before and null after
-    (the DROPMALFORMED signal)."""
-    import pyarrow.compute as pc
-
+def _cast_permissive(
+    col: pa.ChunkedArray | pa.Array, target: pa.DataType
+) -> tuple[pa.Array, Optional[pa.Array]]:
+    """Cast with per-value null-on-failure. Returns (cast_column, failed_mask);
+    a None mask means "no failures" (kept lazy — materializing a boolean
+    array per column costs more than the cast on clean data)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.type == target:
-        return col, pa.array([False] * len(col))
+        return col, None
     if pa.types.is_timestamp(target) and pa.types.is_timestamp(col.type):
         # allow precision truncation (e.g. parquet ns → spark us)
-        return col.cast(target, safe=False), pa.array([False] * len(col))
+        return col.cast(target, safe=False), None
     try:
         cast = col.cast(target, safe=True)
-        return cast, pa.array([False] * len(col))
+        return cast, None
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
         pass
     # slow path: python-level value coercion
@@ -91,7 +91,7 @@ def _cast_permissive(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> tu
             out.append(None)
             failed.append(False)
             continue
-        try:
+        try:  # noqa: SIM105
             if pa.types.is_boolean(target):
                 if isinstance(v, str):
                     lv = v.strip().lower()
@@ -119,7 +119,7 @@ def _cast_permissive(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> tu
         except (ValueError, TypeError):
             out.append(None)
             failed.append(True)
-    return pa.array(out, type=target), pa.array(failed)
+    return pa.array(out, type=target), (pa.array(failed) if any(failed) else None)
 
 
 def _project_to_schema(
@@ -134,14 +134,18 @@ def _project_to_schema(
     columns filled from the path."""
     import pyarrow.compute as pc
 
+    if not partition_values and by_name and table.schema == target:
+        return table  # clean fast path: nothing to project or cast
+
     n = table.num_rows
     cols: list[pa.Array] = []
     any_failed: Optional[pa.Array] = None
-    data_field_idx = 0
     non_part_indices = [i for i, f in enumerate(target) if f.name not in partition_values]
     for field in target:
         if field.name in partition_values:
-            raw = pa.array([partition_values[field.name]] * n, type=pa.string())
+            # scalar partition value → constant column without a python list
+            scalar = pa.scalar(partition_values[field.name], type=pa.string())
+            raw = pa.repeat(scalar, n)
             cast, _ = _cast_permissive(raw, field.type)
             cols.append(cast)
             continue
@@ -161,11 +165,8 @@ def _project_to_schema(
             continue
         cast, failed = _cast_permissive(src, field.type)
         cols.append(cast)
-        if any_failed is None:
-            any_failed = failed
-        else:
-            any_failed = pc.or_(any_failed, failed)
-        data_field_idx += 1
+        if failed is not None:
+            any_failed = failed if any_failed is None else pc.or_(any_failed, failed)
     out = pa.table(dict(zip([f.name for f in target], cols)))
     out = out.cast(target)
     if drop_malformed and any_failed is not None:
@@ -182,8 +183,10 @@ def read_file_to_table(
     partition_cols: list[str],
     base_path: Optional[str],
     target: Optional[pa.Schema] = None,
+    row_groups: Optional[list[int]] = None,
 ) -> pa.Table:
-    """Read ONE file and return an Arrow table matching the user schema."""
+    """Read ONE file (optionally a subset of its parquet row groups) and
+    return an Arrow table matching the user schema."""
     fmt = file_format.lower()
     if target is None:
         target = arrow_schema_for(spark_schema)
@@ -199,7 +202,10 @@ def read_file_to_table(
         wanted = [f.name for f in target if f.name not in partition_values]
         pf = pq.ParquetFile(local)
         present = [c for c in wanted if c in pf.schema_arrow.names]
-        raw = pf.read(columns=present)
+        if row_groups is not None:
+            raw = pf.read_row_groups(row_groups, columns=present)
+        else:
+            raw = pf.read(columns=present)
         return _project_to_schema(raw, target, True, drop_malformed, partition_values)
 
     if fmt == "json":
@@ -263,10 +269,12 @@ def iter_record_batches(
     # per-trigger latency scale
     target = arrow_schema if arrow_schema is not None else arrow_schema_for(spark_schema)
     empty = True
-    for path, _ts in paths_with_meta:
+    for entry in paths_with_meta:
+        path, _ts, row_groups = entry if len(entry) == 3 else (*entry, None)
         try:
             table = read_file_to_table(
-                path, file_format, spark_schema, options, partition_cols, base_path, target
+                path, file_format, spark_schema, options, partition_cols, base_path, target,
+                row_groups=row_groups,
             )
         except FileNotFoundError:
             # checkFilesExist=false semantics (S3ConnectorSource.scala:179):

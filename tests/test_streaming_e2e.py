@@ -184,6 +184,66 @@ def test_checkpoint_restart(spark, tmp_path, queue):
     assert spark.read.parquet(out_dir).count() == 6
 
 
+def test_max_file_age_expires_old_events(spark, tmp_path, queue):
+    # a file whose event timestamp is far older than maxFileAge relative to
+    # the newest seen file is rejected as expired (A8 purge horizon)
+    register(spark)
+    fresh = str(tmp_path / "fresh.csv")
+    stale = str(tmp_path / "stale.csv")
+    write_basic_csv(fresh)
+    write_basic_csv(stale)
+    now = int(time.time() * 1000)
+    queue.send_file_event(fresh, now)
+    q = start_stream(
+        spark, tmp_path, BASIC_SCHEMA,
+        base_options(tmp_path, **{"spark.s3conn.maxFileAge": "1h"}), "e2e_age",
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM e2e_age").collect()[0].c == 3
+        # stale event: 2 h older than the newest file → beyond the 1 h horizon
+        queue.send_file_event(stale, now - 2 * 3600 * 1000)
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) c FROM e2e_age").collect()[0].c == 3
+    finally:
+        q.stop()
+
+
+def test_foreach_sink(spark, tmp_path, queue):
+    # B12: foreach-style sink through the stream surface (reference
+    # TestForeachWriter.scala:24-56 accumulates rows in a static map)
+    register(spark)
+    f1 = str(tmp_path / "f1.csv")
+    write_basic_csv(f1)
+    queue.send_file_event(f1, int(time.time() * 1000))
+    out_dir = tmp_path / "foreach-out"
+    out_dir.mkdir()
+
+    def write_row(row):
+        # executor-side accumulator: one marker file per row
+        marker = out_dir / f"{row.testString}-{row.testInt}"
+        marker.write_text("1")
+
+    reader = spark.readStream.format("s3-connector").schema(BASIC_SCHEMA)
+    for k, v in base_options(tmp_path).items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreach(write_row)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(p.name for p in out_dir.iterdir()) == [
+        "James-3000",
+        "Michael-5000",
+        "Robert-5000",
+    ]
+
+
 def test_glob_filter_stream(spark, tmp_path, queue):
     register(spark)
     keep = str(tmp_path / "keep.csv")
