@@ -34,8 +34,16 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "tpch_q4ish",
+    "tpch_q6ish",
+    "tpch_q10ish",
+    "tpch_q18ish",
     "window_top_orders",
     "rollup_sales",
+    "cube_orders",
+    "set_ops_customers",
+    "ntile_deciles",
+    "events_sliding_30m",
     "events_by_type_hour",
     "semi_anti_join",
     "dedup_exact_docs",
