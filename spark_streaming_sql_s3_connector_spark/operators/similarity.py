@@ -72,20 +72,42 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _planes_for_threshold(threshold: float) -> tuple[int, int]:
+    """Signature length / table count tuned to the target cosine.
+
+    Sign-LSH bit-agreement probability for cosine c is 1 - arccos(c)/pi;
+    recall of an L-bit AND over T ORed tables is 1-(1-p^L)^T. Long
+    signatures only work for high thresholds — at c=0.4 (p≈0.63) a 12-bit
+    signature has 0.4% per-table recall, i.e. finds nothing. Candidate
+    cost grows as sum(bucket^2), so L trades recall against join fan-out:
+    pick short signatures + more tables for loose thresholds, long + few
+    for near-dup thresholds."""
+    if threshold >= 0.85:
+        return 16, 4
+    if threshold >= 0.7:
+        return 8, 6
+    return 4, 8
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float,
     dim: int,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate near-dup pairs: rows sharing a full signature in ANY of
     ``n_tables`` hash tables become candidates (equi-join on
     (table, signature)), then exact cosine reranks. Recall grows with
-    n_tables; cost stays an equi-join."""
+    n_tables; cost stays an equi-join. Candidate pairs are deduped BEFORE
+    the cosine so each pair pays the O(dim) rerank once, not once per
+    colliding table."""
+    auto_planes, auto_tables = _planes_for_threshold(threshold)
+    n_planes = n_planes or auto_planes
+    n_tables = n_tables or auto_tables
     sigs = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -108,9 +130,15 @@ def lsh_bucket_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine_sim(F.col("l._v"), F.col("r._v")).alias("cosine"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
