@@ -75,6 +75,39 @@ def _ngram_jaccard_docs(spark, sf):
     )
 
 
+# Exact inverted-index Jaccard is SQL-expressible: same shingling (word
+# 3-grams, distinct), same overlap/union arithmetic. The Spark operator's
+# df-cap skew guard (max_shingle_df=1000) cannot trigger at sf0.01
+# (df <= 500 docs), so the operator is exact there and the oracle is fair.
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+SELECT id_a, id_b
+FROM ov
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def _embedding_pairs_docs(spark, sf):
     return (
         embedding_cosine_pairs(load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4)
@@ -202,6 +235,37 @@ ORDER BY doc_id
 def _lang_id_docs(spark, sf):
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def _lang_id_oracle_sql() -> str:
+    """Language-ID is deterministic JVM expressions, so it oracles exactly:
+    mirror the stopword-profile argmax in DuckDB (list_max over
+    (score, lang) structs has the same compare-score-then-lang tie-break
+    as Spark's array_max)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import _LANG_PROFILES
+
+    struct_rows = ",\n    ".join(
+        "{'score': len(list_filter(t, x -> list_contains(["
+        + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        + "], x))), 'lang': '" + lang + "'}"
+        for lang, words in _LANG_PROFILES.items()
+    )
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         [regexp_replace(x, '[^\p{L}'']', '', 'g')
+          for x in regexp_split_to_array(lower(trim(text)), '\s+')] AS t
+  FROM documents
+), best AS (
+  SELECT doc_id, list_max([
+    """ + struct_rows + r"""
+  ]) AS b
+  FROM toks
+)
+SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM best
+ORDER BY doc_id
+"""
 
 
 def _corpus_curation(spark, sf):
@@ -342,7 +406,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
     "dedup_minhash_docs": QuerySpec(_minhash_pairs_docs, None),
     "dedup_simhash_docs": QuerySpec(_simhash_pairs_docs, None),
-    "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, None),
+    "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, _NGRAM_JACCARD_SQL),
     "dedup_embedding_pairs": QuerySpec(_embedding_pairs_docs, _EMBEDDING_PAIRS_SQL),
     "dedup_embedding_lsh_pairs": QuerySpec(_lsh_bucket_pairs_docs, None),
     "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
@@ -350,7 +414,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(_ann_ivf_topk, None),
     "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
-    "lang_id_docs": QuerySpec(_lang_id_docs, None),
+    "lang_id_docs": QuerySpec(_lang_id_docs, _lang_id_oracle_sql()),
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
