@@ -187,9 +187,50 @@ def main():
 
     # JVM warmup outside the timed loop (first parquet scan pays codegen +
     # class-loading; attributing that to b1 would misstate per-query cost)
-    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+    from spark_streaming_sql_s3_connector_spark.plans.io import (
+        ensure_package_shipped,
+        load_table,
+    )
 
     load_table(spark, SF_DIR, "lineitem").count()
+
+    # Python-worker warmup: the first Python data source read pays worker
+    # spawn + pyspark/pyarrow import (~5 s); daemon workers are reused
+    # afterwards, so warm them here like the JVM above — the per-query
+    # numbers then measure steady-state read cost, not interpreter boot.
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    ensure_package_shipped(spark)
+    register(spark)
+    nation_schema = load_table(spark, SF_DIR, "nation").schema
+    (
+        spark.read.format("s3-connector")
+        .schema(nation_schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "warmup")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", os.path.join(SF_DIR, "nation.parquet"))
+        .load()
+        .count()
+    )
+
+    # Composite warmup: the first nontrivial query of a session pays a
+    # further one-time ~3-6 s (JIT of shuffle/sort/Arrow paths, pandas-UDF
+    # worker boot under contention) that later queries of ANY shape don't.
+    # One small shuffle+UDF+agg pipeline at sf0.001 absorbs it so the
+    # timed loop measures steady-state, matching the reference's
+    # continuous-pipeline perf harness (DataConsumer.scala:25-99).
+    try:
+        from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        warm_docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        minhash_near_dup_pairs(
+            warm_docs, "text", "doc_id", jaccard_threshold=0.5
+        ).count()
+    except Exception as e:
+        print(f"# composite warmup skipped: {e}", file=sys.stderr)
 
     qs = entrymod.queries()
     results: dict[str, float] = {}

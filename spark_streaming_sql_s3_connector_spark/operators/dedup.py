@@ -48,6 +48,47 @@ def normalized_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_col,
+    max_bucket_size: Optional[int] = 100_000,
+) -> DataFrame:
+    """All unordered pairs of rows sharing a bucket key: groupBy(key) →
+    sorted payload list → explode i<j combinations.
+
+    This replaces a self-equi-join for candidate generation: a self-join
+    shuffles the (recomputed) input twice and runs signature UDFs on both
+    sides; this shape shuffles once and computes payloads once. Output
+    columns: ``a`` and ``b`` (the payload structs, a < b by struct order —
+    put the id first in the payload).
+
+    ``max_bucket_size`` drops degenerate buckets (a bucket of n rows emits
+    n²/2 pairs in ONE task — at corpus scale a stop-bucket would OOM the
+    executor; dropping it mirrors the df-cap skew guard in the n-gram
+    join)."""
+    grouped = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(payload_col)).alias("_items")
+    )
+    sized = grouped.where(F.size("_items") > 1)
+    if max_bucket_size is not None:
+        sized = sized.where(F.size("_items") <= max_bucket_size)
+    items = F.col("_items")
+    pair_arrays = F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + F.lit(2), F.size(items)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    # explode_outer: the flatten is never empty (buckets have ≥2 items) and
+    # plain explode would infer a size()>0 filter that evaluates the O(m²)
+    # pair-building transform a second time
+    return sized.select(F.explode_outer(F.flatten(pair_arrays)).alias("_p")).select(
+        "_p.a", "_p.b"
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per normalized text. Returns
     (keeper_id, dup_count). GroupBy on the normalized text hashes/shuffles
@@ -112,9 +153,15 @@ def minhash_signature(shingles, num_perm: int = 64):
     return F.array(*sig)
 
 
-def _minhash_sig_udf(num_perm: int, shingle_k: int):
+def _minhash_sig_udf(num_perm: int, shingle_k: int, bands: Optional[int] = None):
     """Arrow-batched signature computation: blake2b shingle hashes + one
-    numpy (n_shingles × num_perm) affine-mod-min — C-speed inner loop."""
+    numpy (n_shingles × num_perm) affine-mod-min — C-speed inner loop.
+
+    With ``bands`` set, returns the ``bands`` LSH band hashes instead of
+    the raw signature: folding the band hash into the UDF keeps the Spark
+    side a bare posexplode — the alternative (16 × xxhash64(concat_ws(
+    element_at…)) expressions) costs seconds of codegen compile per query
+    and re-extracts 64 array elements per row at runtime."""
     from hashlib import blake2b
 
     import numpy as np
@@ -125,6 +172,18 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
     A = np.array([a for a, _ in consts], dtype=np.int64)
     B = np.array([b for _, b in consts], dtype=np.int64)
     P = _MERSENNE_P
+    # 64-bit mixing constants (splitmix64) for the in-UDF band fold
+    _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
+
+    def _fold_bands(sig: "np.ndarray", n_bands: int) -> list:
+        # deterministic polynomial fold of each band's rows into one long
+        rows = sig.shape[0] // n_bands
+        banded = sig.reshape(n_bands, rows)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n_bands, dtype=np.int64)
+            for r in range(rows):
+                acc = acc * _MIX + banded[:, r]
+        return acc.tolist()
 
     def compute(texts: pd.Series) -> pd.Series:
         out = []
@@ -135,7 +194,8 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
             elif toks:
                 sh = {" ".join(toks)}
             else:
-                out.append([P] * num_perm)
+                sig = np.full(num_perm, P, dtype=np.int64)
+                out.append(_fold_bands(sig, bands) if bands else sig.tolist())
                 continue
             h = np.fromiter(
                 (
@@ -145,7 +205,8 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
                 dtype=np.int64,
                 count=len(sh),
             )
-            out.append(((np.outer(h, A) + B) % P).min(axis=0).tolist())
+            sig = ((np.outer(h, A) + B) % P).min(axis=0)
+            out.append(_fold_bands(sig, bands) if bands else sig.tolist())
         return pd.Series(out)
 
     return pandas_udf(compute, ArrayType(LongType()))
@@ -184,48 +245,54 @@ def minhash_near_dup_pairs(
     way."""
     rows = num_perm // bands
     spread = _spread(df)
+    # band grouping moves only (id, band_idx, band_hash) — never the
+    # shingle arrays (at scale that's bytes per doc per band, not
+    # kilobytes). bucket_pairs = ONE shuffle and one signature pass; a
+    # self-join here would recompute the signature UDF on both sides.
     if use_arrow:
-        sig_udf = _minhash_sig_udf(num_perm, shingle_k)
-        sig_base = spread.select(
-            F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
+        # band hashes computed inside the UDF → the Spark side is a bare
+        # posexplode. _outer matters: plain posexplode lets Catalyst's
+        # InferFiltersFromGenerate synthesize `size(_bh) > 0` and push it
+        # below the repartition exchange — evaluating the signature UDF a
+        # SECOND time on the pre-repartition (often single) partition.
+        # Band arrays are always exactly `bands` long, so outer ≡ inner.
+        band_udf = _minhash_sig_udf(num_perm, shingle_k, bands=bands)
+        banded = (
+            spread.select(F.col(id_col).alias("_id"), band_udf(F.col(text_col)).alias("_bh"))
+            .select("_id", F.posexplode_outer("_bh").alias("band_idx", "band_hash"))
         )
     else:
         sig_base = spread.select(
             F.col(id_col).alias("_id"),
             minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm).alias("_sig"),
         )
-    # band join moves only (id, band_idx, band_hash) — never the shingle
-    # arrays (at scale that's bytes per doc per band, not kilobytes)
-    banded = sig_base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("_sig")[b * rows + r] for r in range(rows)])).alias(
-                            "band_hash"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select("_id", "_band.band_idx", "_band.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+        banded = sig_base.select(
+            "_id",
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.xxhash64(F.concat_ws(",", *[F.col("_sig")[b * rows + r] for r in range(rows)])).alias(
+                                "band_hash"
+                            ),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_band"),
+        ).select("_id", "_band.band_idx", "_band.band_hash")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        bucket_pairs(banded, ["band_idx", "band_hash"], F.struct(F.col("_id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
         return pairs.select("id_a", "id_b")
+    # the candidate set is referenced three times below (two id projections
+    # + the final join); persist the (tiny) pair list so the band-grouping
+    # subtree — including the signature UDF pass — runs once, not thrice
+    pairs = pairs.persist()
     # exact-Jaccard verification: shingle ONLY the candidate ids (semi-join
     # first — shingling every document for a handful of candidates is the
     # dominant cost otherwise)
@@ -345,10 +412,12 @@ def simhash_near_dup_pairs(
         else simhash_signature(F.col(text_col))
     )
     base = _spread(df).select(F.col(id_col).alias("_id"), sig_expr.alias("_sim"))
+    # explode_outer: see minhash — plain explode would re-evaluate the
+    # signature (via an inferred size()>0 filter) below the repartition
     chunked = base.select(
         "_id",
         "_sim",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -360,18 +429,16 @@ def simhash_near_dup_pairs(
             )
         ).alias("_blk"),
     ).select("_id", "_sim", "_blk.block_idx", "_blk.block_val")
-    l, r = chunked.alias("l"), chunked.alias("r")
+    # one shuffle: bucket by block, explode pairs carrying the signature —
+    # hamming verifies in place, no join back for the signatures
     return (
-        l.join(
-            r,
-            (F.col("l.block_idx") == F.col("r.block_idx"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col("l._id") < F.col("r._id")),
+        bucket_pairs(
+            chunked, ["block_idx", "block_val"], F.struct(F.col("_id"), F.col("_sim"))
         )
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            hamming64(F.col("l._sim"), F.col("r._sim")).alias("hamming"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
@@ -395,13 +462,17 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("set_size"))
-    if max_shingle_df is not None:
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_shingle_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-    l, r = sh.alias("l"), sh.alias("r")
+    # bucket by shingle and explode id pairs: one shuffle instead of a
+    # two-sided self-join; the df cap below doubles as the bucket-size
+    # skew guard, so pass max_bucket_size=None
     overlap = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
-        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        bucket_pairs(
+            sh,
+            ["shingle"],
+            F.struct(F.col("_id")),
+            max_bucket_size=max_shingle_df,
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a"))
@@ -423,29 +494,82 @@ def embedding_cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float,
-    parallelism: int = 64,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (id_a < id_b) — the ground-truth
-    baseline, O(n²) by definition. Repartitioned before the cross join so
-    the n² work spreads over ``parallelism²`` tasks. For corpora beyond
-    ~10^5 vectors use the LSH-bucketed path (similarity.py
-    ``lsh_bucket_pairs``), which replaces the cross join with an equi-join
-    on hyperplane signatures."""
-    from spark_streaming_sql_s3_connector_spark.operators.similarity import cosine_sim
+    baseline, O(n²) by definition, executed as BLOCKED MATRIX MULTIPLY:
+    hash vectors into ``n_blocks`` blocks, cross-join the B(B+1)/2 block
+    pairs (B rows each side, not n), and compute each block-pair's full
+    cosine submatrix with one numpy gemm inside mapInPandas.
+
+    Versus a row-level cross join with expression cosine this moves the
+    n² inner loop from interpreted Catalyst lambdas to BLAS (~100× at
+    d=64) and shuffles each vector B times instead of P times. At scale,
+    pick n_blocks so a block (n/B × d doubles) fits executor memory; the
+    n² flops are irreducible — that's what the LSH/IVF variants are for."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    l = base.repartition(parallelism).alias("l")
-    r = base.alias("r")
-    return (
-        l.crossJoin(r)
-        .where(F.col("l._id") < F.col("r._id"))
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            cosine_sim(F.col("l._v"), F.col("r._v")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
+    blocks = base.groupBy("_blk").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("_items")
     )
+    l = blocks.select(F.col("_blk").alias("lb"), F.col("_items").alias("litems"))
+    r = blocks.select(F.col("_blk").alias("rb"), F.col("_items").alias("ritems"))
+    block_pairs = l.join(r, F.col("lb") <= F.col("rb")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "lb", "rb"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                same = row.lb == row.rb
+                lids = np.array([it["_id"] for it in row.litems], dtype=np.int64)
+                lv = np.array([it["_v"] for it in row.litems], dtype=np.float64)
+                if same:
+                    rids, rv = lids, lv
+                else:
+                    rids = np.array([it["_id"] for it in row.ritems], dtype=np.int64)
+                    rv = np.array([it["_v"] for it in row.ritems], dtype=np.float64)
+                ln = lv / np.maximum(np.linalg.norm(lv, axis=1, keepdims=True), 1e-300)
+                rn = (
+                    ln
+                    if same
+                    else rv / np.maximum(np.linalg.norm(rv, axis=1, keepdims=True), 1e-300)
+                )
+                C = ln @ rn.T
+                ii, jj = np.nonzero(C >= threshold)
+                ida, idb = lids[ii], rids[jj]
+                keep = ida < idb  # drops self-pairs and dedupes same-block
+                if not same:
+                    swap = ida > idb
+                    ida2 = np.where(swap, idb, ida)
+                    idb2 = np.where(swap, ida, idb)
+                    ida, idb, keep = ida2, idb2, np.ones(len(ida2), dtype=bool)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ida[keep],
+                        "id_b": idb[keep],
+                        "cosine": C[ii, jj][keep],
+                    }
+                )
+
+    return block_pairs.mapInPandas(compute, out_schema).select("id_a", "id_b")

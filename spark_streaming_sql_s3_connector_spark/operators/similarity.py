@@ -20,6 +20,8 @@ from __future__ import annotations
 import random
 from typing import Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _lsh_sigs_udf(planes_per_table: list[list[list[float]]]):
+    """All tables' sign signatures in ONE Arrow-batched matmul.
+
+    Expression-based signatures (zip_with + aggregate per plane) run
+    interpreted — n_tables × n_planes × dim lambda evaluations per row.
+    Stacking every table's hyperplanes into a (dim, T·L) matrix turns the
+    whole batch into one BLAS gemm + a packbits; returns array<long> of
+    length n_tables."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables = len(planes_per_table)
+    n_planes = len(planes_per_table[0])
+    # (dim, T*L) — column t*L+p is plane p of table t
+    M = np.concatenate([np.asarray(p, dtype=np.float64).T for p in planes_per_table], axis=1)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def compute(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (X @ M) >= 0  # (n, T*L)
+        sigs = bits.reshape(len(X), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(sigs))
+
+    return pandas_udf(compute, ArrayType(LongType()))
+
+
 def lsh_signature(vec_col, planes: list[list[float]]):
     """Sign-bit signature: bit i = (vec · plane_i) >= 0. Returns a long."""
     sig = F.lit(0).cast("long")
@@ -83,9 +114,15 @@ def _planes_for_threshold(threshold: float) -> tuple[int, int]:
     pick short signatures + more tables for loose thresholds, long + few
     for near-dup thresholds."""
     if threshold >= 0.85:
-        return 16, 4
+        return 8, 6  # p≈0.86 → 0.29/table → 0.87 recall, 256 buckets/table
     if threshold >= 0.7:
-        return 8, 6
+        return 6, 8
+    # Below ~0.6 sign-LSH cannot prune: collision probability for RANDOM
+    # pairs is (1/2)^L per table, so short-enough-to-recall signatures
+    # admit a large share of all pairs — candidates approach brute force.
+    # The operator stays correct (rerank is exact) but the scale path is
+    # the IVF variant; callers wanting loose thresholds should expect
+    # near-quadratic candidate volume.
     return 4, 8
 
 
@@ -108,37 +145,38 @@ def lsh_bucket_pairs(
     auto_planes, auto_tables = _planes_for_threshold(threshold)
     n_planes = n_planes or auto_planes
     n_tables = n_tables or auto_tables
-    sigs = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        sigs.append(
-            F.struct(F.lit(t).alias("table_idx"), lsh_signature(F.col("_v"), planes).alias("sig"))
-        )
-    base = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("_t", F.explode(F.array(*sigs)))
-        .select("_id", "_v", "_t.table_idx", "_t.sig")
-    )
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.table_idx") == F.col("r.table_idx"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("_va"),
-            F.col("r._v").alias("_vb"),
-        )
+    planes_per_table = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    # signatures for ALL tables in one Arrow matmul, exploded to
+    # (table_idx, sig) — the expression form (zip_with+aggregate per
+    # plane) runs interpreted and dominates runtime
+    # posexplode_outer: plain posexplode lets InferFiltersFromGenerate
+    # push a size()>0 filter below the scan that re-runs the signature
+    # UDF; _sigs is always n_tables long so outer ≡ inner
+    sig_udf = _lsh_sigs_udf(planes_per_table)
+    base = df.select(
+        F.col(id_col).alias("_id"), sig_udf(F.col(vec_col)).alias("_sigs")
+    ).select("_id", F.posexplode_outer("_sigs").alias("table_idx", "sig"))
+    # bucket-group + pairwise explode on IDS ONLY: one shuffle, signatures
+    # computed once, and the pairwise explode never copies the vectors
+    # (an m-row bucket materializes m²/2 payload pairs — at 64 doubles per
+    # vector that dominates; ids are 8 bytes). Vectors join back onto the
+    # deduped candidate set for the exact cosine rerank.
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import bucket_pairs
+
+    cand = (
+        bucket_pairs(base, ["table_idx", "sig"], F.struct(F.col("_id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"),
-        )
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_vec"))
+    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -160,33 +198,29 @@ def ivf_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
-def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
-    """argmin over squared L2 distance to each centroid — pure expressions,
-    assignment scans stay in whole-stage codegen."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(scored)["idx"]
+def _ivf_assign_udf(centroids: list[list[float]]):
+    """Vectorized nearest-centroid: argmin ||x-c||² = argmax (x·c - ½||c||²)
+    — one gemm per Arrow batch instead of n_centroids × dim interpreted
+    lambda evaluations per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    half_sq = 0.5 * (C * C).sum(axis=1)  # (k,)
+
+    def compute(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        scores = X @ C.T - half_sq
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    return pandas_udf(compute, IntegerType())
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], bucket_col: str = "ivf_bucket") -> DataFrame:
-    return df.withColumn(
-        bucket_col, _nearest_centroid_expr(F.col(vec_col).cast("array<double>"), centroids)
-    )
+    return df.withColumn(bucket_col, _ivf_assign_udf(centroids)(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -241,24 +275,28 @@ def lsh_ann_topk(
     is a cheap long XOR popcount — the scan prunes most rows before any
     cosine is computed), then exact rerank of the survivors."""
     dim = len(query_vec)
-    conds = []
-    sig_cols = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+    planes_per_table = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    qsigs = []
+    for planes in planes_per_table:
         qsig = 0
         for i, plane in enumerate(planes):
             dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
             if dot >= 0:
                 qsig |= 1 << i
-        col = lsh_signature(F.col("_v"), planes)
-        sig_cols.append(col.alias(f"_sig{t}"))
-        conds.append(
-            F.bit_count(F.col(f"_sig{t}").bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
-        )
+        qsigs.append(qsig)
+    sig_udf = _lsh_sigs_udf(planes_per_table)
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     base = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select("neighbor_id", "_v", *sig_cols)
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sig_udf(F.col(vec_col)).alias("_sigs"),
+    )
+    conds = [
+        F.bit_count(F.col("_sigs")[t].bitwiseXOR(F.lit(qsigs[t]).cast("long"))) <= max_hamming
+        for t in range(n_tables)
+    ]
     cond = conds[0]
     for c in conds[1:]:
         cond = cond | c

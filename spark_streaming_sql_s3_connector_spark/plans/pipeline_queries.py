@@ -128,11 +128,27 @@ ORDER BY id_a, id_b
 
 
 def _lsh_bucket_pairs_docs(spark, sf):
-    # approximate variant of embedding_pairs (recall < 1) — rows-only check
+    """LSH near-duplicate detection in its proper regime (cosine ≥ 0.9):
+    the synthetic embeddings have no natural near-dups, so the query
+    plants them — each vector unions with a deterministically jittered
+    copy (cosine ≈ 0.97 to its original) and LSH must recover the
+    original↔copy pairs. Below ~0.6 sign-LSH degenerates to brute force
+    (see _planes_for_threshold); the exact all-pairs baseline at 0.4 is
+    dedup_embedding_pairs. Rows-only check (recall < 1 by design);
+    recall is asserted in test_operators."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jittered = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(1.7 * i + F.col("vec_id"))),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(jittered)
     return (
-        lsh_bucket_pairs(
-            load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4, dim=64
-        )
+        lsh_bucket_pairs(corpus, "embedding", "vec_id", 0.9, dim=64)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
