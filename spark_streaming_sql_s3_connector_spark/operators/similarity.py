@@ -182,20 +182,50 @@ def lsh_bucket_pairs(
 
 
 def ivf_centroids(
-    df: DataFrame, vec_col: str, n_centroids: int = 16, seed: int = 42, sample_rows: int = 100_000
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    max_iter: int = 12,
 ) -> list[list[float]]:
-    """Coarse quantizer: KMeans centers fitted on (a sample of) the
-    vectors. Fit cost is bounded by ``sample_rows``; at 100 TB you fit on a
-    sample and assign the full corpus with expressions."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse quantizer: KMeans centers fitted on a BOUNDED sample,
+    driver-side in numpy (the faiss IVF training recipe). At 100 TB the
+    fit stays O(sample_rows × dim) — collect ≤100k vectors (~50 MB at
+    d=64), run seeded kmeans++ + Lloyd's as gemms, and let the
+    distributed ``ivf_assign`` handle the full corpus. Spark ML's KMeans
+    on the same sample costs ~20 driver-coordinated jobs (seconds of
+    per-iteration scheduling) for identical centers."""
+    import numpy as np
 
-    sample = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    sample = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     n = sample.count()
     if n > sample_rows:
         sample = sample.sample(fraction=sample_rows / n, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(sample)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    X = np.array([r._v for r in sample.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # kmeans++ init
+    centers = [X[rng.randint(len(X))]]
+    for _ in range(1, min(n_centroids, len(X))):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(X[rng.choice(len(X), p=probs)])
+    C = np.array(centers)
+    # Lloyd's: assignment via argmax(x·c - ½||c||²) gemm
+    for _ in range(max_iter):
+        assign = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        newC = np.array(
+            [
+                X[assign == k].mean(axis=0) if (assign == k).any() else C[k]
+                for k in range(len(C))
+            ]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
 
 
 def _ivf_assign_udf(centroids: list[list[float]]):
