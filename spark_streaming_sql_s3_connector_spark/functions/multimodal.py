@@ -95,9 +95,109 @@ def resize_images(df: DataFrame, payload_col: str = "payload", size: tuple[int, 
     raise NotImplementedError("real codec path not implemented yet")
 
 
-def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 30) -> DataFrame:
-    """Video frame sampling — stub (no video codec in this container)."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library (e.g. av/ffmpeg), "
-        "not installed in this environment"
-    )
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake audio codec (byte-length keyed) — replace with
+    soundfile/torchaudio when codec libs exist. (sample_rate, n_samples,
+    duration_ms)."""
+    n = len(payload)
+    sr = 8000 * (1 + n % 3)
+    n_samples = n * 2
+    return (sr, n_samples, n_samples * 1000 // sr)
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio metadata over binary payloads: same Arrow/mapInPandas shape as
+    decode_image_meta — the real-codec swap point is the inner function."""
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(AUDIO_META_SCHEMA.fields))
+    pass_names = [f.name for f in passthrough]
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode_audio(bytes(b)) for b in pdf[payload_col]]
+            out = pdf[pass_names].copy()
+            out["sample_rate"] = [d[0] for d in decoded]
+            out["n_samples"] = [d[1] for d in decoded]
+            out["duration_ms"] = [d[2] for d in decoded]
+            out["n_bytes"] = [len(bytes(b)) for b in pdf[payload_col]]
+            yield out
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+# video frame sampling: payload treated as fixed-size frame chunks by the
+# fake codec; the real codec (av/ffmpeg keyframe iteration) replaces
+# _fake_iter_frames only — row fan-out, schema, and batching are real
+_FAKE_FRAME_BYTES = 64
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_n_bytes", IntegerType()),
+    ]
+)
+
+
+def _fake_iter_frames(payload: bytes, every_n: int):
+    """Deterministic fake frame iterator: fixed 64-byte 'frames', sampled
+    every ``every_n``-th. Yields (frame_idx, byte_offset, frame_len)."""
+    n = len(payload)
+    n_frames = (n + _FAKE_FRAME_BYTES - 1) // _FAKE_FRAME_BYTES
+    for idx in range(0, n_frames, every_n):
+        off = idx * _FAKE_FRAME_BYTES
+        yield (idx, off, min(_FAKE_FRAME_BYTES, n - off))
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 30
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads: one output
+    row per sampled frame (row fan-out inside mapInPandas — Arrow batches
+    in and out, no explode of a materialized frame array, so a 2-hour
+    video never holds all frames in memory at once).
+
+    The codec step is the deterministic fake above; dropping in a real
+    codec (av/ffmpeg) replaces ``_fake_iter_frames`` with packet
+    iteration and adds a frame-bytes column — the Spark plumbing
+    (schema, partitioning, batch shape) is unchanged."""
+    try:
+        import av  # noqa: F401  # real codec path, absent in this container
+    except ImportError:
+        pass
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(FRAME_SCHEMA.fields))
+    pass_names = [f.name for f in passthrough]
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = bytes(rec[payload_col])
+                for idx, off, ln in _fake_iter_frames(payload, every_n):
+                    out_row = {k: rec[k] for k in pass_names}
+                    out_row["frame_idx"] = idx
+                    out_row["frame_offset"] = off
+                    out_row["frame_n_bytes"] = ln
+                    rows.append(out_row)
+            yield pd.DataFrame(rows, columns=pass_names + ["frame_idx", "frame_offset", "frame_n_bytes"])
+
+    return df.mapInPandas(sample, schema=out_schema)

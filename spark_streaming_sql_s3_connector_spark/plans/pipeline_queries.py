@@ -14,7 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+    decode_audio_meta,
     decode_image_meta,
+    sample_frames,
     with_binary_payload,
 )
 from spark_streaming_sql_s3_connector_spark.functions.text import (
@@ -381,6 +383,54 @@ ORDER BY doc_id
 """
 
 
+def _multimodal_audio_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    packed = with_binary_payload(docs.select("doc_id", "text"), "text")
+    decoded = decode_audio_meta(packed.select("doc_id", "payload"))
+    return decoded.select(
+        "doc_id", "sample_rate", "n_samples", "duration_ms", "n_bytes"
+    ).orderBy("doc_id")
+
+
+# fake audio codec is byte-length keyed → SQL-expressible oracle
+_MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id,
+       CAST(8000 * (1 + strlen(text) % 3) AS INTEGER) AS sample_rate,
+       CAST(strlen(text) * 2 AS BIGINT) AS n_samples,
+       CAST((strlen(text) * 2 * 1000) // (8000 * (1 + strlen(text) % 3)) AS BIGINT)
+         AS duration_ms,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _multimodal_frame_sample(spark, sf):
+    """Video-frame sampling plumbing: per-payload row fan-out through
+    mapInPandas (every 2nd fake 64-byte frame) — the oracle checks the
+    fan-out row set exactly."""
+    docs = load_table(spark, sf, "documents")
+    packed = with_binary_payload(docs.select("doc_id", "text"), "text")
+    sampled = sample_frames(packed.select("doc_id", "payload"), every_n=2)
+    return sampled.select(
+        "doc_id", "frame_idx", "frame_offset", "frame_n_bytes"
+    ).orderBy("doc_id", "frame_idx")
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH sized AS (
+  SELECT doc_id, strlen(text) AS n, (strlen(text) + 63) // 64 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 64 AS BIGINT) AS frame_offset,
+       CAST(LEAST(64, n - f * 64) AS INTEGER) AS frame_n_bytes
+FROM sized, unnest(range(0, n_frames::BIGINT, 2)) AS t(f)
+ORDER BY doc_id, frame_idx
+"""
+
+
 # ------------------------------------------------- connector batch read ----
 
 
@@ -435,4 +485,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
     "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
+    "multimodal_audio_stats": QuerySpec(_multimodal_audio_stats, _MULTIMODAL_AUDIO_SQL),
+    "multimodal_frame_sample": QuerySpec(_multimodal_frame_sample, _MULTIMODAL_FRAMES_SQL),
 }
