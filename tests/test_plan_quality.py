@@ -63,6 +63,59 @@ def test_text_ops_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, q
 
 
+def test_q6_all_predicates_reach_scan(spark):
+    # the pushdown-pure query: every predicate must appear as a
+    # PushedFilters entry, and only the 4 referenced columns are read
+    plan = formatted_plan(spark, "tpch_q6ish")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ["l_orderkey", "l_partkey", "l_returnflag", "l_tax"]:
+        assert col not in read
+
+
+def test_q14_dim_broadcast(spark):
+    plan = formatted_plan(spark, "tpch_q14ish")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_planned_for_exists(spark):
+    # correlated EXISTS compiles to a semi join, not an aggregate+join
+    plan = formatted_plan(spark, "tpch_q4ish")
+    assert "LeftSemi" in plan
+
+
+def test_window_partitions_on_key(spark):
+    # per-customer windows hash-partition on the key (distributable);
+    # a constant-partition window would serialize the whole table
+    plan = formatted_plan(spark, "window_top_orders")
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_lsh_candidates_single_udf_eval(spark):
+    # exactly one signature-UDF node in the candidate subtree (formatted
+    # explain mentions each node twice: tree + detail section). A plain
+    # posexplode would let InferFiltersFromGenerate clone the UDF into a
+    # pushed-down filter — 2 nodes / 4 mentions.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = lsh_bucket_pairs(emb, "embedding", "vec_id", 0.9, dim=64)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("ArrowEvalPython") == 2  # one node: tree + detail
+
+
 def test_streaming_source_prunes_nothing_extra(spark):
     # the Python data source scan reports its stable schema (no surprise
     # full-table reads through the connector batch reader)
