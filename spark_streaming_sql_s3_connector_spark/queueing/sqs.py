@@ -37,20 +37,28 @@ class SqsQueueClient(QueueClient):
         max_retries: int = 10,
         max_concurrency: int = 50,
         keep_message_for_consumer_error: bool = False,
+        sqs_client=None,
     ):
+        """``sqs_client`` injects a pre-built (or mock) client — the test
+        seam, mirroring the reference's mocked SqsAsyncClient suite
+        (AsyncSqsClientSuite.scala:39-884). Default: boto3 with adaptive
+        retry, the default-credentials chain covering the reference's
+        retrying provider (ConnectorAwsCredentialsProvider.scala:35-67)."""
         super().__init__()
-        try:
-            import boto3
-            from botocore.config import Config
-        except ImportError as e:  # pragma: no cover - boto3 absent in test env
-            raise ImportError(
-                "boto3 is required for queueType=SQS; use queueType=local for AWS-free runs"
-            ) from e
-        self._sqs = boto3.client(
-            "sqs",
-            region_name=region,
-            config=Config(retries={"max_attempts": max_retries, "mode": "adaptive"}),
-        )
+        if sqs_client is None:
+            try:
+                import boto3
+                from botocore.config import Config
+            except ImportError as e:  # pragma: no cover - boto3 absent in test env
+                raise ImportError(
+                    "boto3 is required for queueType=SQS; use queueType=local for AWS-free runs"
+                ) from e
+            sqs_client = boto3.client(
+                "sqs",
+                region_name=region,
+                config=Config(retries={"max_attempts": max_retries, "mode": "adaptive"}),
+            )
+        self._sqs = sqs_client
         self._queue_url = queue_url
         self._long_poll = long_poll_wait_seconds
         self._visibility_timeout = visibility_timeout_seconds
