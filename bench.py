@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_simhash_docs",
     "dedup_ngram_jaccard_docs",
     "dedup_embedding_pairs",
+    "dedup_embedding_lsh_pairs",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -59,8 +60,11 @@ BENCH_QUERIES = [
     "text_stats_docs",
     "text_fingerprint_docs",
     "lang_id_docs",
+    "quality_score_docs",
     "corpus_curation",
     "multimodal_image_stats",
+    "multimodal_audio_stats",
+    "multimodal_frame_sample",
 ]
 
 N_INGEST_FILES = 32

@@ -24,6 +24,7 @@ from spark_streaming_sql_s3_connector_spark.functions.text import (
     document_fingerprint,
     language_id,
     quality_metrics,
+    quality_score,
 )
 from spark_streaming_sql_s3_connector_spark.operators.dedup import (
     dedup_exact,
@@ -246,6 +247,41 @@ def _fingerprint_docs(spark, sf):
 _FINGERPRINT_SQL = r"""
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents
+ORDER BY doc_id
+"""
+
+
+def _quality_score_docs(spark, sf):
+    """Composite [0,1] quality heuristic; rounded to 6 dp on both sides so
+    the hash-compare is immune to double-expression association order."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("qscore")
+    ).orderBy("doc_id")
+
+
+_QUALITY_SCORE_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END)::DOUBLE
+           AS n_distinct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         LEAST(n_tokens / 20.0, 1.0) * 0.3
+         + (CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0 END) * 0.3
+         + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.2
+         + (CASE WHEN n_chars > 0
+                 THEN 1.0 - LEAST(n_punct / n_chars * 4, 1.0) ELSE 1.0 END) * 0.2,
+         6) AS qscore
+FROM m
 ORDER BY doc_id
 """
 
@@ -481,6 +517,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
     "lang_id_docs": QuerySpec(_lang_id_docs, _lang_id_oracle_sql()),
+    "quality_score_docs": QuerySpec(_quality_score_docs, _QUALITY_SCORE_SQL),
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
