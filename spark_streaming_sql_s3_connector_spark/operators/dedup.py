@@ -100,6 +100,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(df: DataFrame, text_col: str, id_col: str, score_col) -> DataFrame:
+    """Exact dedup keeping the BEST row per duplicate cluster (highest
+    ``score_col``, id as tie-break) instead of the smallest id — the shape
+    a curation pipeline wants when duplicates differ in quality metadata.
+    One window over the normalized-text partition; the partition key is
+    the dedup hash so state distributes like dedup_exact's groupBy."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(normalized_text(F.col(text_col))).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def word_shingles(col, k: int = 3):
     """Distinct word ``k``-grams as an array column (JVM expressions)."""
     toks = tokenize(col)

@@ -1,0 +1,69 @@
+"""Deterministic sampling & splits for training-data pipelines.
+
+Random sampling (``df.sample``) is not reproducible across engines,
+partitionings, or reruns — a training pipeline needs the SAME holdout
+every run. These operators derive membership from a salted md5 of the
+row's id: pure JVM expressions, stable under repartition/rerun/engine,
+and cheap (one hash per row, no shuffle).
+
+At 100 TB: membership is a scan-local filter — no shuffle, no state, and
+the filter composes with pushdown on everything else. Changing ``salt``
+rotates the sample without correlation to the previous one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000): first 8 md5 hex digits of
+    ``id || salt`` as an integer, mod 10000. Matches the DuckDB expression
+    ``CAST('0x' || substr(md5(id || salt), 1, 8) AS BIGINT) % 10000``."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — same rows every
+    run, any partitioning, any engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * _BUCKETS))
+    return df.where(_hash_bucket(F.col(id_col), salt) < cut)
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test' (hash split). The complement
+    property holds by construction: the same (id, salt) always lands in
+    the same split, and train ∪ test is exactly the input."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    cut = int(round(test_fraction * _BUCKETS))
+    return df.withColumn(
+        split_col,
+        F.when(_hash_bucket(F.col(id_col), salt) < cut, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    labeled = with_split(df, id_col, test_fraction, salt)
+    return (
+        labeled.where(F.col("split") == "train").drop("split"),
+        labeled.where(F.col("split") == "test").drop("split"),
+    )

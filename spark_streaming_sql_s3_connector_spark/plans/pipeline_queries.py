@@ -28,10 +28,15 @@ from spark_streaming_sql_s3_connector_spark.functions.text import (
 )
 from spark_streaming_sql_s3_connector_spark.operators.dedup import (
     dedup_exact,
+    dedup_keep_best,
     embedding_cosine_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+)
+from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+    deterministic_sample,
+    with_split,
 )
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     brute_force_topk,
@@ -127,6 +132,54 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def _dedup_keep_best_docs(spark, sf):
+    """Keep the highest-quality doc per exact-duplicate cluster."""
+    docs = load_table(spark, sf, "documents")
+    best = dedup_keep_best(
+        docs.withColumn("n_chars", F.length("text")), "text", "doc_id", "n_chars"
+    )
+    return best.select("doc_id").orderBy("doc_id")
+
+
+_DEDUP_KEEP_BEST_SQL = r"""
+SELECT doc_id
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+           ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def _sample_docs(spark, sf):
+    """Deterministic 10% sample + split labels: reproducible holdouts are
+    membership filters (hash of id), never rng — same rows every run on
+    any partitioning."""
+    docs = load_table(spark, sf, "documents")
+    sampled = deterministic_sample(docs, "doc_id", 0.10, salt="bench")
+    labeled = with_split(sampled, "doc_id", test_fraction=0.2, salt="split")
+    return labeled.select("doc_id", "split").orderBy("doc_id")
+
+
+_SAMPLE_DOCS_SQL = """
+WITH sampled AS (
+  SELECT doc_id
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bench'), 1, 8) AS BIGINT)
+        % 10000 < 1000
+)
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT)
+                 % 10000 < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM sampled
+ORDER BY doc_id
 """
 
 
@@ -506,6 +559,8 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "dedup_keep_best_docs": QuerySpec(_dedup_keep_best_docs, _DEDUP_KEEP_BEST_SQL),
+    "sample_docs": QuerySpec(_sample_docs, _SAMPLE_DOCS_SQL),
     "dedup_minhash_docs": QuerySpec(_minhash_pairs_docs, None),
     "dedup_simhash_docs": QuerySpec(_simhash_pairs_docs, None),
     "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, _NGRAM_JACCARD_SQL),
