@@ -520,6 +520,36 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def _sketch_events_profile(spark, sf):
+    """Single-pass approximate profile (HLL distinct users + GK value
+    quantiles) — the O(1)-memory form of what an exact profile would
+    shuffle the world for. Approx ⇒ rows-only check; error envelopes are
+    asserted against exact answers in test_sketches.py."""
+    from spark_streaming_sql_s3_connector_spark.functions.sketches import (
+        approx_quantiles,
+    )
+
+    ev = load_table(spark, sf, "events")
+    dq = approx_quantiles(ev, "value", (0.5, 0.95, 0.99))
+    dd = ev.agg(F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"))
+    return dd.crossJoin(dq)
+
+
+def _frequent_event_types(spark, sf):
+    from spark_streaming_sql_s3_connector_spark.functions.sketches import frequent_items
+
+    return frequent_items(load_table(spark, sf, "events"), "event_type", min_count=1)
+
+
+_FREQUENT_EVENT_TYPES_SQL = """
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) >= 1
+ORDER BY cnt DESC, event_type
+"""
+
+
 # ------------------------------------------------- connector batch read ----
 
 
@@ -573,6 +603,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
     "lang_id_docs": QuerySpec(_lang_id_docs, _lang_id_oracle_sql()),
     "quality_score_docs": QuerySpec(_quality_score_docs, _QUALITY_SCORE_SQL),
+    "sketch_events_profile": QuerySpec(_sketch_events_profile, None),
+    "frequent_event_types": QuerySpec(_frequent_event_types, _FREQUENT_EVENT_TYPES_SQL),
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
