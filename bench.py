@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "set_ops_customers",
     "ntile_deciles",
     "events_sliding_30m",
+    "funnel_conversion",
     "events_by_type_hour",
     "semi_anti_join",
     "dedup_exact_docs",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "sessionize_batch",
     "connector_batch_read",
     "text_stats_docs",
+    "top_bigrams_docs",
     "text_fingerprint_docs",
     "lang_id_docs",
     "quality_score_docs",

@@ -403,6 +403,101 @@ ORDER BY window_start, event_type
 """
 
 
+def _funnel_conversion(spark, sf):
+    """Ordered funnel over event time: users who viewed, then clicked
+    after the first view, then purchased after that click. Each stage is
+    a groupBy + join on user_id — all equi-joins on the user key, the
+    same partitioning reused stage to stage."""
+    ev = load_table(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        views.agg(F.count("*").alias("n_view"))
+        .crossJoin(clicks.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(purchases.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+def _top_bigrams(spark, sf):
+    """Corpus-wide bigram frequencies: explode word 2-grams, count, top 50
+    — one shuffle on the bigram key (partial agg combines map-side)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        F.explode_outer(
+            F.when(
+                F.size(tokenize(F.col("text"))) >= 2,
+                word_shingles(F.col("text"), 2),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    ).where(F.col("bigram").isNotNull())
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(50)
+    )
+
+
+_TOP_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN list_distinct([array_to_string(t[i:i+1], ' ')
+                                         for i in generate_series(1, len(t)-1)])
+                     ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM grams
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 50
+"""
+
+
 RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "tpch_q4ish": QuerySpec(_tpch_q4ish, _TPCH_Q4ISH_SQL),
     "tpch_q6ish": QuerySpec(_tpch_q6ish, _TPCH_Q6ISH_SQL),
@@ -417,4 +512,6 @@ RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "lag_increases_events": QuerySpec(_lag_increases_events, _LAG_INCREASES_EVENTS_SQL),
     "pivot_status_priority": QuerySpec(_pivot_status_priority, _PIVOT_STATUS_PRIORITY_SQL),
     "events_sliding_30m": QuerySpec(_events_sliding_30m, _EVENTS_SLIDING_30M_SQL),
+    "funnel_conversion": QuerySpec(_funnel_conversion, _FUNNEL_SQL),
+    "top_bigrams_docs": QuerySpec(_top_bigrams, _TOP_BIGRAMS_SQL),
 }
