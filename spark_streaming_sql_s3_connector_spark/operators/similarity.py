@@ -26,6 +26,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cosine_sim_batch():
+    """Arrow-batched pairwise cosine of two vector columns: one einsum
+    per batch instead of 3·dim interpreted lambda evaluations per row —
+    use for bulk reranks (candidate pairs); keep the expression form
+    below where oracle bit-parity matters."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def compute(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        if A.size == 0:
+            return pd.Series([], dtype="float64")
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = na * nb
+        out = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+        return pd.Series(out)
+
+    return pandas_udf(compute, DoubleType())
+
+
 def cosine_sim(a, b):
     """Cosine similarity of two array<double> columns, all JVM expressions.
 
@@ -173,12 +197,40 @@ def lsh_bucket_pairs(
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_vec"))
     va = vecs.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("_va"))
     vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("_vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    # rerank fused into ONE mapInPandas pass (einsum + threshold filter):
+    # a `.where(udf >= t)` would split into Filter + re-projection and
+    # evaluate the cosine UDF twice per candidate
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.join(va, "id_a").join(vb, "id_b").mapInPandas(rerank, out_schema)
 
 
 def ivf_centroids(

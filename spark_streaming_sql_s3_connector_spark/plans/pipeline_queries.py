@@ -11,6 +11,8 @@ against pure-Python reimplementations.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
@@ -192,15 +194,26 @@ def _lsh_bucket_pairs_docs(spark, sf):
     (see _planes_for_threshold); the exact all-pairs baseline at 0.4 is
     dedup_embedding_pairs. Rows-only check (recall < 1 by design);
     recall is asserted in test_operators."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def jitter(vec: pd.Series, vid: pd.Series) -> pd.Series:
+        # numpy jitter: the expression-transform form (64 sin lambdas per
+        # row) runs interpreted and is recomputed on every plan reference
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        i = np.arange(X.shape[1], dtype=np.float64)
+        out = X * (1.0 + 0.3 * np.sin(1.7 * i[None, :] + vid.to_numpy()[:, None]))
+        return pd.Series(list(out))
+
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     jittered = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x * (1.0 + 0.3 * F.sin(1.7 * i + F.col("vec_id"))),
-        ).alias("embedding"),
+        jitter(F.col("embedding"), F.col("vec_id")).alias("embedding"),
     )
     corpus = emb.unionByName(jittered)
     return (

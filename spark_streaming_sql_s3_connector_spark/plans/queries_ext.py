@@ -13,6 +13,8 @@ never on a constant.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.plans.io import load_table
@@ -457,19 +459,27 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 
 def _top_bigrams(spark, sf):
     """Corpus-wide bigram frequencies: explode word 2-grams, count, top 50
-    — one shuffle on the bigram key (partial agg combines map-side)."""
-    from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
-    from spark_streaming_sql_s3_connector_spark.operators.dedup import word_shingles
+    — one shuffle on the bigram key (partial agg combines map-side).
+    Shingling is Arrow-batched (the expression transform/slice form runs
+    interpreted and dominates at corpus scale)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bigrams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            out.append(
+                list({" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)})
+                if len(toks) >= 2
+                else []
+            )
+        return pd.Series(out)
 
     docs = load_table(spark, sf, "documents")
-    grams = docs.select(
-        F.explode_outer(
-            F.when(
-                F.size(tokenize(F.col("text"))) >= 2,
-                word_shingles(F.col("text"), 2),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram")
-    ).where(F.col("bigram").isNotNull())
+    grams = docs.select(F.explode_outer(bigrams(F.col("text"))).alias("bigram")).where(
+        F.col("bigram").isNotNull()
+    )
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("cnt"))

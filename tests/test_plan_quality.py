@@ -108,12 +108,19 @@ def test_lsh_candidates_single_udf_eval(spark):
     )
     from spark_streaming_sql_s3_connector_spark.plans.io import load_table
 
+    import re
+
     emb = load_table(spark, SF, "embeddings")
     df = lsh_bucket_pairs(emb, "embedding", "vec_id", 0.9, dim=64)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert plan.count("ArrowEvalPython") == 2  # one node: tree + detail
+    # exactly one signature-UDF node (a duplicated eval via
+    # InferFiltersFromGenerate pushdown would show a second) plus the
+    # fused rerank MapInPandas (compute+filter in one pass — a
+    # .where(udf>=t) would split into Filter + re-projection)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
 
 
 def test_streaming_source_prunes_nothing_extra(spark):
