@@ -463,6 +463,31 @@ def simhash_near_dup_pairs(
     )
 
 
+def _shingles_udf(shingle_k: int):
+    """Arrow-batched distinct word-k-gram extraction — same semantics as
+    the ``word_shingles`` expression form (trim, whitespace split,
+    distinct k-grams; <k tokens → the whole text as one shingle), but
+    vectorized instead of interpreted transform/slice lambdas."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    def compute(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if len(toks) >= shingle_k:
+                out.append(
+                    list({" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)})
+                )
+            elif toks:
+                out.append([" ".join(toks)])
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return pandas_udf(compute, ArrayType(StringType()))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -470,15 +495,21 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: Optional[int] = 1000,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Inverted-index n-gram Jaccard join: explode shingles, count overlap
     per (id_a, id_b), derive Jaccard from |A|,|B|,|A∩B|. ``max_shingle_df``
     drops stop-shingles (document frequency cap) — THE skew guard at scale:
     a shingle shared by 10^6 docs would otherwise explode the join."""
+    shingle_expr = (
+        _shingles_udf(shingle_k)(F.col(text_col))
+        if use_arrow
+        else word_shingles(F.col(text_col), shingle_k)
+    )
     sh = _spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+        F.explode_outer(shingle_expr).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     sizes = sh.groupBy("_id").agg(F.count("*").alias("set_size"))
     # bucket by shingle and explode id pairs: one shuffle instead of a
     # two-sided self-join; the df cap below doubles as the bucket-size
