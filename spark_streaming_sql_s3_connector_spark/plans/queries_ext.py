@@ -508,6 +508,81 @@ LIMIT 50
 """
 
 
+def _rolling_7d_events(spark, sf):
+    # ROWS-frame rolling aggregate over a pre-aggregated daily series:
+    # the window input is one row per day, so frame evaluation is O(days)
+    # regardless of raw event volume
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("rolling_7d", F.sum("cnt").over(w))
+        .select("day", "cnt", "rolling_7d")
+        .orderBy("day")
+    )
+
+
+_ROLLING_7D_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1
+)
+SELECT day, cnt,
+       SUM(cnt) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS rolling_7d
+FROM daily
+ORDER BY day
+"""
+
+
+def _corr_scalar_subquery(spark, sf):
+    # correlated scalar subquery — Catalyst decorrelates it into an
+    # aggregate + left join; count customers whose balance exceeds their
+    # own average order price
+    load_table(spark, sf, "customer").createOrReplaceTempView("css_customer")
+    load_table(spark, sf, "orders").createOrReplaceTempView("css_orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS cnt
+        FROM css_customer
+        WHERE c_acctbal > (
+          SELECT AVG(o_totalprice) FROM css_orders WHERE o_custkey = c_custkey)
+        """
+    )
+
+
+_CORR_SCALAR_SQL = """
+SELECT COUNT(*) AS cnt
+FROM customer
+WHERE c_acctbal > (
+  SELECT AVG(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _except_all_lineitems(spark, sf):
+    # multiset EXCEPT ALL: per-row bag difference (exceptAll keeps
+    # duplicate multiplicity, unlike EXCEPT/subtract)
+    li = load_table(spark, sf, "lineitem")
+    a = li.where(F.col("l_quantity") > 10).select("l_orderkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b).groupBy("l_orderkey").agg(F.count("*").alias("cnt")).orderBy(
+        "l_orderkey"
+    ).limit(500)
+
+
+_EXCEPT_ALL_SQL = """
+SELECT l_orderkey, COUNT(*) AS cnt
+FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+  EXCEPT ALL
+  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+LIMIT 500
+"""
+
+
 RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "tpch_q4ish": QuerySpec(_tpch_q4ish, _TPCH_Q4ISH_SQL),
     "tpch_q6ish": QuerySpec(_tpch_q6ish, _TPCH_Q6ISH_SQL),
@@ -524,4 +599,7 @@ RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "events_sliding_30m": QuerySpec(_events_sliding_30m, _EVENTS_SLIDING_30M_SQL),
     "funnel_conversion": QuerySpec(_funnel_conversion, _FUNNEL_SQL),
     "top_bigrams_docs": QuerySpec(_top_bigrams, _TOP_BIGRAMS_SQL),
+    "rolling_7d_events": QuerySpec(_rolling_7d_events, _ROLLING_7D_SQL),
+    "corr_scalar_subquery": QuerySpec(_corr_scalar_subquery, _CORR_SCALAR_SQL),
+    "except_all_lineitems": QuerySpec(_except_all_lineitems, _EXCEPT_ALL_SQL),
 }
