@@ -211,10 +211,14 @@ def read_file_to_table(
     if fmt == "json":
         import pyarrow.json as pj
 
+        # an empty file is zero rows, not malformed data — Spark's JSON
+        # reader does the same in any mode
+        if os.path.getsize(local) == 0:
+            return target.empty_table()
         try:
             raw = pj.read_json(local)
-        except pa.ArrowInvalid:
-            if drop_malformed:
+        except pa.ArrowInvalid as e:
+            if drop_malformed or "Empty JSON file" in str(e):
                 return target.empty_table()
             raise
         return _project_to_schema(raw, target, True, drop_malformed, partition_values)

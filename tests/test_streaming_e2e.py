@@ -261,3 +261,33 @@ def test_glob_filter_stream(spark, tmp_path, queue):
         assert spark.sql("SELECT COUNT(*) c FROM e2e_glob").collect()[0].c == 3
     finally:
         q.stop()
+
+
+def test_json_stream_ingest(spark, tmp_path, queue):
+    """JSON format through the real stream path (reference scenario at
+    S3ConnectorSourceItSuite.scala:388-413), including an EMPTY file —
+    which must contribute zero rows, not an error."""
+    register(spark)
+    import json as _json
+
+    f1 = str(tmp_path / "a.json")
+    with open(f1, "w") as f:
+        for s, b, i in BASIC_ROWS:
+            f.write(_json.dumps({"testString": s, "testBoolean": b, "testInt": i}) + "\n")
+    f2 = str(tmp_path / "empty.json")
+    open(f2, "w").close()
+    queue.send_file_event(f1, int(time.time() * 1000))
+    queue.send_file_event(f2, int(time.time() * 1000))
+
+    q = start_stream(
+        spark, tmp_path, BASIC_SCHEMA, base_options(tmp_path, fmt="json"), "json_e2e"
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.testString, r.testBoolean, r.testInt)
+            for r in spark.sql("SELECT * FROM json_e2e").collect()
+        )
+        assert got == sorted(BASIC_ROWS)
+    finally:
+        q.stop()
