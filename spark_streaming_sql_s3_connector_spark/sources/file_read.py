@@ -226,6 +226,9 @@ def read_file_to_table(
     if fmt == "csv":
         import pyarrow.csv as pcsv
 
+        # empty file = zero rows in any mode (Spark CSV semantics)
+        if os.path.getsize(local) == 0:
+            return target.empty_table()
         header = str(options.get("header", "false")).lower() == "true"
         sep = options.get("sep", options.get("delimiter", ","))
         read_opts = pcsv.ReadOptions(autogenerate_column_names=not header)

@@ -124,3 +124,28 @@ def test_missing_file_skipped():
     batches = list(iter_record_batches([("/nope/missing.csv", 0)], "csv", BASIC, {}, [], None))
     # one zero-row batch keeps the schema stable
     assert len(batches) == 1 and batches[0].num_rows == 0
+
+
+def test_empty_files_yield_zero_rows():
+    """Empty csv/json files are zero rows in any mode, mirroring Spark's
+    readers — an executor task must never fail on a zero-byte object."""
+    import tempfile
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+        arrow_schema_for,
+        iter_record_batches,
+    )
+
+    schema = StructType([StructField("a", StringType()), StructField("b", IntegerType())])
+    target = arrow_schema_for(schema)
+    for fmt in ("csv", "json"):
+        with tempfile.NamedTemporaryFile(suffix=f".{fmt}") as f:
+            n = sum(
+                b.num_rows
+                for b in iter_record_batches(
+                    [(f.name, 0)], fmt, schema, {}, [], None, arrow_schema=target
+                )
+            )
+            assert n == 0, fmt
