@@ -226,5 +226,13 @@ class S3ConnectorBatchReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Register the data source on a SparkSession."""
-    spark.dataSource.register(S3ConnectorDataSource)
+    """Register the data source on a SparkSession (idempotent — a second
+    call on the same session, or a session sharing the catalog, no-ops
+    instead of raising DATA_SOURCE_ALREADY_EXISTS)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.dataSource.register(S3ConnectorDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

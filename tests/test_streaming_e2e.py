@@ -291,3 +291,73 @@ def test_json_stream_ingest(spark, tmp_path, queue):
         assert got == sorted(BASIC_ROWS)
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_new_process(spark, tmp_path, queue):
+    """Restore in a brand-new DRIVER PROCESS (the reference restarts with
+    a new SparkSession, S3ConnectorSourceItSuite.scala:640-724; PySpark's
+    Python-data-source registry is per-process, so the honest equivalent
+    is a fresh interpreter+JVM): only the on-disk metadata log and sink
+    checkpoint carry over — the new process must resume the offset and
+    keep screening already-ingested files."""
+    register(spark)
+    out_dir = str(tmp_path / "out2")
+
+    reader = spark.readStream.format("s3-connector").schema(BASIC_SCHEMA)
+    for k, v in base_options(tmp_path).items():
+        reader = reader.option(k, v)
+    f1 = str(tmp_path / "n1.csv")
+    write_basic_csv(f1)
+    queue.send_file_event(f1, int(time.time() * 1000))
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out_dir).count() == 3
+
+    f2 = str(tmp_path / "n2.csv")
+    write_basic_csv(f2)
+    queue.send_file_event(f2, int(time.time() * 1000))
+    queue.send_file_event(f1, int(time.time() * 1000))  # duplicate
+
+    import subprocess
+    import sys as _sys
+
+    script = f"""
+import os, sys
+sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+os.environ["PYTHONPATH"] = {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+from pyspark.sql.types import BooleanType, IntegerType, StringType, StructField, StructType
+from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+register(spark)
+schema = StructType([StructField("testString", StringType()),
+                     StructField("testBoolean", BooleanType()),
+                     StructField("testInt", IntegerType())])
+reader = spark.readStream.format("s3-connector").schema(schema)
+for k, v in {base_options(tmp_path)!r}.items():
+    reader = reader.option(k, v)
+q = (reader.load().writeStream.format("parquet")
+     .option("path", {out_dir!r})
+     .option("checkpointLocation", {str(tmp_path / "ckpt2")!r}).start())
+q.processAllAvailable()
+q.stop()
+n = spark.read.parquet({out_dir!r}).count()
+spark.stop()
+print("ROWS=" + str(n))
+assert n == 6, n
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ROWS=6" in proc.stdout
