@@ -72,6 +72,8 @@ class AdmissionController:
         self.validator = FileValidator(self.file_cache, self.metadata_log, options.path_glob_filter)
         self.queue_client = queue_client if queue_client is not None else create_queue_client(options)
         self._lock = threading.RLock()
+        self._fetch_thread: Optional[threading.Thread] = None
+        self._closed = False
         self.file_cache.purge()
         if options.reprocess_state != ReprocessState.NO_REPROCESS:
             self._handle_reprocessing(options.reprocess_start_batch_id, options.reprocess_end_batch_id)
@@ -137,15 +139,41 @@ class AdmissionController:
 
     # ---------- offsets ----------
 
+    def _kick_async_fetch(self) -> threading.Thread:
+        """Start (or reuse) the background queue drain — the reference's
+        asyncFetch (S3ConnectorSource.scala:197-199, AsyncSqsClientImpl.
+        scala:61-155): the fetch may outlive the trigger window and keep
+        filling the cache; the next trigger reaps whatever accumulated."""
+        t = self._fetch_thread
+        if t is not None and t.is_alive():
+            return t
+
+        def run():
+            try:
+                self.queue_client.fetch(
+                    self.consumer,
+                    self.options.queue_fetch_wait_timeout_seconds,
+                    self.options.max_files_per_trigger,
+                )
+            except Exception:
+                if not self._closed:  # shutdown races are expected noise
+                    raise
+
+        t = threading.Thread(target=run, daemon=True, name="s3conn-async-fetch")
+        t.start()
+        self._fetch_thread = t
+        return t
+
     def fetch_max_offset(self) -> int:
         """One trigger's admission step; returns the (possibly unchanged)
         current offset. -1 means no batch yet."""
         with self._lock:
             if self.options.reprocess_state == ReprocessState.NO_REPROCESS:
-                self.queue_client.fetch(
-                    self.consumer,
-                    self.options.queue_fetch_wait_timeout_seconds,
-                    self.options.max_files_per_trigger,
+                # wait up to the trigger's fetch budget, then cut the batch
+                # from whatever is already admitted — a still-running fetch
+                # continues in the background for the next trigger
+                self._kick_async_fetch().join(
+                    timeout=self.options.queue_fetch_wait_timeout_seconds
                 )
             batch_files = self.file_cache.get_unprocessed_files(self.options.max_files_per_trigger)
             if batch_files:
@@ -186,6 +214,10 @@ class AdmissionController:
         self.file_cache.purge()
 
     def close(self) -> None:
+        self._closed = True
+        t = self._fetch_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=2.0)  # bounded drain, mirroring Utils.scala:43-65
         try:
             self.queue_client.close()
         finally:

@@ -222,3 +222,57 @@ def test_visibility_redelivery(tmp_path):
     # visibility 0 ⇒ immediately redeliverable
     claimed2 = q._receive(10)
     assert len(claimed2) == 1
+
+
+def test_async_prefetch_across_triggers(tmp_path):
+    """A fetch slower than the trigger budget keeps running in the
+    background; the slow file is reaped by a LATER trigger (the
+    reference's asyncFetch contract, S3ConnectorSource.scala:197-199)."""
+    import threading
+    import time as _time
+
+    from spark_streaming_sql_s3_connector_spark.queueing.base import QueueClient
+
+    class SlowQueue(QueueClient):
+        def __init__(self):
+            super().__init__()
+            self.started = threading.Event()
+
+        def fetch(self, consumer, wait_timeout_seconds, max_files):
+            self.started.set()
+            _time.sleep(1.0)  # slower than the 0.2 s trigger budget
+            consumer(FileMetadata("/data/slow.csv", 1000, None))
+            return 1
+
+        def delete_messages(self, receipt_handles):
+            return len(receipt_handles)
+
+        def set_message_visibility(self, receipt_handle, visibility_timeout_seconds):
+            pass
+
+        def close(self):
+            pass
+
+    o = S3ConnectorSourceOptions.parse(
+        {
+            "spark.s3conn.queueUrl": "stub://q",
+            "spark.s3conn.queueType": "local",
+            "spark.s3conn.fileFormat": "csv",
+            "spark.s3conn.queueFetchWaitTimeoutSeconds": "1",
+        }
+    )
+    # shrink the trigger budget below the fetch duration
+    object.__setattr__(o, "queue_fetch_wait_timeout_seconds", 0.2)
+    ac = AdmissionController(o, str(tmp_path / "meta"), queue_client=SlowQueue())
+    try:
+        t0 = _time.time()
+        off1 = ac.fetch_max_offset()
+        assert _time.time() - t0 < 0.9  # returned before the fetch finished
+        assert off1 == -1  # nothing admitted yet
+        ac.queue_client.started.wait(2)
+        _time.sleep(1.2)  # let the background fetch admit the file
+        off2 = ac.fetch_max_offset()
+        assert off2 == 0
+        assert [e.path for e in ac.get_batch_files(-1, 0)] == ["/data/slow.csv"]
+    finally:
+        ac.close()
