@@ -208,6 +208,15 @@ def read_file_to_table(
             raw = pf.read(columns=present)
         return _project_to_schema(raw, target, True, drop_malformed, partition_values)
 
+    if fmt == "orc":
+        import pyarrow.orc as po
+
+        wanted = [f.name for f in target if f.name not in partition_values]
+        of = po.ORCFile(local)
+        present = [c for c in wanted if c in of.schema.names]
+        raw = of.read(columns=present)
+        return _project_to_schema(raw, target, True, drop_malformed, partition_values)
+
     if fmt == "json":
         import pyarrow.json as pj
 

@@ -361,3 +361,32 @@ assert n == 6, n
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ROWS=6" in proc.stdout
+
+
+def test_orc_stream_ingest(spark, tmp_path, queue):
+    """ORC through the real stream path — the reference passes any
+    DataSource format string through (S3ConnectorSourceOptions.scala:
+    99-100); our Arrow reader covers orc alongside csv/json/parquet."""
+    register(spark)
+    src = spark.createDataFrame(BASIC_ROWS, BASIC_SCHEMA)
+    orc_dir = str(tmp_path / "orcdata")
+    src.coalesce(1).write.orc(orc_dir)
+    files = [
+        os.path.join(orc_dir, f) for f in os.listdir(orc_dir) if f.endswith(".orc")
+    ]
+    assert files
+    for f in files:
+        queue.send_file_event(f, int(time.time() * 1000))
+
+    q = start_stream(
+        spark, tmp_path, BASIC_SCHEMA, base_options(tmp_path, fmt="orc"), "orc_e2e"
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.testString, r.testBoolean, r.testInt)
+            for r in spark.sql("SELECT * FROM orc_e2e").collect()
+        )
+        assert got == sorted(BASIC_ROWS)
+    finally:
+        q.stop()
