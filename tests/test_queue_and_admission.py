@@ -276,3 +276,35 @@ def test_async_prefetch_across_triggers(tmp_path):
         assert [e.path for e in ac.get_batch_files(-1, 0)] == ["/data/slow.csv"]
     finally:
         ac.close()
+
+
+def test_concurrent_duplicate_delivery_admits_once(tmp_path):
+    """SURVEY §7.4 hard-part #1: N threads delivering the SAME file
+    concurrently — exactly one admission wins the cache CAS; losers are
+    retried (visibility), never deleted; the file is logged exactly once."""
+    import threading
+
+    o = opts(tmp_path)
+    ac = AdmissionController(o, str(tmp_path / "meta"))
+    results = []
+    barrier = threading.Barrier(8)
+
+    def deliver():
+        barrier.wait()
+        meta = FileMetadata("/data/hot.csv", 1000, None)
+        results.append(ac.consumer(meta))
+
+    threads = [threading.Thread(target=deliver) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results) == 1  # exactly one True
+    off = ac.fetch_max_offset()
+    assert off == 0
+    entries = ac.get_batch_files(-1, 0)
+    assert len(entries) == 1
+    # redelivery after logging is screened by the log (not the cache)
+    ac.file_cache.purge()
+    assert ac.consumer(FileMetadata("/data/hot.csv", 1000, None)) is False
+    ac.close()
