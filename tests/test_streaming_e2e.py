@@ -106,7 +106,10 @@ def test_csv_header_and_custom_sep(spark, tmp_path, queue):
 def test_partition_columns(spark, tmp_path, queue):
     register(spark)
     base = tmp_path / "data"
-    schema = BASIC_SCHEMA.add("testPart1", StringType()).add("testPart2", IntegerType())
+    # StructType.add mutates in place - copy so the shared schema stays 3 fields
+    schema = StructType(list(BASIC_SCHEMA.fields)).add("testPart1", StringType()).add(
+        "testPart2", IntegerType()
+    )
     rows = {("p1", 1): BASIC_ROWS[:2], ("p1", 2): BASIC_ROWS[2:], ("p2", 1): BASIC_ROWS[:1]}
     for (p1, p2), rs in rows.items():
         d = base / f"testPart1={p1}" / f"testPart2={p2}"
