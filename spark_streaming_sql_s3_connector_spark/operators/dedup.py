@@ -538,6 +538,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components of the undirected pair graph, as pure DataFrame joins.
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round replaces a node's label with the min over itself and its
+    neighbors' labels; converge when no label changes. One shuffle per
+    round (the groupBy on the neighbor side), O(graph diameter) rounds.
+
+    Near-dup clusters from any candidate generator above are dense —
+    every member pairs with most others, so the diameter is ~2 and this
+    converges in 2–3 rounds regardless of corpus size; each round moves
+    only (id, label) longs. For adversarial long-chain graphs the
+    round count grows with the diameter (the large-star/small-star
+    alternation of Kiveris et al. bounds it at O(log n) rounds); dedup
+    workloads never look like that, so the simpler loop wins. Lineage is
+    truncated with an eager localCheckpoint every round — without it the
+    plan doubles per iteration and Catalyst analysis time explodes.
+
+    Returns (id, component) where component = min id in the component;
+    only ids that appear in at least one pair are returned (singletons
+    are their own trivial component — join back if needed).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["u"] == labels["id"])
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("component").alias("_old")), "id"
+            )
+            .where(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def assign_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach a ``canonical_id`` column mapping every row to its duplicate
+    cluster's representative (min id in the connected component); rows in
+    no pair are their own representative. The component map is the pair
+    graph's node set — tiny relative to the corpus — so the join back is
+    broadcast-friendly and Spark's AQE picks that up on its own."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .drop("id")
+        .withColumn("canonical_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str,

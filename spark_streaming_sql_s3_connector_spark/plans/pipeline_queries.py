@@ -29,6 +29,7 @@ from spark_streaming_sql_s3_connector_spark.functions.text import (
     quality_score,
 )
 from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     dedup_keep_best,
     embedding_cosine_pairs,
@@ -134,6 +135,43 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def _dedup_cluster_docs(spark, sf):
+    """Duplicate-CLUSTER resolution: exact cosine pairs → connected
+    components → per-cluster stats. The pair graph at threshold 0.4 is the
+    oracle-checked ``dedup_embedding_pairs`` edge set; components resolve
+    via min-label propagation (one narrow (id, label) shuffle per round)."""
+    pairs = embedding_cosine_pairs(
+        load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"), F.max("id").alias("max_id"))
+        .orderBy("component")
+    )
+
+
+# transitive closure of the same edge set via recursive CTE; component =
+# min reachable id, matching the Spark side's min-label fixpoint
+_DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE und AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+), reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+)
+SELECT component, COUNT(*) AS n_members, MAX(u) AS max_id
+FROM (SELECT u, MIN(lbl) AS component FROM reach GROUP BY u) c
+GROUP BY component
+ORDER BY component
 """
 
 
@@ -608,6 +646,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_docs": QuerySpec(_simhash_pairs_docs, None),
     "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, _NGRAM_JACCARD_SQL),
     "dedup_embedding_pairs": QuerySpec(_embedding_pairs_docs, _EMBEDDING_PAIRS_SQL),
+    "dedup_cluster_docs": QuerySpec(_dedup_cluster_docs, _DEDUP_CLUSTER_SQL),
     "dedup_embedding_lsh_pairs": QuerySpec(_lsh_bucket_pairs_docs, None),
     "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
     "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None),

@@ -236,3 +236,62 @@ def test_multimodal_plumbing(spark):
     assert rows[0].width == 3 % 64 + 1 and rows[0].n_bytes == 3
     assert rows[1].width == 100 % 64 + 1 and rows[1].height == 100 % 48 + 1
     assert rows[0].format == "fake"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)})
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    in_graph = {v for e in edges for v in e}
+    expected = {v: min(u for u in in_graph if find(u) == find(v)) for v in in_graph}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+def test_assign_canonical(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import assign_canonical
+
+    df = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    got = {r.doc_id: r.canonical_id for r in assign_canonical(df, pairs, "doc_id").collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
