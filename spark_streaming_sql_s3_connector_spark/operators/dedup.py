@@ -574,10 +574,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # seed = round one fused: with labels initialized to ids, the first
+    # round's neighbor-min is just min(neighbor id) — computable straight
+    # from the edge set, saving a full join+checkpoint round. Every node
+    # appears on the v side of the symmetric closure, so none are lost.
     labels = (
-        und.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        und.groupBy(F.col("v").alias("id"))
+        .agg(F.min("u").alias("_nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("_nbr_min")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
