@@ -461,7 +461,7 @@ WITH enriched AS (
   FROM documents
   GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
 )
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM enriched
 JOIN keepers USING (doc_id)
 WHERE n_tokens >= 10 AND n_distinct_tokens * 4 >= n_tokens
@@ -487,8 +487,8 @@ WITH flagged AS (
   FROM events
 ), sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sid
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )
 SELECT user_id,

@@ -31,7 +31,12 @@ def norm(v):
             return ("f", "nan")
         return ("f", round(v, 9))
     if hasattr(v, "isoformat"):
-        return ("t", v.isoformat().replace("+00:00", ""))
+        iso = v.isoformat().replace("+00:00", "")
+        # DuckDB DATE materializes as datetime64 midnight via fetchdf();
+        # Spark hands back datetime.date — align the two spellings.
+        if iso.endswith("T00:00:00"):
+            iso = iso[:-9]
+        return ("t", iso)
     return v
 
 
@@ -41,9 +46,16 @@ def compare(name, spark_df, con) -> tuple[bool, str]:
     spark_cols = spark_df.columns
     if sql is None:
         return True, f"rows-only ({len(spark_rows)} rows)"
-    oracle = con.execute(sql)
-    o_cols = [d[0] for d in oracle.description]
-    o_rows = oracle.fetchall()
+    # Materialize through pandas exactly like the driver's gate does:
+    # fetchdf() turns DuckDB HUGEINT (e.g. SUM over integers) into float64,
+    # so an un-CAST integer-sum oracle hashes 123.0 against Spark's 123 and
+    # fails — fetchall() (HUGEINT -> Python int) would hide that divergence.
+    odf = con.execute(sql).fetchdf()
+    o_cols = list(odf.columns)
+    o_rows = [
+        tuple(x.item() if hasattr(x, "item") else x for x in row)
+        for row in odf.itertuples(index=False, name=None)
+    ]
     if sorted(spark_cols) != sorted(o_cols):
         return False, f"column mismatch: spark {sorted(spark_cols)} vs oracle {sorted(o_cols)}"
     if len(spark_rows) != len(o_rows):
