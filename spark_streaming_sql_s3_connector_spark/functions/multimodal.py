@@ -21,6 +21,8 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from spark_streaming_sql_s3_connector_spark.partitioning import spread_for_compute
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -64,9 +66,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     # spread small inputs so decode parallelizes (real corpora arrive
     # many-partitioned; a single-file sample would pin decode to one core)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = spread_for_compute(df)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,9 +122,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     out_schema = StructType(passthrough + list(AUDIO_META_SCHEMA.fields))
     pass_names = [f.name for f in passthrough]
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = spread_for_compute(df)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,9 +181,7 @@ def sample_frames(
     out_schema = StructType(passthrough + list(FRAME_SCHEMA.fields))
     pass_names = [f.name for f in passthrough]
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = spread_for_compute(df)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -33,15 +33,12 @@ from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism before heavy
-    per-row compute. Small inputs (one parquet file → one partition) would
-    otherwise pin expression-heavy ops (64-seed MinHash, 64-bit SimHash
-    votes) to a single core; at cluster scale the input is already
-    many-partitioned and this is a cheap round-robin."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Repartition small inputs before heavy per-row compute (64-seed
+    MinHash, 64-bit SimHash votes) — see partitioning.spread_for_compute
+    for the policy and why it avoids probing ``.rdd``."""
+    from spark_streaming_sql_s3_connector_spark.partitioning import spread_for_compute
+
+    return spread_for_compute(df)
 
 
 def normalized_text(col):
@@ -590,26 +587,23 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("component").alias("_nbr_min"))
         )
-        new_labels = (
+        # carry a per-row changed flag computed against the OLD label while
+        # it is still in scope: the convergence probe then reduces to one
+        # map-side max over the rows the eager checkpoint just materialized,
+        # instead of a second labels-vs-labels join job per round
+        new_val = F.least(F.col("component"), F.coalesce("_nbr_min", "component"))
+        checkpointed = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("_nbr_min", "component")
-                ).alias("component"),
+                new_val.alias("component"),
+                (new_val < F.col("component")).cast("int").alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("component").alias("_old")), "id"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = checkpointed.agg(F.max("_chg")).collect()[0][0]
+        labels = checkpointed.drop("_chg")
+        if not changed:
             break
     und.unpersist()
     return labels
@@ -627,10 +621,14 @@ def assign_canonical(
     no pair are their own representative. The component map is the pair
     graph's node set — tiny relative to the corpus — so the join back is
     broadcast-friendly and Spark's AQE picks that up on its own."""
-    comp = connected_components(pairs, id_a, id_b)
+    # alias the component frame's key so the join+drop can never collide
+    # with a caller id_col literally named "id"
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("_cc_id"), "component"
+    )
     return (
-        df.join(comp, df[id_col] == comp["id"], "left")
-        .drop("id")
+        df.join(comp, df[id_col] == comp["_cc_id"], "left")
+        .drop("_cc_id")
         .withColumn("canonical_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
     )

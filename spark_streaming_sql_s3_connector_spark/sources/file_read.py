@@ -246,25 +246,31 @@ def read_file_to_table(
             parse_opts.invalid_row_handler = lambda row: "skip"
         # read everything as string, then cast permissively: matches Spark's
         # CSV semantics where a bad cell nulls (PERMISSIVE) or drops the row
-        # (DROPMALFORMED) rather than failing the task
+        # (DROPMALFORMED) rather than failing the task. Column names come
+        # from a first-block sniff (open_csv parses lazily), so the file is
+        # parsed exactly once end-to-end — not probe-parsed twice.
         try:
-            probe = pcsv.read_csv(
+            with pcsv.open_csv(
                 local,
                 read_options=pcsv.ReadOptions(
-                    autogenerate_column_names=not header, block_size=1 << 20
+                    autogenerate_column_names=not header, block_size=1 << 16
                 ),
                 parse_options=parse_opts,
+            ) as sniff:
+                names = sniff.schema.names
+            conv = pcsv.ConvertOptions(
+                column_types={name: pa.string() for name in names}
+            )
+            raw = pcsv.read_csv(
+                local,
+                read_options=read_opts,
+                parse_options=parse_opts,
+                convert_options=conv,
             )
         except pa.ArrowInvalid:
             if drop_malformed:
                 return target.empty_table()
             raise
-        conv = pcsv.ConvertOptions(
-            column_types={name: pa.string() for name in probe.column_names}
-        )
-        raw = pcsv.read_csv(
-            local, read_options=read_opts, parse_options=parse_opts, convert_options=conv
-        )
         return _project_to_schema(raw, target, header, drop_malformed, partition_values)
 
     raise ValueError(f"Unsupported file format for python reader: {file_format}")

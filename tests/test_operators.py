@@ -295,3 +295,14 @@ def test_assign_canonical(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
     got = {r.doc_id: r.canonical_id for r in assign_canonical(df, pairs, "doc_id").collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_assign_canonical_id_col_named_id(spark):
+    # regression: the component frame's key column is also "id"; dropping
+    # it after the join must not take the caller's column with it
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import assign_canonical
+
+    df = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = {r.id: r.canonical_id for r in assign_canonical(df, pairs, "id").collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3}
