@@ -27,18 +27,57 @@ class QueueMessage:
     body: str
 
 
+def _on_async_fetch_thread() -> bool:
+    """The fetchThread* counters split consumption driven by the background
+    continuation (admission._kick_async_fetch names its thread
+    s3conn-async-fetch) from trigger-synchronous consumption — the same
+    split the reference draws for its fetch-thread pool."""
+    return threading.current_thread().name.startswith("s3conn-async-fetch")
+
+
+# snake_case counter -> the reference's metric-registry key. One row per
+# counter in AsyncClientMetrics.scala:22-38; the parse counter keeps the
+# reference's misspelled registry name ("parseMassageCounter",
+# AsyncSqsClientMetricsImpl.scala:36) bug-for-bug so dashboards keyed on
+# the reference's JSON keep working unchanged.
+REFERENCE_COUNTER_NAMES = {
+    "received_messages": "AsyncSqsClient.receiveMessageCounter",
+    "receive_failed_messages": "AsyncSqsClient.receiveMessageFailedCounter",
+    "parsed_messages": "AsyncSqsClient.parseMassageCounter",
+    "parse_failed_messages": "AsyncSqsClient.parseMessageFailedCounter",
+    "discarded_messages": "AsyncSqsClient.discardedMessageCounter",
+    "consumed_messages": "AsyncSqsClient.consumeMessageCounter",
+    "consume_failed_messages": "AsyncSqsClient.consumeMessageFailedCounter",
+    "deleted_messages": "AsyncSqsClient.deleteMessageCounter",
+    "delete_failed_messages": "AsyncSqsClient.deleteMessageFailedCounter",
+    "visibility_changed_messages": "AsyncSqsClient.setMessageVisibilityCounter",
+    "visibility_change_failed_messages": "AsyncSqsClient.setMessageVisibilityFailedCounter",
+    "fetch_thread_consumed_messages": "AsyncSqsClient.fetchThreadConsumeMessageCounter",
+    "fetch_thread_consume_failed_messages": "AsyncSqsClient.fetchThreadConsumeMessageFailedCounter",
+    "fetch_thread_uncaught_exceptions": "AsyncSqsClient.fetchThreadUncaughtExceptionCounter",
+}
+
+
 @dataclass
 class QueueClientMetrics:
-    """Subset of the reference's 14 SQS counters that are meaningful for
-    any queue implementation (AsyncClientMetrics.scala:22-38)."""
+    """Full parity with the reference's 14 AsyncClientMetrics counters
+    (AsyncClientMetrics.scala:22-38), snake_cased, plus ``fetch_rounds``
+    (ours — drain-loop iterations, a cheap liveness signal)."""
 
-    fetch_messages: int = 0
+    received_messages: int = 0
+    receive_failed_messages: int = 0
+    parsed_messages: int = 0
     parse_failed_messages: int = 0
     discarded_messages: int = 0
     consumed_messages: int = 0
+    consume_failed_messages: int = 0
     deleted_messages: int = 0
     delete_failed_messages: int = 0
     visibility_changed_messages: int = 0
+    visibility_change_failed_messages: int = 0
+    fetch_thread_consumed_messages: int = 0
+    fetch_thread_consume_failed_messages: int = 0
+    fetch_thread_uncaught_exceptions: int = 0
     fetch_rounds: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
@@ -47,19 +86,16 @@ class QueueClientMetrics:
             setattr(self, name, getattr(self, name) + n)
 
     def as_dict(self) -> dict[str, int]:
-        return {
-            k: getattr(self, k)
-            for k in (
-                "fetch_messages",
-                "parse_failed_messages",
-                "discarded_messages",
-                "consumed_messages",
-                "deleted_messages",
-                "delete_failed_messages",
-                "visibility_changed_messages",
-                "fetch_rounds",
-            )
-        }
+        return {k: getattr(self, k) for k in (*REFERENCE_COUNTER_NAMES, "fetch_rounds")}
+
+    def json(self) -> str:
+        """Reference-shaped JSON (AsyncSqsClientMetricsImpl.json) — the
+        registry keys the reference serializes, same counter semantics."""
+        import json as _json
+
+        return _json.dumps(
+            {ref: getattr(self, k) for k, ref in REFERENCE_COUNTER_NAMES.items()}
+        )
 
 
 class QueueClient(ABC):

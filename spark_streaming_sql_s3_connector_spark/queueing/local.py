@@ -17,7 +17,12 @@ import os
 import time
 from typing import Optional
 
-from spark_streaming_sql_s3_connector_spark.queueing.base import ConsumerCallback, QueueClient, QueueMessage
+from spark_streaming_sql_s3_connector_spark.queueing.base import (
+    ConsumerCallback,
+    QueueClient,
+    QueueMessage,
+    _on_async_fetch_thread,
+)
 from spark_streaming_sql_s3_connector_spark.queueing.events import (
     S3EventNotCreated,
     S3EventParseError,
@@ -116,7 +121,8 @@ class LocalFileQueueClient(QueueClient):
             batch = self._receive(10)
             if not batch:
                 break  # local dir has no long-poll latency: empty means drained
-            self.metrics.incr("fetch_messages", len(batch))
+            self.metrics.incr("received_messages", len(batch))
+            on_fetch_thread = _on_async_fetch_thread()
             for msg in batch:
                 try:
                     meta = parse_s3_event(msg.body, message_id=msg.receipt_handle)
@@ -131,10 +137,14 @@ class LocalFileQueueClient(QueueClient):
                     else:
                         self.delete_messages([msg.receipt_handle])
                     continue
+                self.metrics.incr("parsed_messages")
                 try:
                     ok = consumer(meta)
                 except Exception:
                     # consumer error: keep for DLQ debugging or drop
+                    self.metrics.incr("consume_failed_messages")
+                    if on_fetch_thread:
+                        self.metrics.incr("fetch_thread_consume_failed_messages")
                     if self._keep_for_consumer_error:
                         self.set_message_visibility(msg.receipt_handle, self._visibility_timeout)
                     else:
@@ -142,6 +152,8 @@ class LocalFileQueueClient(QueueClient):
                     continue
                 if ok:
                     self.metrics.incr("consumed_messages")
+                    if on_fetch_thread:
+                        self.metrics.incr("fetch_thread_consumed_messages")
                     consumed += 1
                 # not ok → consumer already decided (validator routed to
                 # visibility-retry or delete); nothing to do here
@@ -173,7 +185,7 @@ class LocalFileQueueClient(QueueClient):
             os.rename(receipt_handle, f"{base}.inflight-{new_deadline}")
             self.metrics.incr("visibility_changed_messages")
         except OSError:
-            pass
+            self.metrics.incr("visibility_change_failed_messages")
 
     def approximate_number_of_messages(self) -> int:
         return len([n for n in os.listdir(self._dir) if n.endswith(".json") or ".inflight-" in n])

@@ -16,7 +16,12 @@ import concurrent.futures
 import time
 from typing import Optional
 
-from spark_streaming_sql_s3_connector_spark.queueing.base import ConsumerCallback, QueueClient, QueueMessage
+from spark_streaming_sql_s3_connector_spark.queueing.base import (
+    ConsumerCallback,
+    QueueClient,
+    QueueMessage,
+    _on_async_fetch_thread,
+)
 from spark_streaming_sql_s3_connector_spark.queueing.events import (
     S3EventNotCreated,
     S3EventParseError,
@@ -68,18 +73,25 @@ class SqsQueueClient(QueueClient):
         )
 
     def _receive_once(self) -> list[QueueMessage]:
-        resp = self._sqs.receive_message(
-            QueueUrl=self._queue_url,
-            MaxNumberOfMessages=MAX_SQS_BATCH_SIZE,
-            WaitTimeSeconds=self._long_poll,
-            VisibilityTimeout=self._visibility_timeout,
-        )
+        try:
+            resp = self._sqs.receive_message(
+                QueueUrl=self._queue_url,
+                MaxNumberOfMessages=MAX_SQS_BATCH_SIZE,
+                WaitTimeSeconds=self._long_poll,
+                VisibilityTimeout=self._visibility_timeout,
+            )
+        except Exception:
+            # a failed receive round is an observable condition, not a batch
+            # failure: count it and let the drain loop decide to stop/retry
+            self.metrics.incr("receive_failed_messages")
+            return []
         return [
             QueueMessage(m["MessageId"], m["ReceiptHandle"], m["Body"])
             for m in resp.get("Messages", [])
         ]
 
     def _handle_message(self, msg: QueueMessage, consumer: ConsumerCallback) -> bool:
+        on_fetch_thread = _on_async_fetch_thread()
         try:
             meta = parse_s3_event(msg.body, message_id=msg.receipt_handle)
         except S3EventNotCreated:
@@ -93,9 +105,13 @@ class SqsQueueClient(QueueClient):
             else:
                 self.delete_messages([msg.receipt_handle])
             return False
+        self.metrics.incr("parsed_messages")
         try:
             ok = consumer(meta)
         except Exception:
+            self.metrics.incr("consume_failed_messages")
+            if on_fetch_thread:
+                self.metrics.incr("fetch_thread_consume_failed_messages")
             if self._keep_for_consumer_error:
                 self.set_message_visibility(msg.receipt_handle, self._visibility_timeout)
             else:
@@ -103,6 +119,8 @@ class SqsQueueClient(QueueClient):
             return False
         if ok:
             self.metrics.incr("consumed_messages")
+            if on_fetch_thread:
+                self.metrics.incr("fetch_thread_consumed_messages")
         return ok
 
     def fetch(self, consumer: ConsumerCallback, wait_timeout_seconds: float, max_files: Optional[int]) -> int:
@@ -119,7 +137,7 @@ class SqsQueueClient(QueueClient):
             msgs = [m for b in batches for m in b]
             if not msgs:
                 break
-            self.metrics.incr("fetch_messages", len(msgs))
+            self.metrics.incr("received_messages", len(msgs))
             for msg in msgs:
                 if self._handle_message(msg, consumer):
                     consumed += 1
@@ -159,7 +177,7 @@ class SqsQueueClient(QueueClient):
             )
             self.metrics.incr("visibility_changed_messages")
         except Exception:
-            pass
+            self.metrics.incr("visibility_change_failed_messages")
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

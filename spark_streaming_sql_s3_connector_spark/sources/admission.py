@@ -156,6 +156,7 @@ class AdmissionController:
                     self.options.max_files_per_trigger,
                 )
             except Exception:
+                self.queue_client.metrics.incr("fetch_thread_uncaught_exceptions")
                 if not self._closed:  # shutdown races are expected noise
                     raise
 

@@ -273,7 +273,38 @@ def read_file_to_table(
             raise
         return _project_to_schema(raw, target, header, drop_malformed, partition_values)
 
-    raise ValueError(f"Unsupported file format for python reader: {file_format}")
+    if fmt == "text":
+        # Spark `text` source semantics: one string column, one row per
+        # line (or the whole file with wholetext=true); no field parsing
+        if os.path.getsize(local) == 0:
+            return target.empty_table()
+        with open(local, "rb") as fh:
+            data = fh.read().decode("utf-8", errors="replace")
+        if str(options.get("wholetext", "false")).lower() == "true":
+            lines = [data]
+        else:
+            lines = data.splitlines()
+        value_cols = [f.name for f in target if f.name not in partition_values]
+        if len(value_cols) != 1 or not pa.types.is_string(target.field(value_cols[0]).type):
+            raise ValueError(
+                "text format requires a schema with exactly one string column "
+                f"(plus partition columns); got {target}"
+            )
+        raw = pa.table({value_cols[0]: pa.array(lines, type=pa.string())})
+        return _project_to_schema(raw, target, True, drop_malformed, partition_values)
+
+    # The reference hands ANY format string straight to Spark's DataSource
+    # resolution (S3ConnectorSource.scala:176, S3ConnectorSourceOptions.scala:99).
+    # The Arrow executor path implements the formats above natively; every
+    # other Spark format keeps working through the JVM-read orchestrator
+    # (streaming/orchestrator.py passes file_format to spark.read.format).
+    raise ValueError(
+        f"Unsupported file format for the Arrow executor read path: "
+        f"{file_format!r}. Supported here: csv, json, parquet, orc, text. "
+        f"For any other Spark DataSource format use the JVM-read pipeline "
+        f"(spark_streaming_sql_s3_connector_spark.streaming.orchestrator), which hands the "
+        f"format string to spark.read unchanged."
+    )
 
 
 def iter_record_batches(

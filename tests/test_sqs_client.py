@@ -150,3 +150,103 @@ def test_url_decoded_keys_and_timestamps():
     assert got[0].timestamp_ms == 1676415211748  # ISO8601 -> epoch ms
     assert "%3D" not in got[0].file_path  # URL-decoded key
     c.close()
+
+
+def test_metrics_full_reference_parity():
+    """Every one of the reference's 14 AsyncClientMetrics counters exists,
+    is wired, and serializes under the reference's registry key
+    (AsyncClientMetrics.scala:22-38, AsyncSqsClientMetricsImpl.scala:25-77,
+    including the reference's misspelled parseMassageCounter key)."""
+    from spark_streaming_sql_s3_connector_spark.queueing.base import REFERENCE_COUNTER_NAMES
+
+    assert len(REFERENCE_COUNTER_NAMES) == 14
+
+    class FlakySqs(FakeSqs):
+        def __init__(self, bodies):
+            super().__init__(bodies)
+            self.receive_fails = 1
+
+        def receive_message(self, **kw):
+            if self.receive_fails:
+                self.receive_fails -= 1
+                raise RuntimeError("receive throttled")
+            return super().receive_message(**kw)
+
+        def change_message_visibility(self, **kw):
+            raise RuntimeError("visibility api down")
+
+    fake = FlakySqs([CREATED, REMOVED, BAD, CREATED])
+    c = _client(fake, keep_message_for_consumer_error=True)
+    calls = {"n": 0}
+
+    def consumer(meta):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second valid message: consumer blows up
+            raise RuntimeError("consumer failed")
+        return True
+
+    c.fetch(consumer, wait_timeout_seconds=3, max_files=None)
+    m = c.metrics
+    assert m.receive_failed_messages == 1
+    assert m.received_messages == 4
+    assert m.parsed_messages == 2  # the two CREATED bodies
+    assert m.parse_failed_messages == 1  # BAD
+    assert m.discarded_messages == 1  # REMOVED
+    assert m.consumed_messages == 1
+    assert m.consume_failed_messages == 1
+    assert m.visibility_change_failed_messages >= 1  # visibility api down
+    # trigger-synchronous fetch: no fetch-thread activity
+    assert m.fetch_thread_consumed_messages == 0
+    assert m.fetch_thread_uncaught_exceptions == 0
+
+    blob = json.loads(m.json())
+    assert set(blob) == set(REFERENCE_COUNTER_NAMES.values())
+    assert blob["AsyncSqsClient.parseMassageCounter"] == 2  # bug-for-bug key
+    c.close()
+
+
+def test_fetch_thread_counters_split_background_consumption():
+    # consumption driven from the async continuation thread lands in the
+    # fetchThread* counters (reference fetchThreadConsumeMessageCounter)
+    import threading
+
+    fake = FakeSqs([CREATED])
+    c = _client(fake)
+    t = threading.Thread(
+        target=lambda: c.fetch(lambda m: True, 2, None),
+        name="s3conn-async-fetch-test",
+    )
+    t.start()
+    t.join()
+    assert c.metrics.consumed_messages == 1
+    assert c.metrics.fetch_thread_consumed_messages == 1
+    c.close()
+
+
+def test_cross_account_cross_region_queue():
+    """Port of S3ConnectorSourceCrossAccountItSuite.scala:54-83: a full
+    queue URL belonging to another account, in a region different from the
+    bucket's, must be passed through verbatim on every SQS call."""
+
+    class RecordingSqs(FakeSqs):
+        def __init__(self, bodies):
+            super().__init__(bodies)
+            self.urls: list[str] = []
+
+        def receive_message(self, **kw):
+            self.urls.append(kw["QueueUrl"])
+            return super().receive_message(**kw)
+
+        def delete_message_batch(self, QueueUrl, Entries):
+            self.urls.append(QueueUrl)
+            return super().delete_message_batch(QueueUrl, Entries)
+
+    url = "https://sqs.us-west-2.amazonaws.com/999999999999/cross-account-queue"
+    fake = RecordingSqs([CREATED])
+    c = SqsQueueClient(url, "us-west-2", long_poll_wait_seconds=0, sqs_client=fake)
+    got = []
+    n = c.fetch(lambda m: got.append(m) or True, wait_timeout_seconds=2, max_files=None)
+    assert n == 1 and got[0].file_path == "s3a://b/k=1/file.csv"
+    c.delete_messages(["rh9"])
+    assert all(u == url for u in fake.urls) and len(fake.urls) >= 2
+    c.close()

@@ -393,3 +393,38 @@ def test_orc_stream_ingest(spark, tmp_path, queue):
         assert got == sorted(BASIC_ROWS)
     finally:
         q.stop()
+
+
+def test_text_format_stream(spark, tmp_path, queue):
+    # free-form format parity: the reference hands any format string to
+    # DataSource resolution (S3ConnectorSource.scala:176); `text` runs
+    # natively on the Arrow executor path — one line per row, no parsing
+    register(spark)
+    f1 = str(tmp_path / "poem.txt")
+    lines = ["first line", "second,line,with,commas", "", "fourth"]
+    with open(f1, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    queue.send_file_event(f1, int(time.time() * 1000))
+    schema = StructType([StructField("value", StringType())])
+    q = start_stream(
+        spark, tmp_path, schema, base_options(tmp_path, fmt="text"), "e2e_text"
+    )
+    try:
+        q.processAllAvailable()
+        got = [r.value for r in spark.sql("SELECT value FROM e2e_text").collect()]
+        assert sorted(got) == sorted(lines)
+    finally:
+        q.stop()
+
+
+def test_unknown_format_error_names_jvm_fallback(spark, tmp_path, queue):
+    # formats the Arrow path lacks must fail loudly, pointing at the
+    # JVM-read pipeline that accepts any Spark DataSource format
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import read_file_to_table
+
+    f1 = str(tmp_path / "x.avro")
+    with open(f1, "wb") as fh:
+        fh.write(b"Obj\x01")
+    schema = StructType([StructField("value", StringType())])
+    with pytest.raises(ValueError, match="orchestrator"):
+        read_file_to_table(f1, "avro", schema, {}, [], None)
