@@ -67,6 +67,26 @@ BENCH_QUERIES = [
     "multimodal_image_stats",
     "multimodal_audio_stats",
     "multimodal_frame_sample",
+    # added in round 2 (keys are append-only so BENCH_r{N} stays a superset
+    # of BENCH_r{N-1} and regressions are visible round-over-round)
+    "b2_lineitem_distinct",
+    "b3_orders_count",
+    "b4_projection",
+    "b8_partition_min_date",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "grouping_sets_events",
+    "lag_increases_events",
+    "pivot_status_priority",
+    "rolling_7d_events",
+    "corr_scalar_subquery",
+    "except_all_lineitems",
+    "dedup_keep_best_docs",
+    "sample_docs",
+    "dedup_cluster_docs",
+    "frequent_event_types",
+    "sketch_events_profile",
+    "multimodal_media_stats",
 ]
 
 N_INGEST_FILES = 32

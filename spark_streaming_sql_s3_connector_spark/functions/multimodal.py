@@ -137,6 +137,50 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode, schema=out_schema)
 
 
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Image + audio metadata in ONE mapInPandas pass over the payload.
+
+    At corpus scale this is the shape you want when a pipeline needs both
+    modalities' stats: the payload bytes are decoded once per row, with no
+    second UDF pass and no doc_id join shuffle — versus
+    ``decode_image_meta(df).join(decode_audio_meta(df), id)`` which scans
+    and ships the binary column twice and shuffles the results together.
+    """
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(MEDIA_META_SCHEMA.fields))
+    pass_names = [f.name for f in passthrough]
+
+    df = spread_for_compute(df)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf[payload_col]]
+            img = [_fake_decode(p) for p in payloads]
+            aud = [_fake_decode_audio(p) for p in payloads]
+            out = pdf[pass_names].copy()
+            out["width"] = [d[0] for d in img]
+            out["height"] = [d[1] for d in img]
+            out["n_bytes"] = [len(p) for p in payloads]
+            out["sample_rate"] = [d[0] for d in aud]
+            out["n_samples"] = [d[1] for d in aud]
+            out["duration_ms"] = [d[2] for d in aud]
+            yield out
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 # video frame sampling: payload treated as fixed-size frame chunks by the
 # fake codec; the real codec (av/ffmpeg keyframe iteration) replaces
 # _fake_iter_frames only — row fan-out, schema, and batching are real

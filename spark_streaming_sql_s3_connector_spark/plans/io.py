@@ -36,7 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _NANOS_COLS.get(name, [])
     if nanos_cols:
-        # runtime-settable; affects only nanos columns (others unchanged)
+        # SESSION-LEVEL side effect, deliberately not restored: the scan
+        # re-reads this conf at action time, so flipping it back after
+        # planning would break the very read it enables. It only changes
+        # how TIMESTAMP(NANOS) parquet columns materialize (long instead
+        # of an error) — non-nanos reads are unaffected. A concurrent
+        # query in the SAME session that wants nanos-as-timestamp
+        # semantics must use its own session (sparkSession.newSession()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:

@@ -546,19 +546,18 @@ ORDER BY doc_id
 
 
 def _multimodal_media_stats(spark, sf):
-    """Image + audio metadata in one pass: both decoders run as
-    mapInPandas branches over the same packed payloads, joined on doc_id.
-    Exists so both decode paths land inside the driver's 50-query
-    correctness window with a single registry slot (see COVERAGE.md)."""
+    """Image + audio metadata in ONE fused mapInPandas pass
+    (decode_media_meta): payload decoded once, no second UDF scan, no
+    doc_id join shuffle. Exists so both decode paths land inside the
+    driver's 50-query correctness window with a single registry slot
+    (see COVERAGE.md)."""
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import decode_media_meta
+
     docs = load_table(spark, sf, "documents")
     packed = with_binary_payload(docs.select("doc_id", "text"), "text")
-    img = decode_image_meta(packed.select("doc_id", "payload")).select(
-        "doc_id", "width", "height", "n_bytes"
-    )
-    aud = decode_audio_meta(packed.select("doc_id", "payload")).select(
-        "doc_id", "sample_rate", "n_samples", "duration_ms"
-    )
-    return img.join(aud, "doc_id").orderBy("doc_id")
+    return decode_media_meta(packed.select("doc_id", "payload")).select(
+        "doc_id", "width", "height", "n_bytes", "sample_rate", "n_samples", "duration_ms"
+    ).orderBy("doc_id")
 
 
 _MULTIMODAL_MEDIA_SQL = """

@@ -70,3 +70,24 @@ def test_frame_sampling_partitioning(spark):
     df = with_binary_payload(_docs(spark), "text").select("doc_id", "payload")
     out = sample_frames(df, every_n=1)
     assert out.count() == 5 + 0 + 1 + 2
+
+
+def test_fused_media_decode_matches_separate_decoders(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        decode_audio_meta,
+        decode_image_meta,
+        decode_media_meta,
+    )
+
+    df = with_binary_payload(_docs(spark), "text").select("doc_id", "payload")
+    fused = {r.doc_id: r for r in decode_media_meta(df).collect()}
+    img = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    aud = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    assert set(fused) == set(img) == set(aud)
+    for d, r in fused.items():
+        assert (r.width, r.height, r.n_bytes) == (img[d].width, img[d].height, img[d].n_bytes)
+        assert (r.sample_rate, r.n_samples, r.duration_ms) == (
+            aud[d].sample_rate,
+            aud[d].n_samples,
+            aud[d].duration_ms,
+        )

@@ -52,8 +52,21 @@ def compare(name, spark_df, con) -> tuple[bool, str]:
     # fails — fetchall() (HUGEINT -> Python int) would hide that divergence.
     odf = con.execute(sql).fetchdf()
     o_cols = list(odf.columns)
+
+    def scalar(x):
+        # numpy scalar -> python; NaT/NaN (pandas' spelling of SQL NULL in
+        # datetime/float columns) -> None, matching Spark's null
+        try:
+            import pandas as pd
+
+            if x is None or pd.isna(x):
+                return None
+        except (TypeError, ValueError):
+            pass
+        return x.item() if hasattr(x, "item") else x
+
     o_rows = [
-        tuple(x.item() if hasattr(x, "item") else x for x in row)
+        tuple(scalar(x) for x in row)
         for row in odf.itertuples(index=False, name=None)
     ]
     if sorted(spark_cols) != sorted(o_cols):
