@@ -149,3 +149,27 @@ def test_empty_files_yield_zero_rows():
                 )
             )
             assert n == 0, fmt
+
+
+def test_csv_parsed_exactly_once(tmp_path, monkeypatch):
+    # regression: the old read path probe-parsed the whole file to learn
+    # column names and then parsed it again — 2x the dominant cost of CSV
+    # ingest. Pin "one full parse per file" via a counting wrapper.
+    import pyarrow.csv as pcsv
+
+    from spark_streaming_sql_s3_connector_spark.sources import file_read
+
+    p = tmp_path / "data.csv"
+    p.write_text("\n".join(f"s{i},true,{i}" for i in range(1000)) + "\n")
+
+    calls = {"read_csv": 0}
+    real_read_csv = pcsv.read_csv
+
+    def counting_read_csv(*a, **kw):
+        calls["read_csv"] += 1
+        return real_read_csv(*a, **kw)
+
+    monkeypatch.setattr(pcsv, "read_csv", counting_read_csv)
+    out = read_file_to_table(str(p), "csv", BASIC, {}, [], None)
+    assert out.num_rows == 1000
+    assert calls["read_csv"] == 1  # the name sniff must not be a full parse

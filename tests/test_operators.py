@@ -306,3 +306,17 @@ def test_assign_canonical_id_col_named_id(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     got = {r.id: r.canonical_id for r in assign_canonical(df, pairs, "id").collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 3}
+
+
+def test_spread_for_compute_policy(spark, tmp_path):
+    from spark_streaming_sql_s3_connector_spark.partitioning import spread_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    # single-file scan (< target files) -> spread to default parallelism
+    p = str(tmp_path / "one.parquet")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    spread = spread_for_compute(spark.read.parquet(p))
+    assert spread.rdd.getNumPartitions() == target  # probe OK in a test
+    # in-memory frame (no file provenance) -> untouched plan object
+    mem = spark.range(10).toDF("id")
+    assert spread_for_compute(mem) is mem
