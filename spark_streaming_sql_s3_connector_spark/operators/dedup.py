@@ -535,29 +535,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def _union_find_components(edge_rows) -> dict[int, int]:
+    """Driver-side union-find (path compression + union by rank) over a
+    bounded edge list; returns {node: min id in its component}."""
+    parent: dict[int, int] = {}
+    rank: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        for n in (u, v):
+            if n not in parent:
+                parent[n], rank[n] = n, 0
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rank[ru] < rank[rv]:
+            ru, rv = rv, ru
+        parent[rv] = ru
+        if rank[ru] == rank[rv]:
+            rank[ru] += 1
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
-    components of the undirected pair graph, as pure DataFrame joins.
+    components of the undirected pair graph.
 
-    Min-label propagation: every node starts labeled with its own id; each
-    round replaces a node's label with the min over itself and its
-    neighbors' labels; converge when no label changes. One shuffle per
-    round (the groupBy on the neighbor side), O(graph diameter) rounds.
+    Size-gated hybrid, the same reasoning as a broadcast join or the
+    bounded IVF training sample:
 
-    Near-dup clusters from any candidate generator above are dense —
-    every member pairs with most others, so the diameter is ~2 and this
-    converges in 2–3 rounds regardless of corpus size; each round moves
-    only (id, label) longs. For adversarial long-chain graphs the
-    round count grows with the diameter (the large-star/small-star
-    alternation of Kiveris et al. bounds it at O(log n) rounds); dedup
-    workloads never look like that, so the simpler loop wins. Lineage is
-    truncated with an eager localCheckpoint every round — without it the
-    plan doubles per iteration and Catalyst analysis time explodes.
+    - The pair graph is the DUPLICATES, orders of magnitude smaller than
+      the corpus. When its edge count fits ``driver_max_edges`` (default
+      5M edges ≈ 80 MB of longs), a driver-side union-find resolves it in
+      one collect + milliseconds — no iterative jobs at all.
+    - Past the gate, distributed min-label propagation with pointer
+      jumping: every node starts labeled with its own id; each round
+      takes the min over self + neighbors (one narrow (id, label)
+      shuffle), then compresses label <- label(label). The jump turns
+      O(diameter) convergence into O(log diameter) rounds (the bound the
+      large-star/small-star alternation of Kiveris et al. achieves) —
+      near-dup clusters are dense (diameter ~2) but similarity-threshold
+      graphs can chain, and the jump table is the (id, label) frame
+      itself, broadcast-sized in practice. Lineage is truncated with an
+      eager localCheckpoint every round — without it the plan doubles per
+      iteration and Catalyst analysis time explodes.
 
     Returns (id, component) where component = min id in the component;
     only ids that appear in at least one pair are returned (singletons
@@ -571,6 +610,18 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = und.count()  # also materializes the persist for the loop path
+    if n_edges <= driver_max_edges:
+        # one bounded collect (<= driver_max_edges * 16 B), not
+        # toLocalIterator's per-partition round trips
+        mapping = _union_find_components(
+            (r["u"], r["v"]) for r in und.collect()
+        )
+        und.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            list(mapping.items()), schema="id long, component long"
+        )
     # seed = round one fused: with labels initialized to ids, the first
     # round's neighbor-min is just min(neighbor id) — computable straight
     # from the edge set, saving a full join+checkpoint round. Every node
@@ -587,17 +638,34 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("component").alias("_nbr_min"))
         )
-        # carry a per-row changed flag computed against the OLD label while
-        # it is still in scope: the convergence probe then reduces to one
-        # map-side max over the rows the eager checkpoint just materialized,
-        # instead of a second labels-vs-labels join job per round
-        new_val = F.least(F.col("component"), F.coalesce("_nbr_min", "component"))
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("_nbr_min", "component")).alias(
+                "component"
+            ),
+            F.col("component").alias("_orig"),
+        )
+        # pointer jumping: component <- label(component). Labels are always
+        # node ids, so the self-join resolves; this halves the remaining
+        # path per round, turning O(diameter) convergence into
+        # O(log diameter) — the difference between ~10 and ~4 rounds on
+        # chain-shaped similarity graphs (dense dup clusters stay at 2).
+        # The jump table is the (id, component) frame itself — tiny next to
+        # the corpus, so AQE broadcasts this join in practice.
+        jump = prop.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
+        new_val = F.least(F.col("component"), F.coalesce("_jcomp", "component"))
+        # carry a per-row changed flag computed against the round-start
+        # label: the convergence probe is then one map-side max over the
+        # rows the eager checkpoint just materialized, not a second
+        # labels-vs-labels join job
         checkpointed = (
-            labels.join(nbr_min, "id", "left")
+            prop.join(jump, prop["component"] == jump["_jid"], "left")
             .select(
                 "id",
                 new_val.alias("component"),
-                (new_val < F.col("component")).cast("int").alias("_chg"),
+                (new_val < F.col("_orig")).cast("int").alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )

@@ -238,7 +238,10 @@ def test_multimodal_plumbing(spark):
     assert rows[0].format == "fake"
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("driver_max_edges", [5_000_000, 0])
+def test_connected_components_chain_and_islands(spark, driver_max_edges):
+    # driver_max_edges=0 forces the distributed propagate+jump loop; the
+    # default takes the size-gated driver union-find — both must agree
     from spark_streaming_sql_s3_connector_spark.operators.dedup import (
         connected_components,
     )
@@ -251,7 +254,7 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {
         (r.id, r.component)
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, driver_max_edges=driver_max_edges).collect()
     }
     assert got == {
         (1, 1), (2, 1), (3, 1), (4, 1),
@@ -284,8 +287,12 @@ def test_connected_components_matches_union_find(spark):
     expected = {v: min(u for u in in_graph if find(u) == find(v)) for v in in_graph}
 
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {r.id: r.component for r in connected_components(pairs).collect()}
-    assert got == expected
+    for dme in (5_000_000, 0):  # driver union-find AND distributed loop
+        got = {
+            r.id: r.component
+            for r in connected_components(pairs, driver_max_edges=dme).collect()
+        }
+        assert got == expected
 
 
 def test_assign_canonical(spark):
