@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "frequent_event_types",
     "sketch_events_profile",
     "multimodal_media_stats",
+    "asof_view_click",
+    "range_join_error_context",
 ]
 
 N_INGEST_FILES = 32

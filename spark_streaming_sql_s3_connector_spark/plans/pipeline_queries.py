@@ -46,6 +46,10 @@ from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     lsh_ann_topk,
     lsh_bucket_pairs,
 )
+from spark_streaming_sql_s3_connector_spark.operators.temporal_joins import (
+    asof_join,
+    range_join_binned,
+)
 from spark_streaming_sql_s3_connector_spark.plans.io import load_table
 from spark_streaming_sql_s3_connector_spark.plans.queries import QuerySpec
 
@@ -661,6 +665,102 @@ def _connector_batch_read(spark, sf):
     )
 
 
+def _asof_view_click(spark, sf):
+    """Keyed as-of join (operators/temporal_joins.asof_join): for every
+    'view' event, the latest same-user 'click' at-or-before it. ONE
+    shuffle on user_id (union + window sweep — no self-join), then a
+    per-user rollup. Gaps reported in integer microseconds so the oracle
+    hash is exact (no float summation-order hazard); the click side is
+    pre-deduped per (user, ts) so tie resolution cannot differ between
+    engines. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cval"))
+        .select("user_id", F.col("ts").alias("cts"), "cval")
+    )
+    joined = asof_join(
+        views, clicks, on=["user_id"], left_ts="ts", right_ts="cts", right_cols=["cval"]
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cts_r"))
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.count("cts_r").alias("n_matched"),
+            F.min(gap).alias("min_gap_us"),
+            F.max(gap).alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ASOF_VIEW_CLICK_SQL = """
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS cts, MAX(value) AS cval
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+j AS (SELECT v.user_id, v.ts, c.cts
+      FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.cts)
+SELECT user_id, COUNT(*) AS n_views, COUNT(cts) AS n_matched,
+       MIN(epoch_us(ts) - epoch_us(cts)) AS min_gap_us,
+       MAX(epoch_us(ts) - epoch_us(cts)) AS max_gap_us
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _range_join_error_context(spark, sf):
+    """Binned range join (operators/temporal_joins.range_join_binned):
+    clicks landing inside the 30-minute window before each same-user
+    error. The inequality join runs as an equi-join on (user_id, time
+    bin) — bin width = window length, so each error interval explodes to
+    ≤2 bins and the shuffle stays ~2× the errors table; the exact BETWEEN
+    filters inside the bin. Per-user totals in BIGINT."""
+    ev = load_table(spark, sf, "events")
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("end_ts"),
+        )
+        .withColumn("start_ts", F.col("end_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    pairs = range_join_binned(
+        clicks, errs, ["user_id"], "cts", "start_ts", "end_ts", bin_width=1800.0
+    )
+    pair_counts = pairs.groupBy("user_id").agg(F.count("*").alias("_ctx"))
+    err_counts = errs.groupBy("user_id").agg(F.count("*").alias("n_errors"))
+    return (
+        err_counts.join(pair_counts, "user_id", "left")
+        .select(
+            "user_id",
+            "n_errors",
+            F.coalesce(F.col("_ctx"), F.lit(0).cast("bigint")).alias("ctx_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RANGE_JOIN_ERROR_CONTEXT_SQL = """
+WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+pairs AS (SELECT e.user_id, COUNT(*) AS ctx_clicks
+          FROM err e JOIN clk c
+            ON c.user_id = e.user_id
+           AND c.cts >= e.ts - INTERVAL 30 MINUTE AND c.cts <= e.ts
+          GROUP BY e.user_id)
+SELECT eg.user_id, eg.n_errors, COALESCE(p.ctx_clicks, 0) AS ctx_clicks
+FROM (SELECT user_id, COUNT(*) AS n_errors FROM err GROUP BY user_id) eg
+LEFT JOIN pairs p USING (user_id)
+ORDER BY eg.user_id
+"""
+
+
 _CONNECTOR_BATCH_READ_SQL = """
 SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -705,4 +805,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # single-modality views, duplicate coverage of multimodal_media_stats
     "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
     "multimodal_audio_stats": QuerySpec(_multimodal_audio_stats, _MULTIMODAL_AUDIO_SQL),
+    # temporal joins (operators/temporal_joins.py) — oracle-backed but past
+    # the driver's 50-slot window (all 50 slots already hold oracle-backed
+    # queries); the local gate (tools/check_oracle.py) hash-checks these
+    "asof_view_click": QuerySpec(_asof_view_click, _ASOF_VIEW_CLICK_SQL),
+    "range_join_error_context": QuerySpec(
+        _range_join_error_context, _RANGE_JOIN_ERROR_CONTEXT_SQL
+    ),
 }
