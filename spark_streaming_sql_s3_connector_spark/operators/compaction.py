@@ -72,17 +72,26 @@ def compact_dataset(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     cluster_by: Optional[str] = None,
+    zorder_by: Optional[list[str]] = None,
     mode: str = "overwrite",
 ) -> dict:
     """Rewrite the dataset at ``src`` into ``dst`` with ~target-sized
     files; returns the executed plan (input/output file counts + bytes).
 
     ``cluster_by`` range-partitions and sorts the rewrite on that column
-    so downstream predicates on it prune via parquet footer stats."""
+    so downstream predicates on it prune via parquet footer stats.
+    ``zorder_by`` (mutually exclusive) Morton-clusters on SEVERAL columns
+    so predicates on any of them prune — see ``operators/zorder.py``."""
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("choose cluster_by or zorder_by, not both")
     df = spark.read.format(fmt).load(src)
     plan = plan_compaction(df, target_file_bytes)
     n = plan["n_output_files"]
-    if cluster_by is not None:
+    if zorder_by is not None:
+        from spark_streaming_sql_s3_connector_spark.operators.zorder import zorder_dataframe
+
+        shaped = zorder_dataframe(df, zorder_by, n)
+    elif cluster_by is not None:
         shaped = df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
     else:
         shaped = df.repartition(n)
