@@ -54,6 +54,9 @@ _MERGE = {
     "_ca_sum": F.sum,
     "_ca_min": F.min,
     "_ca_max": F.max,
+    # Datasketches HLL: binary sketches merge losslessly — the only way
+    # to keep DISTINCT incrementally correct across delta folds
+    "_ca_hll": F.hll_union_agg,
 }
 
 
@@ -120,19 +123,25 @@ def continuous_aggregate(
     value_col: str = "value",
     keys: Sequence[str] = ("event_type",),
     bucket_width_seconds: int = 3600,
+    distinct_col: Optional[str] = None,
     trigger_available_now: bool = False,
 ):
     """Start the incremental rollup; returns the StreamingQuery. Query
     the materialized table with ``read_rollup``; fold the delta log down
     periodically with ``compact_rollup`` (any schedule — correctness
-    never depends on it)."""
+    never depends on it). ``distinct_col`` adds an HLL sketch partial so
+    the view exposes approx-distinct of that column per bucket (sketches
+    union losslessly through every delta fold)."""
     keys = list(keys)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        aggs = [fn(F.col(value_col)).alias(name) for name, fn in _PARTIALS]
+        if distinct_col is not None:
+            aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("_ca_hll"))
         delta = (
             batch.withColumn("bucket", time_bucket(F.col(ts_col), bucket_width_seconds))
             .groupBy("bucket", *keys)
-            .agg(*[fn(F.col(value_col)).alias(name) for name, fn in _PARTIALS])
+            .agg(*aggs)
         )
         # overwrite of THIS batch's own directory = idempotent on replay
         delta.write.mode("overwrite").parquet(_delta_dir(sink_dir, batch_id))
@@ -170,7 +179,7 @@ def read_rollup(spark: SparkSession, sink_dir: str, keys: Sequence[str] = ("even
     for f in frames[1:]:
         df = df.unionByName(f)
     merged = _merge(df, list(keys))
-    return merged.select(
+    out = [
         "bucket",
         *keys,
         F.col("_ca_cnt").alias("cnt"),
@@ -178,7 +187,10 @@ def read_rollup(spark: SparkSession, sink_dir: str, keys: Sequence[str] = ("even
         F.col("_ca_min").alias("vmin"),
         F.col("_ca_max").alias("vmax"),
         (F.col("_ca_sum") / F.col("_ca_cnt")).alias("vavg"),
-    )
+    ]
+    if "_ca_hll" in merged.columns:
+        out.append(F.hll_sketch_estimate("_ca_hll").alias("approx_distinct"))
+    return merged.select(*out)
 
 
 def compact_rollup(spark: SparkSession, sink_dir: str, keys: Sequence[str] = ("event_type",)) -> Optional[int]:

@@ -164,3 +164,57 @@ def test_time_bucket_is_exact(spark):
     )
     got = [r[0] for r in df.select(R.time_bucket(F.col("ts"), 3600)).collect()]
     assert got == [dt.datetime(2024, 3, 1, 10, 0), dt.datetime(2024, 3, 1, 11, 0)]
+
+
+def test_distinct_sketch_merges_across_increments_and_compaction(spark, tmp_path):
+    """HLL partials: approx-distinct per bucket must equal the exact
+    distinct (small cardinalities are exact in the sketch) and survive
+    delta folds."""
+    import datetime as dt
+
+    data, sink, ckpt = (str(tmp_path / d) for d in ("data", "sink", "ckpt"))
+    os.makedirs(data)
+    t0 = dt.datetime(2024, 1, 1)
+    users = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def batch(n0, n1):
+        rows = [
+            (t0 + dt.timedelta(minutes=i % 50), "click", 1.0, i) for i in range(n0, n1)
+        ]
+        import glob
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, users).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(data, f"b{n0}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def run():
+        stream = spark.readStream.schema(users).parquet(data)
+        q = R.continuous_aggregate(
+            stream, sink, ckpt, bucket_width_seconds=3600, distinct_col="user_id"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch(0, 60)
+    run()
+    batch(30, 100)  # users 30..59 repeat — distinct must not double-count
+    run()
+    got = R.read_rollup(spark, sink).collect()
+    assert len(got) == 1
+    assert got[0]["approx_distinct"] == 100
+    assert got[0]["cnt"] == 130
+
+    R.compact_rollup(spark, sink)
+    got2 = R.read_rollup(spark, sink).collect()
+    assert got2[0]["approx_distinct"] == 100
