@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "multimodal_media_stats",
     "asof_view_click",
     "range_join_error_context",
+    "stratified_sample_docs",
 ]
 
 N_INGEST_FILES = 32

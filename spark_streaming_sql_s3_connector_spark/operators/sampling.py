@@ -67,3 +67,35 @@ def train_test_split(
         labeled.where(F.col("split") == "train").drop("split"),
         labeled.where(F.col("split") == "test").drop("split"),
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``min(n, |stratum|)`` rows per stratum, deterministically:
+    rank rows inside each stratum by their salted id hash (a stable
+    shuffle order) and keep the first n. Same rows every run, any
+    partitioning, any engine — the DuckDB mirror is a QUALIFY over the
+    identical md5 ordering.
+
+    Scale shape: one shuffle on the strata columns. For small n Spark
+    plans a WindowGroupLimit above the scan — each map task pre-prunes to
+    its local top-n BEFORE the exchange, so the shuffle carries ~n rows
+    per stratum per task, not the stratum. A skewed hot stratum therefore
+    ships n·tasks rows, not its full mass (regression-pinned in
+    tests/test_sampling.py)."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_strat_rn", F.row_number().over(w))
+        .where(F.col("_strat_rn") <= n_per_stratum)
+        .drop("_strat_rn")
+    )

@@ -39,6 +39,7 @@ from spark_streaming_sql_s3_connector_spark.operators.dedup import (
 )
 from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     deterministic_sample,
+    stratified_sample_exact,
     with_split,
 )
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
@@ -665,6 +666,29 @@ def _connector_batch_read(spark, sf):
     )
 
 
+def _stratified_sample_docs(spark, sf):
+    """Exact-k-per-stratum deterministic sample (3 docs per language):
+    one shuffle on the stratum, with WindowGroupLimit pre-pruning each
+    map task to its local top-k before the exchange (plan pinned in
+    tests/test_sampling.py)."""
+    docs = load_table(spark, sf, "documents").select("lang", "doc_id")
+    return stratified_sample_exact(docs, "doc_id", ["lang"], 3).orderBy("lang", "doc_id")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= 3
+ORDER BY lang, doc_id
+"""
+
+
 def _asof_view_click(spark, sf):
     """Keyed as-of join (operators/temporal_joins.asof_join): for every
     'view' event, the latest same-user 'click' at-or-before it. ONE
@@ -812,4 +836,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "range_join_error_context": QuerySpec(
         _range_join_error_context, _RANGE_JOIN_ERROR_CONTEXT_SQL
     ),
+    "stratified_sample_docs": QuerySpec(_stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
 }

@@ -63,3 +63,57 @@ def test_fraction_bounds(spark):
 
     with pytest.raises(ValueError):
         deterministic_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = _ids(spark).withColumn("grp", F.col("doc_id") % 7)
+    tiny = df.where(F.col("doc_id") < 3).withColumn("grp", F.lit(99))  # |stratum|=3
+    data = df.union(tiny)
+
+    out = stratified_sample_exact(data, "doc_id", ["grp"], 5)
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(sizes[g] == 5 for g in range(7))
+    assert sizes[99] == 3  # short stratum: min(n, size)
+
+    # deterministic under repartition
+    a = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample_exact(data.repartition(13), "doc_id", ["grp"], 5).collect()
+    )
+    assert a == b
+
+    # salt rotates the pick
+    c = sorted(
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample_exact(data, "doc_id", ["grp"], 5, salt="x").collect()
+    )
+    assert a != c
+
+
+def test_stratified_plan_prunes_before_exchange(spark):
+    """WindowGroupLimit must sit below the shuffle: each map task ships
+    only its local top-n per stratum — the property that makes a hot
+    stratum ship n·tasks rows instead of its full mass."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = _ids(spark).withColumn("grp", F.col("doc_id") % 7)
+    plan = (
+        stratified_sample_exact(df, "doc_id", ["grp"], 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.split("Exchange hashpartitioning")[-1]
+    assert "WindowGroupLimit" in partial, plan
