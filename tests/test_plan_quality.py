@@ -142,3 +142,42 @@ def test_streaming_source_prunes_nothing_extra(spark):
         .load()
     )
     assert df.schema == schema
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The binned range join must hit the hash/sort-merge machinery —
+    never BroadcastNestedLoopJoin or a cartesian product (the naive
+    BETWEEN-join plans; quadratic at scale)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.temporal_joins import (
+        range_join_binned,
+    )
+
+    points = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    ranges = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 50).cast("double").alias("lo"),
+        ((F.col("id") % 50) + 10.0).alias("hi"),
+    )
+    plan = (
+        range_join_binned(points, ranges, ["k"], "v", "lo", "hi", bin_width=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_bench_keys_are_registry_keys(spark):
+    """bench.py must never drift from the registry: every benched query
+    resolves, so BENCH_r{N} keys stay comparable round-over-round."""
+    import bench
+
+    import __spark_entry__ as em
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in em.queries()]
+    assert missing == [], missing
