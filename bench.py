@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "asof_view_click",
     "range_join_error_context",
     "stratified_sample_docs",
+    "value_quantiles_by_type",
 ]
 
 N_INGEST_FILES = 32

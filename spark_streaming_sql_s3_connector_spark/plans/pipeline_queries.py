@@ -689,6 +689,36 @@ ORDER BY lang, doc_id
 """
 
 
+def _value_quantiles_by_type(spark, sf):
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, bit-exact — verified at sf0.01). Exact
+    quantiles buffer each group's values, so this is the REPORTING-sized
+    path; at corpus scale the one-pass bounded-memory route is the GK
+    sketch (`functions/sketches.py`, `sketch_events_profile`)."""
+    ev = load_table(spark, sf, "events")
+    q = F.expr("percentile(value, array(0.25, 0.5, 0.9))")
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("_q"))
+        .select(
+            "event_type",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _asof_view_click(spark, sf):
     """Keyed as-of join (operators/temporal_joins.asof_join): for every
     'view' event, the latest same-user 'click' at-or-before it. ONE
@@ -837,4 +867,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         _range_join_error_context, _RANGE_JOIN_ERROR_CONTEXT_SQL
     ),
     "stratified_sample_docs": QuerySpec(_stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
+    "value_quantiles_by_type": QuerySpec(_value_quantiles_by_type, _VALUE_QUANTILES_SQL),
 }
