@@ -75,6 +75,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    reserved = {"_t", "_side", "_p", "_lrow", "_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: rename reserved columns first: {sorted(clash)}")
     keys = list(on)
     rts = right_ts or left_ts
     rcols = list(right_cols) if right_cols is not None else [
@@ -165,6 +169,8 @@ def range_join_binned(
     overlap = (set(points.columns) & set(ranges.columns)) - set(keys)
     if overlap:
         raise ValueError(f"rename overlapping non-key columns first: {sorted(overlap)}")
+    if "_bin" in set(points.columns) | set(ranges.columns):
+        raise ValueError("range_join_binned: rename reserved column '_bin' first")
 
     width = float(bin_width)
     p_dt = dict(points.dtypes)

@@ -174,3 +174,19 @@ def test_asof_single_shuffle_plan(spark, quotes_trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_reserved_column_guards(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(trades.withColumn("_side", F.lit(1)), quotes, on=["sym"], left_ts="t")
+    with pytest.raises(ValueError, match="_bin"):
+        range_join_binned(
+            trades.withColumnRenamed("trade_id", "_bin"),
+            quotes.select("sym", F.col("t").alias("lo"), (F.col("t") + 1).alias("hi")),
+            ["sym"],
+            "t",
+            "lo",
+            "hi",
+            bin_width=5.0,
+        )
