@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "range_join_error_context",
     "stratified_sample_docs",
     "value_quantiles_by_type",
+    "events_time_bucket_rollup",
 ]
 
 N_INGEST_FILES = 32

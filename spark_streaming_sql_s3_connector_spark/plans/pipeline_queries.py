@@ -689,6 +689,33 @@ ORDER BY lang, doc_id
 """
 
 
+def _events_time_bucket_rollup(spark, sf):
+    """The continuous aggregate's bucketing + partials, as a one-shot
+    batch query (streaming/rollup.py `time_bucket`): hourly buckets per
+    event type with the same mergeable stats the incremental rollup
+    maintains. Oracle: DuckDB's native time_bucket."""
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import time_bucket
+
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("bucket", time_bucket(F.col("ts"), 3600))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+_EVENTS_TIME_BUCKET_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+       COUNT(*) AS cnt, MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+
 def _value_quantiles_by_type(spark, sf):
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, bit-exact — verified at sf0.01). Exact
@@ -868,4 +895,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     ),
     "stratified_sample_docs": QuerySpec(_stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "value_quantiles_by_type": QuerySpec(_value_quantiles_by_type, _VALUE_QUANTILES_SQL),
+    "events_time_bucket_rollup": QuerySpec(
+        _events_time_bucket_rollup, _EVENTS_TIME_BUCKET_SQL
+    ),
 }
