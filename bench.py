@@ -263,23 +263,42 @@ def main():
     except Exception as e:
         print(f"# composite warmup skipped: {e}", file=sys.stderr)
 
+    # Median-of-3: single-run numbers cannot distinguish a regression from
+    # JIT/GC/scheduling noise (the round-2 verdict's core methodology
+    # complaint). Run the whole query list N_REPS times round-robin (so
+    # cache effects spread evenly rather than back-to-back same-query
+    # runs understating cold cost) and report the per-query median.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = entrymod.queries()
-    results: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # force full execution
-        results[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr, flush=True)
+    samples: dict[str, list[float]] = {}
+    for rep in range(n_reps):
+        for name in BENCH_QUERIES:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()  # force full execution
+            dt = round(time.time() - t0, 3)
+            samples.setdefault(name, []).append(dt)
+            print(f"# rep{rep} {name}: {dt}s ({n} rows)", file=sys.stderr, flush=True)
 
-    try:
-        results.update(bench_streaming_ingest(spark, SF_DIR))
-    except Exception as e:  # keep the JSON line even if streaming bench dies
-        print(f"# streaming bench failed: {e}", file=sys.stderr)
-        results["ingest_error"] = -1.0
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    results: dict[str, float] = {k: round(median(v), 3) for k, v in samples.items()}
+
+    ingest_samples: dict[str, list[float]] = {}
+    for rep in range(n_reps):
+        try:
+            for k, v in bench_streaming_ingest(spark, SF_DIR).items():
+                ingest_samples.setdefault(k, []).append(v)
+        except Exception as e:  # keep the JSON line even if streaming bench dies
+            print(f"# streaming bench failed (rep {rep}): {e}", file=sys.stderr)
+            ingest_samples.setdefault("ingest_error", []).append(-1.0)
+    results.update({k: round(median(v), 3) for k, v in ingest_samples.items()})
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
     total = round(sum(v for k, v in results.items() if not k.startswith("ingest_")), 3)

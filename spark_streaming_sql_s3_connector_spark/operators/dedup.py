@@ -445,7 +445,11 @@ def simhash_near_dup_pairs(
         ).alias("_blk"),
     ).select("_id", "_sim", "_blk.block_idx", "_blk.block_val")
     # one shuffle: bucket by block, explode pairs carrying the signature —
-    # hamming verifies in place, no join back for the signatures
+    # hamming verifies in place, no join back for the signatures. Filter
+    # BEFORE dropDuplicates: hamming is already computed in place (a pair
+    # duplicated across blocks carries the same signatures, so the same
+    # hamming), and filtering first shrinks the dedup aggregate's input
+    # from the full multi-block candidate set to the surviving pairs.
     return (
         bucket_pairs(
             chunked, ["block_idx", "block_val"], F.struct(F.col("_id"), F.col("_sim"))
@@ -455,8 +459,8 @@ def simhash_near_dup_pairs(
             F.col("b._id").alias("id_b"),
             hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
