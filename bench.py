@@ -92,12 +92,18 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "value_quantiles_by_type",
     "events_time_bucket_rollup",
+    # added in round 4: fused window slots (each packs 2-3 oracle-backed
+    # behaviors into one driver-verified registry entry)
+    "text_profile_docs",
+    "sampling_docs_combined",
+    "events_value_profile",
+    "temporal_join_profile",
 ]
 
 N_INGEST_FILES = 32
 
 
-def bench_streaming_ingest(spark, sf_dir: str) -> dict[str, float]:
+def bench_streaming_ingest(spark, sf_dir: str, rep: int = 0) -> dict[str, float]:
     """Time ingesting the events table split into N files: s3-connector
     (queue-driven) vs stock parquet file stream (listing-driven)."""
     from pyspark.sql import functions as F
@@ -152,48 +158,59 @@ def bench_streaming_ingest(spark, sf_dir: str) -> dict[str, float]:
             .option("spark.s3conn.metadataPath", os.path.join(work, "meta"))
             .load()
         )
+        # per-rep query/table names + try/finally stop: a throw mid-rep must
+        # not leak an active memory-sink query that poisons later reps (the
+        # leaked stream would also poll the temp dir removed below)
+        conn_name = f"bench_conn_{rep}"
         query = (
             stream.groupBy("l_returnflag")
             .agg(F.count("*").alias("cnt"))
             .writeStream.format("memory")
-            .queryName("bench_conn")
+            .queryName(conn_name)
             .outputMode("complete")
             .option("checkpointLocation", os.path.join(work, "ckpt1"))
             .start()
         )
-        query.processAllAvailable()  # stream is up, queue empty
-        now = int(time.time() * 1000)
-        for f in files:
-            q.send_file_event(f, now)
-        t0 = time.time()
-        query.processAllAvailable()
-        out["ingest_connector"] = round(time.time() - t0, 3)
-        n1 = spark.sql("SELECT SUM(cnt) c FROM bench_conn").collect()[0].c
-        query.stop()
+        try:
+            query.processAllAvailable()  # stream is up, queue empty
+            now = int(time.time() * 1000)
+            for f in files:
+                q.send_file_event(f, now)
+            t0 = time.time()
+            query.processAllAvailable()
+            out["ingest_connector"] = round(time.time() - t0, 3)
+            n1 = spark.sql(f"SELECT SUM(cnt) c FROM {conn_name}").collect()[0].c
+        finally:
+            query.stop()
 
         # --- stock file stream source, same pipeline ---
         watch_dir = os.path.join(work, "watched")
         os.makedirs(watch_dir)
         stream2 = spark.readStream.schema(schema).parquet(watch_dir)
+        fss_name = f"bench_fss_{rep}"
         query2 = (
             stream2.groupBy("l_returnflag")
             .agg(F.count("*").alias("cnt"))
             .writeStream.format("memory")
-            .queryName("bench_fss")
+            .queryName(fss_name)
             .outputMode("complete")
             .option("checkpointLocation", os.path.join(work, "ckpt2"))
             .start()
         )
-        query2.processAllAvailable()  # stream is up, dir empty
-        for f in files:
-            os.rename(f, os.path.join(watch_dir, os.path.basename(f)))
-        t0 = time.time()
-        query2.processAllAvailable()
-        out["ingest_file_source"] = round(time.time() - t0, 3)
-        n2 = spark.sql("SELECT SUM(cnt) c FROM bench_fss").collect()[0].c
-        query2.stop()
-        if n1 != n2:
-            out["ingest_row_mismatch"] = float(abs((n1 or 0) - (n2 or 0)))
+        try:
+            query2.processAllAvailable()  # stream is up, dir empty
+            for f in files:
+                os.rename(f, os.path.join(watch_dir, os.path.basename(f)))
+            t0 = time.time()
+            query2.processAllAvailable()
+            out["ingest_file_source"] = round(time.time() - t0, 3)
+            n2 = spark.sql(f"SELECT SUM(cnt) c FROM {fss_name}").collect()[0].c
+        finally:
+            query2.stop()
+        # 0.0 on match so the metric's median covers every rep, not just
+        # mismatching ones (a single-rep glitch would otherwise read as
+        # the consistent median)
+        out["ingest_row_mismatch"] = float(abs((n1 or 0) - (n2 or 0)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -276,24 +293,37 @@ def main():
             fn = qs.get(name)
             if fn is None:
                 continue
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()  # force full execution
-            dt = round(time.time() - t0, 3)
-            samples.setdefault(name, []).append(dt)
-            print(f"# rep{rep} {name}: {dt}s ({n} rows)", file=sys.stderr, flush=True)
+            # Per-(rep, query) isolation: one AnalysisException must cost
+            # one sample, not the whole bench (round 3 produced NO bench
+            # because a single broken query aborted the first rep).
+            try:
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = df.count()  # force full execution
+                dt = round(time.time() - t0, 3)
+                samples.setdefault(name, []).append(dt)
+                print(f"# rep{rep} {name}: {dt}s ({n} rows)", file=sys.stderr, flush=True)
+            except Exception as e:
+                samples.setdefault(name, []).append(-1.0)
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                print(f"# rep{rep} {name}: FAILED {msg}", file=sys.stderr, flush=True)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    results: dict[str, float] = {k: round(median(v), 3) for k, v in samples.items()}
+    def robust_median(xs: list[float]) -> float:
+        # median over successful reps only; -1.0 only if every rep failed
+        ok = [x for x in xs if x >= 0]
+        return median(ok) if ok else -1.0
+
+    results: dict[str, float] = {k: round(robust_median(v), 3) for k, v in samples.items()}
 
     ingest_samples: dict[str, list[float]] = {}
     for rep in range(n_reps):
         try:
-            for k, v in bench_streaming_ingest(spark, SF_DIR).items():
+            for k, v in bench_streaming_ingest(spark, SF_DIR, rep=rep).items():
                 ingest_samples.setdefault(k, []).append(v)
         except Exception as e:  # keep the JSON line even if streaming bench dies
             print(f"# streaming bench failed (rep {rep}): {e}", file=sys.stderr)
@@ -301,7 +331,9 @@ def main():
     results.update({k: round(median(v), 3) for k, v in ingest_samples.items()})
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
-    total = round(sum(v for k, v in results.items() if not k.startswith("ingest_")), 3)
+    total = round(
+        sum(v for k, v in results.items() if not k.startswith("ingest_") and v >= 0), 3
+    )
     print(
         json.dumps(
             {

@@ -1,15 +1,23 @@
 """Table loading for the driver's synthetic star schema (TESTDATA.md).
 
 Stays on Spark's native vectorized parquet scan (whole-stage codegen,
-predicate pushdown, column pruning all apply). The one wrinkle: the
-driver-generated ``events.parquet`` stores nanosecond timestamps, which
-Spark's reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as
-long (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side with
-``timestamp_micros`` — no Python in the path, scan stays vectorized.
+predicate pushdown, column pruning all apply). Timestamp normalization is
+SCHEMA-DRIVEN (pyarrow footer inspection, a driver-side metadata read):
+
+- parquet TIMESTAMP(NANOS) columns: Spark's reader rejects them by default
+  (PARQUET_TYPE_ILLEGAL), so we read nanos as long
+  (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side with
+  ``timestamp_micros`` — no Python in the path, scan stays vectorized;
+- parquet timestamp-without-timezone (isAdjustedToUTC=false, us/ms unit):
+  Spark 4 materializes these as TIMESTAMP_NTZ, which ``withWatermark`` /
+  event-time ops reject. We cast to TIMESTAMP once at the source; the
+  session timezone is UTC everywhere in this repo, so wall-clock values
+  are unchanged.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,13 +36,37 @@ TABLES = [
     "embeddings",
 ]
 
-# columns stored as TIMESTAMP(NANOS) per table (read as long, convert)
-_NANOS_COLS = {"events": ["ts"]}
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from the file footer.
+
+    Driver-side metadata-only read (one footer); works whether ``path`` is
+    a single parquet file or a directory of part files."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return []
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        probe = parts[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _NANOS_COLS.get(name, [])
+    nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         # SESSION-LEVEL side effect, deliberately not restored: the scan
         # re-reads this conf at action time, so flipping it back after
@@ -45,11 +77,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # semantics must use its own session (sparkSession.newSession()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if dtypes.get(c) == "bigint":
             # integer `div`, NOT `/`: double division loses precision at
             # 16-digit nanosecond values (off-by-one microseconds)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Normalize TIMESTAMP_NTZ -> TIMESTAMP so every event-time consumer
+    # (withWatermark, window(), sessionize) sees the type Spark requires.
+    # Session TZ is UTC, so the instant is the wall-clock value unchanged.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

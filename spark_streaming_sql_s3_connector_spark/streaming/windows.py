@@ -82,11 +82,16 @@ def sessionize_batch(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
+    # unix_micros arithmetic, not cast("double"): exact integers (no float
+    # rounding at 16-digit epoch values). The cast("timestamp") makes NTZ
+    # inputs legal too (unix_micros and cast-to-double both reject NTZ;
+    # casting TIMESTAMP->TIMESTAMP is a no-op, NTZ converts via session TZ).
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     flagged = df.withColumn(
         "_new_sess",
         F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double") > gap_s,
+            ts_us - F.lag(ts_us).over(w) > gap_us,
             1,
         ).otherwise(0),
     )
@@ -96,8 +101,8 @@ def sessionize_batch(
     return (
         sess.groupBy(user_col, "_sid")
         .agg(
-            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
-            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+            F.unix_micros(F.min(ts_col).cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.max(ts_col).cast("timestamp")).alias("session_end_us"),
             F.count("*").alias("n_events"),
         )
         .select(user_col, "session_start_us", "session_end_us", "n_events")
