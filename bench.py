@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # added in round 4: fused window slots (each packs 2-3 oracle-backed
     # behaviors into one driver-verified registry entry)
     "text_profile_docs",
+    "decontaminate_docs",
     "sampling_docs_combined",
     "events_value_profile",
     "temporal_join_profile",

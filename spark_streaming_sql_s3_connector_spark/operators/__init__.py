@@ -1,3 +1,8 @@
+from spark_streaming_sql_s3_connector_spark.operators.decontamination import (
+    benchmark_ngram_set,
+    contamination_check,
+    decontaminate,
+)
 from spark_streaming_sql_s3_connector_spark.operators.dedup import (
     dedup_exact,
     embedding_cosine_pairs,
@@ -12,6 +17,9 @@ from spark_streaming_sql_s3_connector_spark.operators.similarity import (
 )
 
 __all__ = [
+    "benchmark_ngram_set",
+    "contamination_check",
+    "decontaminate",
     "dedup_exact",
     "embedding_cosine_pairs",
     "minhash_near_dup_pairs",

@@ -857,15 +857,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def _text_profile_docs(spark, sf):
-    """Fingerprint + language-ID + quality score in ONE per-doc projection
-    (single scan, all JVM expressions) — fuses the three standalone text
-    queries into one driver-verified slot."""
+    """Fingerprint + language-ID + quality score + token stats in ONE
+    per-doc projection (single scan, all JVM expressions) — fuses the
+    four standalone text queries into one driver-verified slot."""
     docs = load_table(spark, sf, "documents")
+    m = quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
         document_fingerprint(F.col("text")).alias("fp"),
         language_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 6).alias("qscore"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct_tokens"].alias("n_distinct_tokens"),
+        m["n_alpha"].alias("n_alpha"),
+        m["n_space"].alias("n_space"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -910,11 +916,73 @@ SELECT d.doc_id,
          + (CASE WHEN m.n_chars > 0 THEN m.n_alpha / m.n_chars ELSE 0 END) * 0.2
          + (CASE WHEN m.n_chars > 0
                  THEN 1.0 - LEAST(m.n_punct / m.n_chars * 4, 1.0) ELSE 1.0 END) * 0.2,
-         6) AS qscore
+         6) AS qscore,
+       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       CAST(m.n_distinct AS BIGINT) AS n_distinct_tokens,
+       CAST(m.n_alpha AS BIGINT) AS n_alpha,
+       length(d.text) - length(regexp_replace(d.text, '\s', '', 'g')) AS n_space,
+       len(regexp_extract_all(d.text, '[A-Za-z0-9'']+|[^\sA-Za-z0-9'']')) AS n_bpe_tokens
 FROM documents d
 JOIN best b USING (doc_id)
 JOIN m USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+def _decontaminate_docs(spark, sf):
+    """Benchmark decontamination screen (operators/decontamination.py):
+    every 20th doc plays the role of the eval benchmark; the rest are the
+    training corpus, screened with normalized word 3-grams. Output is the
+    full contamination report plus the keep decision `decontaminate`
+    makes at max_overlap=0 — so this one slot pins both the counting and
+    the filtering semantics. Broadcast benchmark set, one explode, one
+    doc-id shuffle."""
+    from spark_streaming_sql_s3_connector_spark.operators.decontamination import (
+        contamination_check,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    chk = contamination_check(train, bench, "text", "doc_id", n=3)
+    return chk.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        (F.col("n_overlap") == 0).alias("kept"),
+    ).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(t, ' ') END AS tk
+  FROM norm
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN list_distinct(
+                [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)])
+              WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0
+), train AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % 20 != 0
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM train
+), hit AS (
+  SELECT ex.doc_id, COUNT(*) AS n_overlap
+  FROM ex JOIN bench USING (shingle) GROUP BY ex.doc_id
+)
+SELECT t.doc_id, len(t.s) AS n_grams,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       (COALESCE(h.n_overlap, 0) = 0) AS kept
+FROM train t LEFT JOIN hit h USING (doc_id)
+ORDER BY t.doc_id
 """
 
 
@@ -1135,7 +1203,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_pairs": QuerySpec(_embedding_pairs_docs, _EMBEDDING_PAIRS_SQL),
     "dedup_cluster_docs": QuerySpec(_dedup_cluster_docs, _DEDUP_CLUSTER_SQL),
     "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
-    "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
+    "decontaminate_docs": QuerySpec(_decontaminate_docs, _DECONTAMINATE_SQL),
     "text_profile_docs": QuerySpec(_text_profile_docs, _text_profile_oracle_sql()),
     "events_value_profile": QuerySpec(_events_value_profile, _EVENTS_VALUE_PROFILE_SQL),
     "temporal_join_profile": QuerySpec(_temporal_join_profile, _TEMPORAL_JOIN_PROFILE_SQL),
@@ -1154,6 +1222,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # standalone keys whose behavior a fused in-window slot already covers
     # (bench key stability + finer-grained local-gate diagnosis)
     "sample_docs": QuerySpec(_sample_docs, _SAMPLE_DOCS_SQL),
+    "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
     "lang_id_docs": QuerySpec(_lang_id_docs, _lang_id_oracle_sql()),
     "quality_score_docs": QuerySpec(_quality_score_docs, _QUALITY_SCORE_SQL),
