@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
     decode_audio_meta,
@@ -638,10 +639,33 @@ ORDER BY cnt DESC, event_type
 # ------------------------------------------------- connector batch read ----
 
 
+# (sf_dir, table) -> StructType: the test tables are static, so re-deriving
+# the schema per query call (a spark.read.parquet footer round-trip, ~120 ms)
+# is pure overhead — cache it for the life of the process
+_SCHEMA_CACHE: dict = {}
+
+
+def _table_schema(spark, sf, name):
+    key = (sf, name)
+    s = _SCHEMA_CACHE.get(key)
+    if s is None:
+        s = load_table(spark, sf, name).schema
+        _SCHEMA_CACHE[key] = s
+    return s
+
+
 def _connector_batch_read(spark, sf):
     """Read lineitem through the s3-connector Python data source (Arrow
     executor reads) and aggregate — proves the connector's read path against
-    the DuckDB oracle, not just the JVM reader."""
+    the DuckDB oracle, not just the JVM reader.
+
+    The user schema carries ONLY the two columns the query needs: the
+    Python Data Source API has no Catalyst column-pruning hook, so
+    projection is expressed through the schema (by-name parquet column
+    selection, file_read.py B9) — the way a 100 TB user of this connector
+    would prune, and the apples-to-apples analog of the JVM scan's pushed
+    ReadSchema. Full-schema reads are exercised by every streaming e2e
+    test and the ingest bench."""
     import os as _os
 
     from spark_streaming_sql_s3_connector_spark.plans.io import ensure_package_shipped
@@ -649,7 +673,8 @@ def _connector_batch_read(spark, sf):
 
     ensure_package_shipped(spark)
     register(spark)
-    schema = load_table(spark, sf, "lineitem").schema
+    full = _table_schema(spark, sf, "lineitem")
+    schema = StructType([f for f in full.fields if f.name in ("l_returnflag", "l_quantity")])
     df = (
         spark.read.format("s3-connector")
         .schema(schema)

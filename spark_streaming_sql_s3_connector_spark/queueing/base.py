@@ -9,11 +9,86 @@ AsyncClientMetrics (AsyncSqsClientMetricsImpl.scala:25-77).
 from __future__ import annotations
 
 import threading
+import time
 from abc import ABC, abstractmethod
+from collections import deque
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from spark_streaming_sql_s3_connector_spark.models import FileMetadata
+
+
+class LatencyHistogram:
+    """Sliding-window latency distribution: keeps the most recent
+    ``capacity`` samples (deque ring buffer, O(1) memory — the
+    deterministic analog of the reference's Dropwizard reservoirs behind
+    its RocksDB get/put/commit histograms, RocksDB.scala:334-381,
+    AsyncSqsClientMetricsImpl.scala:25-77) and reports
+    count/min/max/mean/p50/p95/p99 on demand."""
+
+    def __init__(self, capacity: int = 4096):
+        self._samples: deque[float] = deque(maxlen=capacity)
+        self._count = 0  # lifetime observations, beyond the window
+        self._sum = 0.0
+        self._lock = threading.Lock()
+
+    def observe(self, value_ms: float) -> None:
+        with self._lock:
+            self._samples.append(float(value_ms))
+            self._count += 1
+            self._sum += float(value_ms)
+
+    @property
+    def count(self) -> int:
+        with self._lock:
+            return self._count
+
+    def percentile(self, q: float) -> float:
+        """Nearest-rank percentile over the current window (0 if empty)."""
+        import math
+
+        with self._lock:
+            data = sorted(self._samples)
+        if not data:
+            return 0.0
+        idx = min(len(data) - 1, max(0, math.ceil(q / 100.0 * len(data)) - 1))
+        return data[idx]
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            data = sorted(self._samples)
+            count, total = self._count, self._sum
+        if not data:
+            return {"count": 0, "min": 0.0, "max": 0.0, "mean": 0.0,
+                    "p50": 0.0, "p95": 0.0, "p99": 0.0}
+
+        import math
+
+        def pct(q: float) -> float:
+            idx = min(len(data) - 1, max(0, math.ceil(q / 100.0 * len(data)) - 1))
+            return data[idx]
+
+        return {
+            "count": count,
+            "min": data[0],
+            "max": data[-1],
+            "mean": total / count if count else 0.0,
+            "p50": pct(50),
+            "p95": pct(95),
+            "p99": pct(99),
+        }
+
+
+@contextmanager
+def timed(hist: LatencyHistogram):
+    """Record the wall-clock of the wrapped block into ``hist`` (ms);
+    observes on error too — failure latency is still latency."""
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        hist.observe((time.monotonic() - t0) * 1000.0)
 
 # consumer callback: called for each parsed FileMetadata; returns True if
 # the message is consumed (deletable), False if it should stay visible.
@@ -80,10 +155,27 @@ class QueueClientMetrics:
     fetch_thread_uncaught_exceptions: int = 0
     fetch_rounds: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
+    # latency distributions alongside the counters (reference records
+    # timing via Dropwizard timers in the same metrics impl)
+    histograms: dict[str, LatencyHistogram] = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def incr(self, name: str, n: int = 1) -> None:
         with self._lock:
             setattr(self, name, getattr(self, name) + n)
+
+    def hist(self, name: str) -> LatencyHistogram:
+        with self._lock:
+            h = self.histograms.get(name)
+            if h is None:
+                h = self.histograms[name] = LatencyHistogram()
+            return h
+
+    def histograms_snapshot(self) -> dict[str, dict[str, float]]:
+        with self._lock:
+            hists = dict(self.histograms)
+        return {name: h.snapshot() for name, h in hists.items()}
 
     def as_dict(self) -> dict[str, int]:
         return {k: getattr(self, k) for k in (*REFERENCE_COUNTER_NAMES, "fetch_rounds")}

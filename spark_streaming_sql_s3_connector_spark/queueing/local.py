@@ -22,6 +22,7 @@ from spark_streaming_sql_s3_connector_spark.queueing.base import (
     QueueClient,
     QueueMessage,
     _on_async_fetch_thread,
+    timed,
 )
 from spark_streaming_sql_s3_connector_spark.queueing.events import (
     S3EventNotCreated,
@@ -114,6 +115,10 @@ class LocalFileQueueClient(QueueClient):
         Stop conditions mirror the reference (AsyncSqsClientImpl.scala:132-139):
         queue empty, timeout, or max_files consumed.
         """
+        with timed(self.metrics.hist("fetch_ms")):
+            return self._fetch_inner(consumer, wait_timeout_seconds, max_files)
+
+    def _fetch_inner(self, consumer: ConsumerCallback, wait_timeout_seconds: float, max_files: Optional[int]) -> int:
         consumed = 0
         end = time.monotonic() + wait_timeout_seconds
         while True:
@@ -168,24 +173,26 @@ class LocalFileQueueClient(QueueClient):
         return consumed
 
     def delete_messages(self, receipt_handles: list[str]) -> int:
-        n = 0
-        for rh in receipt_handles:
-            try:
-                os.unlink(rh)
-                n += 1
-            except FileNotFoundError:
-                self.metrics.incr("delete_failed_messages")
-        self.metrics.incr("deleted_messages", n)
-        return n
+        with timed(self.metrics.hist("delete_ms")):
+            n = 0
+            for rh in receipt_handles:
+                try:
+                    os.unlink(rh)
+                    n += 1
+                except FileNotFoundError:
+                    self.metrics.incr("delete_failed_messages")
+            self.metrics.incr("deleted_messages", n)
+            return n
 
     def set_message_visibility(self, receipt_handle: str, visibility_timeout_seconds: int) -> None:
-        new_deadline = int(time.time() * 1000) + visibility_timeout_seconds * 1000
-        base = receipt_handle.rsplit(".inflight-", 1)[0]
-        try:
-            os.rename(receipt_handle, f"{base}.inflight-{new_deadline}")
-            self.metrics.incr("visibility_changed_messages")
-        except OSError:
-            self.metrics.incr("visibility_change_failed_messages")
+        with timed(self.metrics.hist("visibility_ms")):
+            new_deadline = int(time.time() * 1000) + visibility_timeout_seconds * 1000
+            base = receipt_handle.rsplit(".inflight-", 1)[0]
+            try:
+                os.rename(receipt_handle, f"{base}.inflight-{new_deadline}")
+                self.metrics.incr("visibility_changed_messages")
+            except OSError:
+                self.metrics.incr("visibility_change_failed_messages")
 
     def approximate_number_of_messages(self) -> int:
         return len([n for n in os.listdir(self._dir) if n.endswith(".json") or ".inflight-" in n])

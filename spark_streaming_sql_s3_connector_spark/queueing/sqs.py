@@ -21,6 +21,7 @@ from spark_streaming_sql_s3_connector_spark.queueing.base import (
     QueueClient,
     QueueMessage,
     _on_async_fetch_thread,
+    timed,
 )
 from spark_streaming_sql_s3_connector_spark.queueing.events import (
     S3EventNotCreated,
@@ -127,6 +128,10 @@ class SqsQueueClient(QueueClient):
         """Concurrent drain: fan out receives on the pool until the queue is
         empty, the timeout elapses, or max_files messages were consumed —
         the reference's stop conditions (AsyncSqsClientImpl.scala:132-139)."""
+        with timed(self.metrics.hist("fetch_ms")):
+            return self._fetch_inner(consumer, wait_timeout_seconds, max_files)
+
+    def _fetch_inner(self, consumer: ConsumerCallback, wait_timeout_seconds: float, max_files: Optional[int]) -> int:
         consumed = 0
         end = time.monotonic() + wait_timeout_seconds
         while time.monotonic() < end:
@@ -149,6 +154,10 @@ class SqsQueueClient(QueueClient):
     def delete_messages(self, receipt_handles: list[str]) -> int:
         """Batch-delete in slides of 10; failed entries retried singly
         (AsyncSqsClientImpl.scala:238-319)."""
+        with timed(self.metrics.hist("delete_ms")):
+            return self._delete_inner(receipt_handles)
+
+    def _delete_inner(self, receipt_handles: list[str]) -> int:
         deleted = 0
         for i in range(0, len(receipt_handles), MAX_SQS_BATCH_SIZE):
             chunk = receipt_handles[i : i + MAX_SQS_BATCH_SIZE]
@@ -169,6 +178,10 @@ class SqsQueueClient(QueueClient):
         return deleted
 
     def set_message_visibility(self, receipt_handle: str, visibility_timeout_seconds: int) -> None:
+        with timed(self.metrics.hist("visibility_ms")):
+            self._set_visibility_inner(receipt_handle, visibility_timeout_seconds)
+
+    def _set_visibility_inner(self, receipt_handle: str, visibility_timeout_seconds: int) -> None:
         try:
             self._sqs.change_message_visibility(
                 QueueUrl=self._queue_url,

@@ -212,7 +212,10 @@ class AdmissionController:
         return self.get_metadata_log_by_range(start_offset + 1, end_offset)
 
     def commit(self, end_offset: int) -> None:
-        self.file_cache.purge()
+        from spark_streaming_sql_s3_connector_spark.queueing.base import timed
+
+        with timed(self.queue_client.metrics.hist("commit_ms")):
+            self.file_cache.purge()
 
     def close(self) -> None:
         self._closed = True

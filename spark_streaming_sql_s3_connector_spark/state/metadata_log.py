@@ -24,6 +24,7 @@ import os
 import tempfile
 import time
 import threading
+import zlib
 from typing import Callable, Optional
 
 from spark_streaming_sql_s3_connector_spark.models import FileEntry
@@ -31,6 +32,14 @@ from spark_streaming_sql_s3_connector_spark.models import FileEntry
 MAX_BATCH_TO_REMOVE_PER_ADD = 20
 COMPACT_EVERY_N_ADDS = 25
 VERSION = 1
+# The seen-files index is hash-sharded by path so compaction rewrites only
+# the shards that changed since the last snapshot — the JSON-log analog of
+# RocksDB's incremental checkpointing (RocksDBFileManager.scala:157-312
+# reuses unchanged SSTs by (name, size); here an untouched shard file is
+# simply not rewritten). At 10^7 tracked files a monolithic snapshot is an
+# O(n) driver rewrite every 25 adds; with 64 shards a steady-state add
+# touches O(batch_size) shards and compaction cost is proportional to churn.
+N_SEEN_SHARDS = 64
 
 
 class MetadataLogHoleError(RuntimeError):
@@ -45,12 +54,27 @@ class JsonMetadataLog:
     ):
         self._dir = log_dir
         self._batches_dir = os.path.join(log_dir, "batches")
-        self._snapshot_path = os.path.join(log_dir, "seen-snapshot.json")
+        # legacy (pre-sharding) monolithic snapshot — read if present,
+        # migrated to shards at the next compaction, then removed
+        self._legacy_snapshot_path = os.path.join(log_dir, "seen-snapshot.json")
+        self._shards_dir = os.path.join(log_dir, "seen-shards")
         os.makedirs(self._batches_dir, exist_ok=True)
+        os.makedirs(self._shards_dir, exist_ok=True)
         self._purge_ts = purge_timestamp_provider or (lambda: 0)
         self._lock = threading.RLock()
+        # add/commit latency distributions (reference: RocksDB.scala:334-381
+        # records get/put/commit histograms; here the JSON log records its
+        # own write-path timing)
+        from spark_streaming_sql_s3_connector_spark.queueing.base import LatencyHistogram
+
+        self.histograms = {
+            "add_ms": LatencyHistogram(),
+            "compact_ms": LatencyHistogram(),
+        }
         # path -> timestamp for every file currently tracked by the log
         self._seen: dict[str, int] = {}
+        # shards whose on-disk snapshot no longer matches _seen
+        self._dirty_shards: set[int] = set()
         # batchId -> batch timestamp (for bounded GC without re-reading files)
         self._batch_ts: dict[int, int] = {}
         self._adds_since_compact = 0
@@ -61,11 +85,44 @@ class JsonMetadataLog:
     def _batch_path(self, batch_id: int) -> str:
         return os.path.join(self._batches_dir, f"{batch_id}.json")
 
+    def _shard_of(self, path: str) -> int:
+        # crc32, NOT builtin hash(): stable across processes/restarts
+        # (PYTHONHASHSEED randomizes str hash between runs)
+        return zlib.crc32(path.encode("utf-8")) % N_SEEN_SHARDS
+
+    def _shard_path(self, shard: int) -> str:
+        return os.path.join(self._shards_dir, f"seen-{shard:02d}.json")
+
+    def _seen_put(self, path: str, ts: int) -> None:
+        cur = self._seen.get(path)
+        new = max(ts, cur) if cur is not None else ts
+        if cur != new:
+            self._seen[path] = new
+            self._dirty_shards.add(self._shard_of(path))
+
+    def _seen_pop(self, path: str) -> None:
+        if self._seen.pop(path, None) is not None:
+            self._dirty_shards.add(self._shard_of(path))
+
     def _recover(self) -> None:
-        if os.path.exists(self._snapshot_path):
-            with open(self._snapshot_path) as f:
+        if os.path.exists(self._legacy_snapshot_path):
+            with open(self._legacy_snapshot_path) as f:
                 snap = json.load(f)
-            self._seen.update({k: int(v) for k, v in snap.get("seen", {}).items()})
+            for k, v in snap.get("seen", {}).items():
+                self._seen_put(k, int(v))
+        for name in os.listdir(self._shards_dir):
+            if not (name.startswith("seen-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self._shards_dir, name)) as f:
+                snap = json.load(f)
+            # direct load, no dirty-marking: these entries match disk by
+            # definition (unless a legacy value above already superseded
+            # one — that shard is then already marked dirty)
+            for k, v in snap.get("seen", {}).items():
+                ts = int(v)
+                cur = self._seen.get(k)
+                if cur is None or ts > cur:
+                    self._seen[k] = ts
         for name in os.listdir(self._batches_dir):
             if not name.endswith(".json"):
                 continue
@@ -75,7 +132,7 @@ class JsonMetadataLog:
                 continue
             self._batch_ts[batch_id] = doc["timestamp"]
             for e in doc["entries"]:
-                self._seen[e["path"]] = max(int(e["timestamp"]), self._seen.get(e["path"], 0))
+                self._seen_put(e["path"], int(e["timestamp"]))
 
     def _read_batch_doc(self, batch_id: int) -> Optional[dict]:
         try:
@@ -98,7 +155,9 @@ class JsonMetadataLog:
         for e in file_entries:
             if e.batch_id != batch_id:
                 raise ValueError(f"{e} batchId doesn't equal to {batch_id}")
-        with self._lock:
+        from spark_streaming_sql_s3_connector_spark.queueing.base import timed
+
+        with timed(self.histograms["add_ms"]), self._lock:
             # Clean before add so the latest batch is never removed
             self._clean_log(self._purge_ts())
             target = self._batch_path(batch_id)
@@ -130,7 +189,7 @@ class JsonMetadataLog:
                     pass
             self._batch_ts[batch_id] = ts
             for e in file_entries:
-                self._seen[e.path] = max(e.timestamp, self._seen.get(e.path, 0))
+                self._seen_put(e.path, e.timestamp)
             self._adds_since_compact += 1
             if self._adds_since_compact >= COMPACT_EVERY_N_ADDS:
                 self._write_snapshot()
@@ -138,12 +197,39 @@ class JsonMetadataLog:
             return True
 
     def _write_snapshot(self) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self._dir, prefix=".seen-", suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"v": VERSION, "seen": self._seen}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._snapshot_path)
+        """Rewrite ONLY the shards whose entries changed since the last
+        snapshot (each shard file written atomically via tmp + rename).
+        Unchanged shards are not touched — compaction cost follows churn,
+        not total tracked-file count."""
+        if not self._dirty_shards:
+            return
+        from spark_streaming_sql_s3_connector_spark.queueing.base import timed
+
+        with timed(self.histograms["compact_ms"]):
+            self._write_dirty_shards()
+
+    def _write_dirty_shards(self) -> None:
+        by_shard: dict[int, dict[str, int]] = {s: {} for s in self._dirty_shards}
+        for path, ts in self._seen.items():
+            s = self._shard_of(path)
+            if s in by_shard:
+                by_shard[s][path] = ts
+        for s, seen in by_shard.items():
+            fd, tmp = tempfile.mkstemp(dir=self._shards_dir, prefix=f".seen-{s:02d}-", suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"v": VERSION, "seen": seen}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._shard_path(s))
+        self._dirty_shards.clear()
+        # legacy monolithic snapshot fully superseded once shards persist
+        # everything it contributed (its entries were marked dirty at
+        # recovery, so they are on disk in shard form by now)
+        if os.path.exists(self._legacy_snapshot_path):
+            try:
+                os.unlink(self._legacy_snapshot_path)
+            except FileNotFoundError:
+                pass
 
     def _clean_log(self, last_purge_timestamp: int) -> int:
         """Bounded GC (RocksDBS3SourceLog.scala:416-460): remove at most
@@ -169,7 +255,7 @@ class JsonMetadataLog:
                 for e in doc["entries"]:
                     # drop from seen index only if not re-logged with a newer ts
                     if self._seen.get(e["path"], 0) <= int(e["timestamp"]):
-                        self._seen.pop(e["path"], None)
+                        self._seen_pop(e["path"])
                 removed += 1
         return removed
 
