@@ -172,6 +172,39 @@ def test_range_join_plans_as_equi_join(spark):
     assert "Cartesian" not in plan, plan
 
 
+def test_events_value_profile_broadcasts_quantiles(spark):
+    # the per-type quantile side is <= |event_type| rows: it must reach the
+    # rollup via broadcast, never a shuffled join; both aggs keep map-side
+    # partials
+    plan = formatted_plan(spark, "events_value_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for each agg
+
+
+def test_text_profile_single_scan_no_python(spark):
+    # 4 fused text behaviors = ONE documents scan, all JVM expressions
+    # (formatted explain names each node twice: tree + detail section)
+    import re
+
+    plan = formatted_plan(spark, "text_profile_docs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark n-gram set joins map-side (broadcast): the corpus is
+    # never shuffled by shingle; the only corpus shuffle keys on doc id
+    import re
+
+    plan = formatted_plan(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one Arrow shingle eval per side (corpus + benchmark), no row-wise UDF
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+
+
 def test_bench_keys_are_registry_keys(spark):
     """bench.py must never drift from the registry: every benched query
     resolves, so BENCH_r{N} keys stay comparable round-over-round."""
