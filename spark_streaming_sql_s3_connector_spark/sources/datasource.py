@@ -73,7 +73,29 @@ class S3ConnectorDataSource(DataSource):
         return S3ConnectorStreamReader(schema, dict(self.options))
 
     def reader(self, schema: StructType) -> "S3ConnectorBatchReader":
+        # Spark REJECTS any reader that defines pushFilters() while
+        # spark.sql.python.filterPushdown.enabled is false (the default),
+        # so the pushdown-capable subclass is chosen per-session: flip the
+        # conf on and scans prune parquet row groups + pre-filter rows;
+        # leave it off and reads behave exactly as before.
+        if _filter_pushdown_enabled():
+            return S3ConnectorBatchReaderWithPushdown(schema, dict(self.options))
         return S3ConnectorBatchReader(schema, dict(self.options))
+
+
+def _filter_pushdown_enabled() -> bool:
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is None:
+            return False
+        return (
+            str(active.conf.get("spark.sql.python.filterPushdown.enabled", "false")).lower()
+            == "true"
+        )
+    except Exception:
+        return False
 
 
 def _pop_metadata_path(options: dict) -> Optional[str]:
@@ -169,6 +191,7 @@ class S3ConnectorBatchReader(DataSourceReader):
         from spark_streaming_sql_s3_connector_spark.sources.file_read import arrow_schema_for
 
         self._arrow_schema = arrow_schema_for(schema)
+        self._pushed_filters: list[tuple] = []
 
     def partitions(self) -> Sequence[InputPartition]:
         files: list[tuple[str, int]] = [(p, 0) for p in self._paths]
@@ -222,7 +245,76 @@ class S3ConnectorBatchReader(DataSourceReader):
             opts.partition_column_names,
             opts.base_path,
             arrow_schema=self._arrow_schema,
+            pushed_filters=self._pushed_filters,
         )
+
+
+class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
+    """Batch reader with filter pushdown (Spark 4.1 Python Data Source
+    API). Selected only when ``spark.sql.python.filterPushdown.enabled``
+    is true — Spark rejects readers that define ``pushFilters`` while
+    that conf is off, so the base class must not carry the method."""
+
+    def pushFilters(self, filters):
+        """Accept the simple comparisons pyarrow can evaluate exactly —
+        they prune parquet row groups by footer statistics AND filter rows
+        before the Arrow->JVM transfer. Everything else (nested columns,
+        non-scalar literals, partition columns whose values come from the
+        path, string prefix/suffix ops) is returned for Spark to evaluate.
+
+        Contract: accepted filters are applied EXACTLY in read() — Spark
+        does not re-evaluate them."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        part_cols = set(self._options.partition_column_names or [])
+        simple = {
+            EqualTo: "eq",
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+            In: "in",
+        }
+
+        def scalar_ok(v) -> bool:
+            if isinstance(v, bool) or v is None:
+                return True
+            return isinstance(v, (int, float, str))
+
+        accepted: list[tuple] = []
+        rejected = []
+        for f in filters:
+            op = simple.get(type(f))
+            col = getattr(f, "attribute", ())
+            if len(col) != 1 or col[0] in part_cols or col[0] not in self._schema.names:
+                rejected.append(f)
+            elif op == "in":
+                if all(scalar_ok(v) for v in f.value):
+                    accepted.append(("in", col[0], tuple(f.value)))
+                else:
+                    rejected.append(f)
+            elif op is not None:
+                if scalar_ok(f.value):
+                    accepted.append((op, col[0], f.value))
+                else:
+                    rejected.append(f)
+            elif isinstance(f, IsNull):
+                accepted.append(("isnull", col[0], None))
+            elif isinstance(f, IsNotNull):
+                accepted.append(("notnull", col[0], None))
+            else:
+                rejected.append(f)
+        self._pushed_filters = accepted
+        return rejected
 
 
 def register(spark) -> None:

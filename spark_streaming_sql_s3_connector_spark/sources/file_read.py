@@ -175,6 +175,72 @@ def _project_to_schema(
     return out
 
 
+# ---- filter pushdown (Spark 4.1 Python Data Source pushFilters) ----
+# Accepted filters travel as neutral picklable tuples ("op", col, value);
+# ops: eq, gt, ge, lt, le, in, isnull, notnull.
+
+
+def filters_to_expression(accepted: list[tuple]):
+    """Build ONE pyarrow.compute expression AND-ing the accepted filters.
+    Applied post-projection so types match the Spark-facing schema."""
+    import pyarrow.compute as pc
+
+    expr = None
+    for op, col, val in accepted:
+        f = pc.field(col)
+        if op == "eq":
+            e = f == val
+        elif op == "gt":
+            e = f > val
+        elif op == "ge":
+            e = f >= val
+        elif op == "lt":
+            e = f < val
+        elif op == "le":
+            e = f <= val
+        elif op == "in":
+            e = f.isin(list(val))
+        elif op == "isnull":
+            e = f.is_null()
+        elif op == "notnull":
+            e = ~f.is_null()
+        else:  # pragma: no cover - pushFilters only accepts the ops above
+            raise ValueError(f"unsupported pushed filter op {op}")
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def _row_group_may_match(md, rg: int, col_idx: dict, accepted: list[tuple]) -> bool:
+    """Row-group pruning from parquet footer min/max statistics — the IO
+    win of pushdown: a group whose stats exclude a predicate is never
+    read. Conservative: any missing/odd statistic keeps the group."""
+    g = md.row_group(rg)
+    for op, col, val in accepted:
+        i = col_idx.get(col)
+        if i is None:
+            continue
+        stats = g.column(i).statistics
+        if stats is None or not stats.has_min_max:
+            continue
+        lo, hi = stats.min, stats.max
+        try:
+            if op == "eq" and not (lo <= val <= hi):
+                return False
+            if op == "gt" and not (hi > val):
+                return False
+            if op == "ge" and not (hi >= val):
+                return False
+            if op == "lt" and not (lo < val):
+                return False
+            if op == "le" and not (lo <= val):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+        except TypeError:
+            continue  # stats type doesn't compare with the literal: keep
+    return True
+
+
 def read_file_to_table(
     path: str,
     file_format: str,
@@ -184,6 +250,7 @@ def read_file_to_table(
     base_path: Optional[str],
     target: Optional[pa.Schema] = None,
     row_groups: Optional[list[int]] = None,
+    pushed_filters: Optional[list[tuple]] = None,
 ) -> pa.Table:
     """Read ONE file (optionally a subset of its parquet row groups) and
     return an Arrow table matching the user schema."""
@@ -202,10 +269,17 @@ def read_file_to_table(
         wanted = [f.name for f in target if f.name not in partition_values]
         pf = pq.ParquetFile(local)
         present = [c for c in wanted if c in pf.schema_arrow.names]
-        if row_groups is not None:
-            raw = pf.read_row_groups(row_groups, columns=present)
-        else:
-            raw = pf.read(columns=present)
+        groups = row_groups if row_groups is not None else list(range(pf.num_row_groups))
+        if pushed_filters:
+            names = [pf.metadata.schema.column(i).name for i in range(pf.metadata.num_columns)]
+            col_idx = {n: i for i, n in enumerate(names)}
+            groups = [
+                g for g in groups
+                if _row_group_may_match(pf.metadata, g, col_idx, pushed_filters)
+            ]
+            if not groups:
+                return target.empty_table()
+        raw = pf.read_row_groups(groups, columns=present)
         return _project_to_schema(raw, target, True, drop_malformed, partition_values)
 
     if fmt == "orc":
@@ -316,23 +390,30 @@ def iter_record_batches(
     base_path: Optional[str],
     batch_rows: int = 1 << 16,
     arrow_schema: Optional[pa.Schema] = None,
+    pushed_filters: Optional[list[tuple]] = None,
 ) -> Iterator[pa.RecordBatch]:
     # the caller (driver) precomputes the arrow schema so executors skip the
     # pandas-conversion import path entirely — worker cold-start matters at
     # per-trigger latency scale
     target = arrow_schema if arrow_schema is not None else arrow_schema_for(spark_schema)
+    # accepted pushed filters must be applied EXACTLY (Spark does not
+    # re-evaluate them); the expression runs post-projection so types are
+    # the Spark-facing ones, on top of the parquet row-group pruning
+    filter_expr = filters_to_expression(pushed_filters) if pushed_filters else None
     empty = True
     for entry in paths_with_meta:
         path, _ts, row_groups = entry if len(entry) == 3 else (*entry, None)
         try:
             table = read_file_to_table(
                 path, file_format, spark_schema, options, partition_cols, base_path, target,
-                row_groups=row_groups,
+                row_groups=row_groups, pushed_filters=pushed_filters,
             )
         except FileNotFoundError:
             # checkFilesExist=false semantics (S3ConnectorSource.scala:179):
             # a logged-but-deleted file must not fail the batch
             continue
+        if filter_expr is not None and table.num_rows:
+            table = table.filter(filter_expr)
         for rb in table.to_batches(max_chunksize=batch_rows):
             empty = False
             yield rb

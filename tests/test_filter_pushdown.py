@@ -1,0 +1,184 @@
+"""Filter pushdown through the Python data source (Spark 4.1
+``DataSourceReader.pushFilters``): accepted comparisons prune parquet row
+groups via footer statistics and filter rows before the Arrow->JVM
+transfer; everything else is returned to Spark for re-evaluation.
+
+The reference delegates batch reads to stock Spark and inherits JVM
+pushdown (S3ConnectorSource.scala:170-181); this is the same capability
+on the Python read path."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNotNull,
+    Not,
+    StringStartsWith,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_streaming_sql_s3_connector_spark.sources.datasource import (
+    S3ConnectorBatchReaderWithPushdown,
+    register,
+)
+from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+    read_file_to_table,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("s", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def pq_file(tmp_path):
+    """4 row groups of 25 rows each; k is 0..99 ascending so each group's
+    footer min/max spans 25 consecutive keys."""
+    path = str(tmp_path / "data.parquet")
+    tbl = pa.table(
+        {
+            "k": pa.array(range(100), pa.int64()),
+            "v": pa.array([float(i % 10) for i in range(100)], pa.float64()),
+            "s": pa.array([f"row{i:03d}" for i in range(100)]),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=25)
+    assert pq.ParquetFile(path).num_row_groups == 4
+    return path
+
+
+@pytest.fixture()
+def pushdown_spark(spark):
+    """Session with Python-data-source filter pushdown enabled (the
+    reader subclass is chosen per-session off this conf)."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(key, "true")
+    yield spark
+    spark.conf.set(key, "false")
+
+
+def _reader(paths):
+    return S3ConnectorBatchReaderWithPushdown(
+        SCHEMA,
+        {
+            "spark.s3conn.fileFormat": "parquet",
+            "spark.s3conn.queueUrl": "unused",
+            "spark.s3conn.queueType": "local",
+            "paths": ",".join(paths) if isinstance(paths, list) else paths,
+        },
+    )
+
+
+def test_push_filters_partitions_accept_and_reject(pq_file):
+    r = _reader(pq_file)
+    rejected = list(
+        r.pushFilters(
+            [
+                GreaterThan(("k",), 80),  # accepted
+                In(("s",), ("row001", "row002")),  # accepted
+                IsNotNull(("v",)),  # accepted
+                StringStartsWith(("s",), "row"),  # not a simple comparison
+                Not(EqualTo(("k",), 5)),  # wrapped -> rejected
+                EqualTo(("nope",), 1),  # unknown column
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in rejected] == [
+        "StringStartsWith",
+        "Not",
+        "EqualTo",
+    ]
+    assert r._pushed_filters == [
+        ("gt", "k", 80),
+        ("in", "s", ("row001", "row002")),
+        ("notnull", "v", None),
+    ]
+
+
+def test_row_group_pruning_by_footer_stats(pq_file):
+    # k > 80 excludes the first 3 of 4 row groups entirely
+    t = read_file_to_table(
+        pq_file, "parquet", SCHEMA, {}, [], None, pushed_filters=[("gt", "k", 80)]
+    )
+    # pruning alone keeps only the last group (25 rows, k in 75..99) —
+    # exact row filtering happens later in iter_record_batches
+    assert t.num_rows == 25
+    assert min(t.column("k").to_pylist()) == 75
+    # a filter excluding every group short-circuits to an empty table
+    t2 = read_file_to_table(
+        pq_file, "parquet", SCHEMA, {}, [], None, pushed_filters=[("gt", "k", 1000)]
+    )
+    assert t2.num_rows == 0 and t2.schema.names == ["k", "v", "s"]
+
+
+def test_exact_filtering_through_reader(pq_file):
+    r = _reader(pq_file)
+    list(r.pushFilters([GreaterThan(("k",), 90)]))
+    rows = []
+    for part in r.partitions():
+        for rb in r.read(part):
+            rows.extend(rb.to_pylist())
+    # exact: 91..99, not just the surviving row group's 75..99
+    assert sorted(x["k"] for x in rows) == list(range(91, 100))
+
+
+def test_e2e_filtered_read_matches_jvm(pushdown_spark, pq_file):
+    spark = pushdown_spark
+    register(spark)
+    df = (
+        spark.read.format("s3-connector")
+        .schema(SCHEMA)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", pq_file)
+        .load()
+    )
+    got = (
+        df.where((F.col("k") > 40) & (F.col("v") <= 3.0) & F.col("s").isNotNull())
+        .select("k")
+        .orderBy("k")
+        .collect()
+    )
+    expect = (
+        spark.read.parquet(pq_file)
+        .where((F.col("k") > 40) & (F.col("v") <= 3.0) & F.col("s").isNotNull())
+        .select("k")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in got] == [r.k for r in expect]
+    assert len(got) > 0
+
+
+def test_e2e_rejected_filters_still_applied_by_spark(pushdown_spark, pq_file):
+    spark = pushdown_spark
+    register(spark)
+    df = (
+        spark.read.format("s3-connector")
+        .schema(SCHEMA)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", pq_file)
+        .load()
+    )
+    # startswith is rejected by pushFilters -> Spark must evaluate it
+    got = df.where(F.col("s").startswith("row09")).count()
+    assert got == 10
