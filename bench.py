@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "sampling_docs_combined",
     "events_value_profile",
     "temporal_join_profile",
+    "connector_pushdown_read",
 ]
 
 N_INGEST_FILES = 32

@@ -691,6 +691,47 @@ def _connector_batch_read(spark, sf):
     )
 
 
+def _connector_pushdown_read(spark, sf):
+    """Filtered read through the Python data source WITH filter pushdown
+    (Spark 4.1 pushFilters): the predicate prunes parquet row groups via
+    footer stats and filters Arrow-side before the JVM transfer. The conf
+    flips the session to the pushdown-capable reader subclass; it changes
+    nothing for unfiltered reads, so leaving it set is safe."""
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.plans.io import ensure_package_shipped
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    ensure_package_shipped(spark)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    full = _table_schema(spark, sf, "lineitem")
+    schema = StructType([f for f in full.fields if f.name in ("l_returnflag", "l_quantity")])
+    df = (
+        spark.read.format("s3-connector")
+        .schema(schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", _os.path.join(sf, "lineitem.parquet"))
+        .load()
+    )
+    return (
+        df.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+_CONNECTOR_PUSHDOWN_READ_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def _stratified_sample_docs(spark, sf):
     """Exact-k-per-stratum deterministic sample (3 docs per language):
     one shuffle on the stratum, with WindowGroupLimit pre-pruning each
@@ -1259,5 +1300,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "value_quantiles_by_type": QuerySpec(_value_quantiles_by_type, _VALUE_QUANTILES_SQL),
     "events_time_bucket_rollup": QuerySpec(
         _events_time_bucket_rollup, _EVENTS_TIME_BUCKET_SQL
+    ),
+    "connector_pushdown_read": QuerySpec(
+        _connector_pushdown_read, _CONNECTOR_PUSHDOWN_READ_SQL
     ),
 }
