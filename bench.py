@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_value_profile",
     "temporal_join_profile",
     "connector_pushdown_read",
+    "repetition_docs",
+    "chunk_docs",
 ]
 
 N_INGEST_FILES = 32

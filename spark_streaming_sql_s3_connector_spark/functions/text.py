@@ -68,6 +68,44 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def repetition_metrics(col: Column) -> dict[str, Column]:
+    """Gopher/RefinedWeb-style repetition signals, pure JVM expressions:
+
+    - ``n_lines`` / ``n_distinct_lines`` — non-blank, trimmed lines;
+    - ``n_paras`` / ``n_distinct_paras`` — blank-line-separated paragraphs;
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines/paragraphs
+      that are repeats of an earlier one (0.0 for empty docs).
+
+    Boilerplate-heavy and templated documents (nav bars, repeated
+    disclaimers, scraped listings) show high duplicate fractions and get
+    filtered before training — the intra-document counterpart of the
+    cross-document dedup family in ``operators/dedup.py``."""
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(col, r"\n\s*\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_dl = F.size(F.array_distinct(lines))
+    n_paras = F.size(paras)
+    n_dp = F.size(F.array_distinct(paras))
+    return {
+        "n_lines": n_lines,
+        "n_distinct_lines": n_dl,
+        "n_paras": n_paras,
+        "n_distinct_paras": n_dp,
+        "dup_line_frac": F.when(
+            n_lines > 0, (n_lines - n_dl) / n_lines.cast("double")
+        ).otherwise(0.0),
+        "dup_para_frac": F.when(
+            n_paras > 0, (n_paras - n_dp) / n_paras.cast("double")
+        ).otherwise(0.0),
+    }
+
+
 def document_fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint: md5 of the whitespace-normalized,
     lower-cased text. Identical in any engine with md5 (oracle-checkable)."""

@@ -732,6 +732,88 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _repetition_docs(spark, sf):
+    """Intra-document repetition screen (functions/text.repetition_metrics,
+    Gopher-style duplicate-line fraction). The synthetic corpus has no
+    newlines, so sentences are first promoted to lines ('. ' -> '.\\n') —
+    the same deterministic transform on both engines — which makes the
+    duplicate-sentence signal non-trivial on generated text."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import repetition_metrics
+
+    docs = load_table(spark, sf, "documents")
+    as_lines = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    m = repetition_metrics(as_lines)
+    return docs.select(
+        "doc_id",
+        m["n_lines"].alias("n_lines"),
+        m["n_distinct_lines"].alias("n_distinct_lines"),
+        F.round(m["dup_line_frac"], 6).alias("dup_line_frac"),
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+)
+SELECT doc_id,
+       len(l) AS n_lines,
+       len(list_distinct(l)) AS n_distinct_lines,
+       ROUND(CASE WHEN len(l) > 0
+                  THEN (len(l) - len(list_distinct(l))) / len(l)::DOUBLE
+                  ELSE 0.0 END, 6) AS dup_line_frac
+FROM lines
+ORDER BY doc_id
+"""
+
+
+def _chunk_docs(spark, sf):
+    """Training-window chunker (operators/chunking.chunk_documents):
+    64-token windows every 48 tokens (16-token overlap), exploded map-side
+    with no shuffle. Aggregated per doc so the oracle hash covers every
+    chunk's content without shipping full chunk text through the gate."""
+    from spark_streaming_sql_s3_connector_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap_tokens=16)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_n_tokens").alias("total_chunk_tokens"),
+            F.max("chunk_n_tokens").alias("max_chunk_tokens"),
+            F.min("chunk_n_tokens").alias("min_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, len(tk[s + 1 : s + 64]) AS n
+  FROM toks, unnest(generate_series(0, len(tk) - 1, 48)) AS t(s)
+  WHERE len(tk) > 0
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n) AS BIGINT) AS total_chunk_tokens,
+       MAX(n) AS max_chunk_tokens,
+       MIN(n) AS min_chunk_tokens
+FROM ch
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _stratified_sample_docs(spark, sf):
     """Exact-k-per-stratum deterministic sample (3 docs per language):
     one shuffle on the stratum, with WindowGroupLimit pre-pruning each
@@ -1304,4 +1386,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "connector_pushdown_read": QuerySpec(
         _connector_pushdown_read, _CONNECTOR_PUSHDOWN_READ_SQL
     ),
+    "repetition_docs": QuerySpec(_repetition_docs, _REPETITION_SQL),
+    "chunk_docs": QuerySpec(_chunk_docs, _CHUNK_DOCS_SQL),
 }

@@ -1,0 +1,95 @@
+"""Chunking (operators/chunking.py) and intra-document repetition metrics
+(functions/text.repetition_metrics) — the training-window and
+boilerplate-screen ops of the pipeline surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.text import repetition_metrics
+from spark_streaming_sql_s3_connector_spark.operators.chunking import chunk_documents
+
+
+def _chunks(spark, text, chunk_tokens=8, overlap=2):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    return chunk_documents(
+        df, "text", "doc_id", chunk_tokens=chunk_tokens, overlap_tokens=overlap
+    ).orderBy("chunk_idx").collect()
+
+
+def test_chunk_coverage_and_overlap(spark):
+    toks = [f"t{i}" for i in range(20)]
+    rows = _chunks(spark, " ".join(toks), chunk_tokens=8, overlap=2)  # step 6
+    # starts 0, 6, 12, 18 -> 4 chunks
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # every token appears in at least one chunk, in order
+    covered = []
+    for r in rows:
+        covered.extend(r.chunk_text.split())
+    assert set(covered) == set(toks)
+    # consecutive chunks share exactly `overlap` tokens (full chunks)
+    c0, c1 = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+    assert c0[-2:] == c1[:2]
+    # tail chunk is short, never empty
+    assert rows[3].chunk_n_tokens == 2
+    assert all(r.chunk_n_tokens > 0 for r in rows)
+
+
+def test_chunk_short_and_empty_docs(spark):
+    assert len(_chunks(spark, "only three tokens")) == 1
+    assert _chunks(spark, "only three tokens")[0].chunk_text == "only three tokens"
+    assert _chunks(spark, "") == []
+    assert _chunks(spark, "   ") == []
+
+
+def test_chunk_exact_multiple_has_no_empty_tail(spark):
+    # 12 tokens, chunk 6, overlap 0: exactly 2 chunks
+    rows = _chunks(spark, " ".join(f"x{i}" for i in range(12)), chunk_tokens=6, overlap=0)
+    assert [r.chunk_n_tokens for r in rows] == [6, 6]
+
+
+def test_chunk_determinism_and_validation(spark):
+    a = _chunks(spark, "a b c d e f g h i j")
+    b = _chunks(spark, "a b c d e f g h i j")
+    assert [(r.chunk_idx, r.chunk_text) for r in a] == [
+        (r.chunk_idx, r.chunk_text) for r in b
+    ]
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap_tokens=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap_tokens=-1)
+
+
+def _rep(spark, text):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    m = repetition_metrics(F.col("text"))
+    return df.select(
+        m["n_lines"].alias("nl"),
+        m["n_distinct_lines"].alias("ndl"),
+        m["dup_line_frac"].alias("dlf"),
+        m["n_paras"].alias("np"),
+        m["dup_para_frac"].alias("dpf"),
+    ).collect()[0]
+
+
+def test_repetition_duplicate_lines(spark):
+    r = _rep(spark, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar\n")
+    assert (r.nl, r.ndl) == (5, 3)
+    assert r.dlf == pytest.approx(2 / 5)
+
+
+def test_repetition_clean_and_empty(spark):
+    r = _rep(spark, "alpha\nbeta\ngamma")
+    assert r.dlf == 0.0 and r.nl == 3
+    r2 = _rep(spark, "")
+    assert (r2.nl, r2.dlf, r2.dpf) == (0, 0.0, 0.0)
+    # whitespace-only lines don't count
+    r3 = _rep(spark, "a\n   \n\na")
+    assert (r3.nl, r3.ndl) == (2, 1) and r3.dlf == pytest.approx(0.5)
+
+
+def test_repetition_paragraphs(spark):
+    text = "para one line\nstill para one\n\npara two\n\npara one line\nstill para one"
+    r = _rep(spark, text)
+    assert r.np == 3
+    assert r.dpf == pytest.approx(1 / 3)
