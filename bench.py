@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "connector_pushdown_read",
     "repetition_docs",
     "chunk_docs",
+    "redact_docs",
 ]
 
 N_INGEST_FILES = 32

@@ -106,6 +106,36 @@ def repetition_metrics(col: Column) -> dict[str, Column]:
     }
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB/
+# oracle) evaluate identically: no backrefs, no lookaround. Order matters —
+# URLs are redacted before emails so an address inside a URL query string
+# doesn't split the URL match.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match counts per PII kind (before redaction) — the audit signal."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat, _tok in _PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace URLs, emails, and IPv4 addresses with typed tokens
+    (``<URL>``/``<EMAIL>``/``<IP>``) — the standard scrub step before
+    training. Chained regexp_replace, all JVM-side; patterns are
+    RE2-compatible so a DuckDB oracle reproduces the output exactly."""
+    out = col
+    for _kind, pat, tok in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
 def document_fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint: md5 of the whitespace-normalized,
     lower-cased text. Identical in any engine with md5 (oracle-checkable)."""

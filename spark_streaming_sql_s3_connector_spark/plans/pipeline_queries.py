@@ -814,6 +814,57 @@ ORDER BY doc_id
 """
 
 
+def _redact_docs(spark, sf):
+    """PII scrub (functions/text.redact_pii): the synthetic corpus has no
+    PII, so each doc gets a deterministic doc_id-derived contact suffix on
+    BOTH engines; the redacted text then hash-checks exactly, proving the
+    chained-regexp pipeline end to end."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://site"),
+        F.col("doc_id").cast("string"),
+        F.lit(".org or 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    counts = pii_counts(salted)
+    return docs.select(
+        "doc_id",
+        counts["url"].alias("n_urls"),
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        F.md5(F.encode(redact_pii(salted), "UTF-8")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_REDACT_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://site' || CAST(doc_id AS VARCHAR)
+              || '.org or 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM salted
+ORDER BY doc_id
+"""
+
+
 def _stratified_sample_docs(spark, sf):
     """Exact-k-per-stratum deterministic sample (3 docs per language):
     one shuffle on the stratum, with WindowGroupLimit pre-pruning each
@@ -1388,4 +1439,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     ),
     "repetition_docs": QuerySpec(_repetition_docs, _REPETITION_SQL),
     "chunk_docs": QuerySpec(_chunk_docs, _CHUNK_DOCS_SQL),
+    "redact_docs": QuerySpec(_redact_docs, _REDACT_SQL),
 }

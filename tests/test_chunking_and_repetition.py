@@ -93,3 +93,36 @@ def test_repetition_paragraphs(spark):
     r = _rep(spark, text)
     assert r.np == 3
     assert r.dpf == pytest.approx(1 / 3)
+
+
+def test_redact_pii(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    cases = [
+        # url redacted BEFORE email: the address inside the query string
+        # must not split the URL match
+        (1, "see https://x.org/?mail=a@b.com for info", "see <URL> for info"),
+        (2, "mail me at jane.doe+spam@corp.example.co", "mail me at <EMAIL>"),
+        (3, "server 192.168.0.1 and 10.0.0.255 up", "server <IP> and <IP> up"),
+        (4, "no pii here at all", "no pii here at all"),
+        (5, "a@b.io then http://c.io then 1.2.3.4", "<EMAIL> then <URL> then <IP>"),
+    ]
+    df = spark.createDataFrame(cases, ["id", "text", "expected"])
+    c = pii_counts(F.col("text"))
+    got = df.select(
+        "id",
+        "expected",
+        redact_pii(F.col("text")).alias("red"),
+        c["url"].alias("nu"),
+        c["email"].alias("ne"),
+        c["ipv4"].alias("ni"),
+    ).collect()
+    for r in got:
+        assert r.red == r.expected, r.id
+    by_id = {r.id: r for r in got}
+    assert (by_id[1].nu, by_id[1].ne) == (1, 1)  # counts audit pre-redaction
+    assert by_id[3].ni == 2
+    assert (by_id[4].nu, by_id[4].ne, by_id[4].ni) == (0, 0, 0)
