@@ -95,6 +95,37 @@ def test_repetition_paragraphs(spark):
     assert r.dpf == pytest.approx(1 / 3)
 
 
+@pytest.mark.parametrize(
+    "chunk_tokens,overlap",
+    [(8, 2), (8, 0), (5, 4), (64, 16), (3, 1), (2, 0)],
+)
+def test_chunk_reconstruction_law_sweep(spark, chunk_tokens, overlap):
+    """For every doc length 0..40: the original token list equals
+    chunk[0] ++ chunk[i][overlap:] for i >= 1 — chunks cover every token
+    exactly once outside the declared overlaps, at any (size, overlap)."""
+    docs = [(n, " ".join(f"w{n}_{i}" for i in range(n))) for n in range(41)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=chunk_tokens, overlap_tokens=overlap
+    ).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        toks = r.chunk_text.split() if r.chunk_text else []
+        assert r.chunk_n_tokens == len(toks)
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = toks
+    for n, text in docs:
+        expected = text.split()
+        chunks = by_doc.get(n, {})
+        if n == 0:
+            assert chunks == {}
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))  # contiguous idx
+        rebuilt = list(chunks[0])
+        for i in range(1, len(chunks)):
+            rebuilt.extend(chunks[i][overlap:])
+        assert rebuilt == expected, (n, chunk_tokens, overlap)
+
+
 def test_redact_pii(spark):
     from spark_streaming_sql_s3_connector_spark.functions.text import (
         pii_counts,
