@@ -716,8 +716,11 @@ def _connector_pushdown_read(spark, sf):
         .option("paths", _os.path.join(sf, "lineitem.parquet"))
         .load()
     )
+    # `<` not `>`: gt/ge on floating columns are rejected by pushFilters
+    # (Spark's NaN-is-largest ordering diverges from IEEE in pyarrow), so
+    # lt keeps the numeric predicate on the accepted-and-pushed path
     return (
-        df.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        df.where((F.col("l_quantity") < 5) & (F.col("l_returnflag") == "R"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
         .orderBy("l_returnflag")
@@ -727,7 +730,7 @@ def _connector_pushdown_read(spark, sf):
 _CONNECTOR_PUSHDOWN_READ_SQL = """
 SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
 FROM lineitem
-WHERE l_quantity > 45 AND l_returnflag = 'R'
+WHERE l_quantity < 5 AND l_returnflag = 'R'
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -275,6 +275,10 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
             LessThanOrEqual,
         )
 
+        import math
+
+        from pyspark.sql.types import DoubleType, FloatType
+
         part_cols = set(self._options.partition_column_names or [])
         simple = {
             EqualTo: "eq",
@@ -284,10 +288,20 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
             LessThanOrEqual: "le",
             In: "in",
         }
+        # Spark orders NaN GREATER than every double (so `col > 5` keeps
+        # NaN rows); pyarrow follows IEEE (NaN comparisons are false).
+        # gt/ge on floating columns therefore diverge whenever the DATA
+        # contains NaN — reject them (lt/le/eq-non-NaN exclude NaN rows in
+        # both engines, so they stay accepted). NaN literals reject too.
+        float_cols = {
+            f.name for f in self._schema.fields if isinstance(f.dataType, (FloatType, DoubleType))
+        }
 
         def scalar_ok(v) -> bool:
             if isinstance(v, bool) or v is None:
                 return True
+            if isinstance(v, float) and math.isnan(v):
+                return False
             return isinstance(v, (int, float, str))
 
         accepted: list[tuple] = []
@@ -297,6 +311,8 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
             col = getattr(f, "attribute", ())
             if len(col) != 1 or col[0] in part_cols or col[0] not in self._schema.names:
                 rejected.append(f)
+            elif op in ("gt", "ge") and col[0] in float_cols:
+                rejected.append(f)  # NaN-ordering divergence, see above
             elif op == "in":
                 if all(scalar_ok(v) for v in f.value):
                     accepted.append(("in", col[0], tuple(f.value)))

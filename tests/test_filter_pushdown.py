@@ -167,6 +167,49 @@ def test_e2e_filtered_read_matches_jvm(pushdown_spark, pq_file):
     assert len(got) > 0
 
 
+def test_nan_ordering_divergence_not_pushed(pushdown_spark, tmp_path):
+    """Spark orders NaN greater than every double; pyarrow follows IEEE.
+    gt/ge on a float column must therefore be REJECTED (Spark
+    re-evaluates them and NaN rows survive `v > 1`); lt stays pushed and
+    agrees in both engines."""
+    import math
+
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    spark = pushdown_spark
+    path = str(tmp_path / "nan.parquet")
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([0.5, 2.0, float("nan"), 3.0], pa.float64()),
+            "s": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    pq.write_table(tbl, path)
+    # unit: gt on double rejected, lt accepted, gt on int accepted
+    r = _reader(path)
+    rejected = list(r.pushFilters([GreaterThan(("v",), 1.0), LessThan(("v",), 1.0), GreaterThan(("k",), 1)]))
+    assert [type(f).__name__ for f in rejected] == ["GreaterThan"]
+    assert r._pushed_filters == [("lt", "v", 1.0), ("gt", "k", 1)]
+    # e2e: the connector must reproduce Spark's NaN semantics exactly
+    register(spark)
+    df = (
+        spark.read.format("s3-connector")
+        .schema(SCHEMA)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", path)
+        .load()
+    )
+    got = sorted(r.k for r in df.where(F.col("v") > 1.0).select("k").collect())
+    expect = sorted(
+        r.k for r in spark.read.parquet(path).where(F.col("v") > 1.0).select("k").collect()
+    )
+    assert got == expect
+    assert 3 in got, "Spark semantics: the NaN row satisfies v > 1.0"
+
+
 def test_e2e_rejected_filters_still_applied_by_spark(pushdown_spark, pq_file):
     spark = pushdown_spark
     register(spark)
