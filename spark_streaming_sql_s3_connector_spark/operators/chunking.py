@@ -43,11 +43,15 @@ def chunk_documents(
     step = chunk_tokens - overlap_tokens
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
-    # starts: 0, step, 2*step, ... while start < n (sequence is inclusive
-    # of the upper bound, so n-1 caps the last start inside the doc)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # starts: 0, step, 2*step, ... while start < n - overlap (sequence is
+    # inclusive of its upper bound, so the cap is n - overlap - 1). A
+    # start in [n - overlap, n) would emit a window wholly contained in
+    # the previous chunk's tail — zero new tokens, pure duplicated
+    # training content, exactly what the dedup operators exist to remove.
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.greatest(n - overlap_tokens - 1, F.lit(0)), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         F.col(id_col),
         toks.alias("_toks"),

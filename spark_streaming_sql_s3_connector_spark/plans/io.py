@@ -37,11 +37,27 @@ TABLES = [
 ]
 
 
+# path -> nanos column list. The test tables are static for a round, so
+# one footer probe per path per process is enough (each load_table call
+# otherwise pays glob + read_schema on the driver for every query run).
+_NANOS_COLS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), from the file footer.
 
-    Driver-side metadata-only read (one footer); works whether ``path`` is
-    a single parquet file or a directory of part files."""
+    Driver-side metadata-only read (one footer, memoized per path); works
+    whether ``path`` is a single parquet file or a directory of part
+    files."""
+    cached = _NANOS_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    cols = _probe_nanos_cols(path)
+    _NANOS_COLS_CACHE[path] = cols
+    return cols
+
+
+def _probe_nanos_cols(path: str) -> list[str]:
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq

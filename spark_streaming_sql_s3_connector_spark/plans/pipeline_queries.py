@@ -802,8 +802,10 @@ WITH toks AS (
               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
   FROM documents
 ), ch AS (
+  -- starts capped at len - overlap - 1 (= len - 17): a later start would
+  -- emit a window wholly inside the previous chunk (see chunking.py)
   SELECT doc_id, len(tk[s + 1 : s + 64]) AS n
-  FROM toks, unnest(generate_series(0, len(tk) - 1, 48)) AS t(s)
+  FROM toks, unnest(generate_series(0, greatest(len(tk) - 17, 0), 48)) AS t(s)
   WHERE len(tk) > 0
 )
 SELECT doc_id,

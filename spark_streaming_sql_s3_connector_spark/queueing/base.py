@@ -19,25 +19,35 @@ from typing import Callable, Optional
 from spark_streaming_sql_s3_connector_spark.models import FileMetadata
 
 
+def _nearest_rank(data: list[float], q: float) -> float:
+    """Nearest-rank percentile of an already-sorted sample (0 if empty)."""
+    import math
+
+    if not data:
+        return 0.0
+    idx = min(len(data) - 1, max(0, math.ceil(q / 100.0 * len(data)) - 1))
+    return data[idx]
+
+
 class LatencyHistogram:
     """Sliding-window latency distribution: keeps the most recent
     ``capacity`` samples (deque ring buffer, O(1) memory — the
     deterministic analog of the reference's Dropwizard reservoirs behind
     its RocksDB get/put/commit histograms, RocksDB.scala:334-381,
     AsyncSqsClientMetricsImpl.scala:25-77) and reports
-    count/min/max/mean/p50/p95/p99 on demand."""
+    count/min/max/mean/p50/p95/p99 on demand. ``count`` is lifetime; all
+    other statistics (including mean) describe the CURRENT window, so
+    they stay internally consistent after the buffer wraps."""
 
     def __init__(self, capacity: int = 4096):
         self._samples: deque[float] = deque(maxlen=capacity)
         self._count = 0  # lifetime observations, beyond the window
-        self._sum = 0.0
         self._lock = threading.Lock()
 
     def observe(self, value_ms: float) -> None:
         with self._lock:
             self._samples.append(float(value_ms))
             self._count += 1
-            self._sum += float(value_ms)
 
     @property
     def count(self) -> int:
@@ -46,37 +56,25 @@ class LatencyHistogram:
 
     def percentile(self, q: float) -> float:
         """Nearest-rank percentile over the current window (0 if empty)."""
-        import math
-
         with self._lock:
             data = sorted(self._samples)
-        if not data:
-            return 0.0
-        idx = min(len(data) - 1, max(0, math.ceil(q / 100.0 * len(data)) - 1))
-        return data[idx]
+        return _nearest_rank(data, q)
 
     def snapshot(self) -> dict[str, float]:
         with self._lock:
             data = sorted(self._samples)
-            count, total = self._count, self._sum
+            count = self._count
         if not data:
             return {"count": 0, "min": 0.0, "max": 0.0, "mean": 0.0,
                     "p50": 0.0, "p95": 0.0, "p99": 0.0}
-
-        import math
-
-        def pct(q: float) -> float:
-            idx = min(len(data) - 1, max(0, math.ceil(q / 100.0 * len(data)) - 1))
-            return data[idx]
-
         return {
             "count": count,
             "min": data[0],
             "max": data[-1],
-            "mean": total / count if count else 0.0,
-            "p50": pct(50),
-            "p95": pct(95),
-            "p99": pct(99),
+            "mean": sum(data) / len(data),
+            "p50": _nearest_rank(data, 50),
+            "p95": _nearest_rank(data, 95),
+            "p99": _nearest_rank(data, 99),
         }
 
 

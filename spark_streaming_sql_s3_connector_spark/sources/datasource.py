@@ -298,7 +298,7 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
         }
 
         def scalar_ok(v) -> bool:
-            if isinstance(v, bool) or v is None:
+            if isinstance(v, bool):
                 return True
             if isinstance(v, float) and math.isnan(v):
                 return False
@@ -314,8 +314,15 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
             elif op in ("gt", "ge") and col[0] in float_cols:
                 rejected.append(f)  # NaN-ordering divergence, see above
             elif op == "in":
-                if all(scalar_ok(v) for v in f.value):
-                    accepted.append(("in", col[0], tuple(f.value)))
+                # SQL IN never matches NULL rows, and a NULL literal in the
+                # list matches nothing — but pyarrow isin([... None]) DOES
+                # match null rows. Stripping NULL literals preserves SQL
+                # semantics exactly (x IN ('a', NULL) is TRUE only for 'a');
+                # an all-NULL list becomes isin([]) which matches no rows,
+                # also the SQL answer.
+                vals = tuple(v for v in f.value if v is not None)
+                if all(scalar_ok(v) for v in vals):
+                    accepted.append(("in", col[0], vals))
                 else:
                     rejected.append(f)
             elif op is not None:

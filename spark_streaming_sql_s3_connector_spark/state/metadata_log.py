@@ -71,9 +71,11 @@ class JsonMetadataLog:
             "add_ms": LatencyHistogram(),
             "compact_ms": LatencyHistogram(),
         }
-        # path -> timestamp for every file currently tracked by the log
-        self._seen: dict[str, int] = {}
-        # shards whose on-disk snapshot no longer matches _seen
+        # path -> timestamp for every tracked file, PARTITIONED BY SHARD so
+        # dirty-shard serialization touches only those shards' entries
+        # (a flat dict would make every compaction an O(total-files) scan)
+        self._seen_shards: list[dict[str, int]] = [{} for _ in range(N_SEEN_SHARDS)]
+        # shards whose on-disk snapshot no longer matches memory
         self._dirty_shards: set[int] = set()
         # batchId -> batch timestamp (for bounded GC without re-reading files)
         self._batch_ts: dict[int, int] = {}
@@ -93,16 +95,22 @@ class JsonMetadataLog:
     def _shard_path(self, shard: int) -> str:
         return os.path.join(self._shards_dir, f"seen-{shard:02d}.json")
 
+    def _seen_get(self, path: str) -> Optional[int]:
+        return self._seen_shards[self._shard_of(path)].get(path)
+
     def _seen_put(self, path: str, ts: int) -> None:
-        cur = self._seen.get(path)
+        s = self._shard_of(path)
+        shard = self._seen_shards[s]
+        cur = shard.get(path)
         new = max(ts, cur) if cur is not None else ts
         if cur != new:
-            self._seen[path] = new
-            self._dirty_shards.add(self._shard_of(path))
+            shard[path] = new
+            self._dirty_shards.add(s)
 
     def _seen_pop(self, path: str) -> None:
-        if self._seen.pop(path, None) is not None:
-            self._dirty_shards.add(self._shard_of(path))
+        s = self._shard_of(path)
+        if self._seen_shards[s].pop(path, None) is not None:
+            self._dirty_shards.add(s)
 
     def _recover(self) -> None:
         if os.path.exists(self._legacy_snapshot_path):
@@ -120,9 +128,10 @@ class JsonMetadataLog:
             # one — that shard is then already marked dirty)
             for k, v in snap.get("seen", {}).items():
                 ts = int(v)
-                cur = self._seen.get(k)
+                shard = self._seen_shards[self._shard_of(k)]
+                cur = shard.get(k)
                 if cur is None or ts > cur:
-                    self._seen[k] = ts
+                    shard[k] = ts
         for name in os.listdir(self._batches_dir):
             if not name.endswith(".json"):
                 continue
@@ -209,12 +218,10 @@ class JsonMetadataLog:
             self._write_dirty_shards()
 
     def _write_dirty_shards(self) -> None:
-        by_shard: dict[int, dict[str, int]] = {s: {} for s in self._dirty_shards}
-        for path, ts in self._seen.items():
-            s = self._shard_of(path)
-            if s in by_shard:
-                by_shard[s][path] = ts
-        for s, seen in by_shard.items():
+        # O(entries-in-dirty-shards), NOT O(total tracked files): the seen
+        # index is stored pre-partitioned by shard
+        for s in self._dirty_shards:
+            seen = self._seen_shards[s]
             fd, tmp = tempfile.mkstemp(dir=self._shards_dir, prefix=f".seen-{s:02d}-", suffix=".tmp")
             with os.fdopen(fd, "w") as f:
                 json.dump({"v": VERSION, "seen": seen}, f)
@@ -254,7 +261,7 @@ class JsonMetadataLog:
                 self._batch_ts.pop(batch_id, None)
                 for e in doc["entries"]:
                     # drop from seen index only if not re-logged with a newer ts
-                    if self._seen.get(e["path"], 0) <= int(e["timestamp"]):
+                    if (self._seen_get(e["path"]) or 0) <= int(e["timestamp"]):
                         self._seen_pop(e["path"])
                 removed += 1
         return removed
@@ -293,7 +300,7 @@ class JsonMetadataLog:
 
     def get_file(self, path: str) -> Optional[int]:
         with self._lock:
-            return self._seen.get(path)
+            return self._seen_get(path)
 
     def is_new_file(self, path: str, last_purge_timestamp: int) -> bool:
         """New if never logged, or logged with ts older than the purge

@@ -19,8 +19,9 @@ def _chunks(spark, text, chunk_tokens=8, overlap=2):
 def test_chunk_coverage_and_overlap(spark):
     toks = [f"t{i}" for i in range(20)]
     rows = _chunks(spark, " ".join(toks), chunk_tokens=8, overlap=2)  # step 6
-    # starts 0, 6, 12, 18 -> 4 chunks
-    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # starts 0, 6, 12 — a start at 18 would add zero new tokens (the
+    # window [18,20) sits inside chunk 2's [12,20)) and is suppressed
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
     # every token appears in at least one chunk, in order
     covered = []
     for r in rows:
@@ -29,9 +30,25 @@ def test_chunk_coverage_and_overlap(spark):
     # consecutive chunks share exactly `overlap` tokens (full chunks)
     c0, c1 = rows[0].chunk_text.split(), rows[1].chunk_text.split()
     assert c0[-2:] == c1[:2]
-    # tail chunk is short, never empty
-    assert rows[3].chunk_n_tokens == 2
     assert all(r.chunk_n_tokens > 0 for r in rows)
+    # a doc whose tail DOES add new tokens keeps its short final chunk
+    rows2 = _chunks(spark, " ".join(f"u{i}" for i in range(21)), chunk_tokens=8, overlap=2)
+    assert [r.chunk_n_tokens for r in rows2] == [8, 8, 8, 3]
+
+
+def test_chunk_no_fully_contained_tail(spark):
+    # the registry's exact parameters: 64-token doc, chunk 64, overlap 16
+    # must yield ONE chunk (a start at 48 would duplicate tokens 49-64)
+    rows = _chunks(spark, " ".join(f"v{i}" for i in range(64)), chunk_tokens=64, overlap=16)
+    assert [r.chunk_n_tokens for r in rows] == [64]
+    # every emitted chunk contributes at least one previously-unseen token
+    for n in range(1, 60):
+        rows = _chunks(spark, " ".join(f"w{i}" for i in range(n)), chunk_tokens=8, overlap=3)
+        seen = 0
+        for r in rows:
+            assert seen < n, f"n={n}: chunk {r.chunk_idx} adds nothing"
+            seen = max(seen, r.chunk_idx * 5 + r.chunk_n_tokens)
+        assert seen == n, f"n={n}: coverage gap"
 
 
 def test_chunk_short_and_empty_docs(spark):

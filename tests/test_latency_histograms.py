@@ -39,6 +39,9 @@ def test_histogram_empty_and_window_bound():
     assert s["count"] == 100  # lifetime count keeps going...
     assert s["min"] == 90.0  # ...but the window holds only the last 10
     assert s["max"] == 99.0
+    # mean describes the window too — never inconsistent with min/max
+    assert s["min"] <= s["mean"] <= s["max"]
+    assert s["mean"] == 94.5
 
 
 def test_timed_records_on_error_too():
