@@ -2,21 +2,33 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
-transforms, partitioning — is real and tested; the codec step is stubbed
-(this container has no image/audio libraries): ``decode_image_meta`` uses a
-deterministic fake decoder keyed on the byte content, and the real-codec
-entry points raise NotImplementedError behind an import-try so dropping in
-Pillow/torchaudio later only replaces the inner function.
+transforms, partitioning — is real and tested. The codec layer sniffs the
+payload's magic bytes and dispatches:
+
+- **PNG**  → real stdlib parser (IHDR chunk: width/height/bit-depth/
+  color-type → channels; ``struct`` over the first 26 bytes).
+- **JPEG** → real stdlib parser (marker scan to the first SOF frame
+  header: precision/height/width/components).
+- **WAV**  → real stdlib parser (RIFF chunk walk: ``fmt `` gives
+  channels/sample-rate/block-align, ``data`` size gives frame count and
+  duration).
+- anything else → the deterministic fake codec keyed on byte length
+  (the synthetic testdata path; also what full pixel/sample decoding
+  would need Pillow/torchaudio for — those libs are absent here, so
+  ``resize_images`` stays an honest NotImplementedError stub).
 
 Scale notes: mapInPandas streams Arrow batches through one Python worker
 per core — decode cost parallelizes with the data, and
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds worker memory for
-fat binary rows.
+fat binary rows. The header parsers touch only the first few hundred
+bytes of each payload, so metadata extraction over a 100 TB corpus is
+I/O-bound on the scan, not CPU-bound on Python.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -51,9 +63,136 @@ def with_binary_payload(df: DataFrame, text_col: str, out_col: str = "payload") 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake codec: derives dimensions from byte length —
-    replace with PIL.Image.open when the codec libs exist."""
+    the fallback for payloads that aren't a recognized real format
+    (covers the synthetic testdata, whose payloads are UTF-8 text)."""
     n = len(payload)
     return (n % 64 + 1, n % 48 + 1, 3, "fake")
+
+
+# ------------------------------------------------- real header parsers ----
+# Pure-stdlib metadata decoders. They parse container/frame headers, not
+# pixel or sample data — which is exactly what a metadata-extraction pass
+# over a training corpus needs, and needs fast.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(payload: bytes) -> str:
+    """Classify a payload by magic bytes: 'png' | 'jpeg' | 'wav' | 'fake'."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "fake"
+
+
+def _decode_png(payload: bytes) -> Optional[Tuple[int, int, int, str]]:
+    """Parse the IHDR chunk (must be first per the PNG spec): returns
+    (width, height, channels, 'png'), or None if malformed."""
+    # layout: 8-byte signature, 4-byte chunk length, b'IHDR', then
+    # width(4) height(4) bit-depth(1) color-type(1)
+    if len(payload) < 26 or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    color_type = payload[25]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or width == 0 or height == 0:
+        return None
+    return (width, height, channels, "png")
+
+
+# SOF markers carry the frame header; C4/C8/CC look like SOFs but are
+# DHT/JPG/DAC (ITU T.81 table B.1)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+# standalone markers with no length field: TEM, RSTn, SOI, EOI
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xDA)}
+
+
+def _decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, int, str]]:
+    """Marker-scan to the first SOF0..SOF15 frame header: returns
+    (width, height, components, 'jpeg'), or None if malformed. Handles
+    fill bytes (repeated 0xFF) and standalone markers per ITU T.81."""
+    n = len(payload)
+    i = 2  # past SOI
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None  # lost marker sync — corrupt stream
+        # skip fill bytes
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        if i >= n:
+            return None
+        marker = payload[i]
+        i += 1
+        if marker in _JPEG_STANDALONE:
+            continue
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i : i + 2])
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            # SOF segment: length(2) precision(1) height(2) width(2) ncomp(1)
+            if i + 8 > n:
+                return None
+            height, width = struct.unpack(">HH", payload[i + 3 : i + 7])
+            ncomp = payload[i + 7]
+            if width == 0 or height == 0 or ncomp == 0:
+                return None
+            return (width, height, ncomp, "jpeg")
+        if marker == 0xDA:  # SOS — entropy-coded data follows; no SOF seen
+            return None
+        i += seg_len
+    return None
+
+
+def _decode_wav(payload: bytes) -> Optional[Tuple[int, int, int, int]]:
+    """RIFF chunk walk: returns (sample_rate, n_frames, duration_ms,
+    channels), or None if malformed. Reads the ``fmt `` chunk for
+    channels/rate/block-align and sizes ``data`` for the frame count —
+    no sample decoding (stdlib ``wave`` would also work but chokes on
+    truncated data chunks; the manual walk is robust to them)."""
+    n = len(payload)
+    sample_rate = block_align = channels = None
+    data_size = None
+    i = 12  # past RIFF<size>WAVE
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            channels, sample_rate = struct.unpack("<HI", payload[body + 2 : body + 8])
+            (block_align,) = struct.unpack("<H", payload[body + 12 : body + 14])
+        elif cid == b"data":
+            # tolerate a truncated final chunk (common on streamed writes)
+            data_size = min(csize, n - body)
+        i = body + csize + (csize & 1)  # chunks are word-aligned
+    if not sample_rate or not block_align or data_size is None:
+        return None
+    n_frames = data_size // block_align
+    duration_ms = n_frames * 1000 // sample_rate
+    return (sample_rate, n_frames, duration_ms, channels or 1)
+
+
+def decode_image_payload(payload: bytes) -> tuple[int, int, int, str]:
+    """Dispatch on magic bytes: real PNG/JPEG header parse, fake-codec
+    fallback for unrecognized (synthetic) payloads. A recognized-but-
+    malformed payload also falls back rather than raising — a corrupt
+    file in a 100 TB corpus must not kill the job."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        parsed = _decode_png(payload)
+        if parsed is not None:
+            return parsed
+    elif fmt == "jpeg":
+        parsed = _decode_jpeg(payload)
+        if parsed is not None:
+            return parsed
+    return _fake_decode(payload)
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -70,7 +209,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            decoded = [decode_image_payload(bytes(b)) for b in pdf[payload_col]]
             out = pdf[pass_names].copy()
             out["width"] = [d[0] for d in decoded]
             out["height"] = [d[1] for d in decoded]
@@ -106,13 +245,25 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def _fake_decode_audio(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake audio codec (byte-length keyed) — replace with
-    soundfile/torchaudio when codec libs exist. (sample_rate, n_samples,
+    """Deterministic fake audio codec (byte-length keyed) — the fallback
+    for payloads that aren't RIFF/WAVE. (sample_rate, n_samples,
     duration_ms)."""
     n = len(payload)
     sr = 8000 * (1 + n % 3)
     n_samples = n * 2
     return (sr, n_samples, n_samples * 1000 // sr)
+
+
+def decode_audio_payload(payload: bytes) -> tuple[int, int, int]:
+    """Dispatch on magic bytes: real WAV fmt/data parse, fake-codec
+    fallback for unrecognized or malformed payloads. Returns
+    (sample_rate, n_samples, duration_ms); n_samples counts frames
+    (inter-channel sample groups), matching soundfile's convention."""
+    if sniff_format(payload) == "wav":
+        parsed = _decode_wav(payload)
+        if parsed is not None:
+            return parsed[:3]
+    return _fake_decode_audio(payload)
 
 
 def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -126,7 +277,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode_audio(bytes(b)) for b in pdf[payload_col]]
+            decoded = [decode_audio_payload(bytes(b)) for b in pdf[payload_col]]
             out = pdf[pass_names].copy()
             out["sample_rate"] = [d[0] for d in decoded]
             out["n_samples"] = [d[1] for d in decoded]
@@ -167,8 +318,8 @@ def decode_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(b) for b in pdf[payload_col]]
-            img = [_fake_decode(p) for p in payloads]
-            aud = [_fake_decode_audio(p) for p in payloads]
+            img = [decode_image_payload(p) for p in payloads]
+            aud = [decode_audio_payload(p) for p in payloads]
             out = pdf[pass_names].copy()
             out["width"] = [d[0] for d in img]
             out["height"] = [d[1] for d in img]

@@ -91,3 +91,150 @@ def test_fused_media_decode_matches_separate_decoders(spark):
             aud[d].n_samples,
             aud[d].duration_ms,
         )
+
+
+# ------------------------------------------------ real-format decoding ----
+# These build genuine format bytes with the stdlib only: a fully valid PNG
+# (correct chunk CRCs, decompressible IDAT), a structurally valid JPEG
+# header sequence (SOI/APP0/DQT/SOF0 — what every real JPEG's metadata
+# region looks like), and a WAV written by the `wave` module itself.
+
+import io
+import struct
+import wave
+import zlib
+
+from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+    decode_audio_payload,
+    decode_image_payload,
+    sniff_format,
+)
+
+
+def make_png(width: int, height: int, color_type: int = 6) -> bytes:
+    """Real PNG: signature + IHDR + IDAT (zlib raw scanlines) + IEND,
+    with correct per-chunk CRC32s. color_type 6 = RGBA."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (width * channels) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg_header(width: int, height: int, ncomp: int = 3) -> bytes:
+    """Structurally valid JPEG metadata region: SOI, APP0/JFIF, DQT,
+    SOF0 (baseline frame header carrying the dimensions)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)  # table 0, 64 dummy entries
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    return b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof_body)
+
+
+def make_wav(sample_rate: int, n_frames: int, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x01" * n_frames * channels)
+    return buf.getvalue()
+
+
+def test_sniff_format():
+    assert sniff_format(make_png(3, 2)) == "png"
+    assert sniff_format(make_jpeg_header(10, 20)) == "jpeg"
+    assert sniff_format(make_wav(8000, 100)) == "wav"
+    assert sniff_format(b"plain text payload") == "fake"
+    assert sniff_format(b"") == "fake"
+    # RIFF but not WAVE (e.g. AVI) is not claimed as wav
+    assert sniff_format(b"RIFF\x00\x00\x00\x00AVI LIST") == "fake"
+
+
+def test_decode_real_png():
+    for w, h, ct, ch in [(640, 480, 6, 4), (1, 1, 0, 1), (65535, 3, 2, 3)]:
+        assert decode_image_payload(make_png(w, h, ct)) == (w, h, ch, "png")
+
+
+def test_decode_real_jpeg():
+    assert decode_image_payload(make_jpeg_header(1920, 1080)) == (1920, 1080, 3, "jpeg")
+    assert decode_image_payload(make_jpeg_header(8, 8, 1)) == (8, 8, 1, "jpeg")
+    # progressive (SOF2) carries the same frame-header layout
+    prog = make_jpeg_header(320, 240).replace(b"\xff\xc0", b"\xff\xc2")
+    assert decode_image_payload(prog) == (320, 240, 3, "jpeg")
+
+
+def test_decode_real_wav():
+    payload = make_wav(16000, 16000, channels=2)  # 1 s stereo
+    assert decode_audio_payload(payload) == (16000, 16000, 1000)
+    payload = make_wav(44100, 2205)  # 50 ms mono
+    assert decode_audio_payload(payload) == (44100, 2205, 50)
+
+
+def test_decode_wav_truncated_data_chunk():
+    # streamed writes often truncate the final data chunk; the parser
+    # sizes by available bytes instead of the declared chunk length
+    full = make_wav(8000, 800)
+    truncated = full[: len(full) - 400]  # drop 200 16-bit mono frames
+    sr, n_frames, dur = decode_audio_payload(truncated)
+    assert (sr, n_frames) == (8000, 600)
+
+
+def test_malformed_real_formats_fall_back_to_fake():
+    # PNG signature but garbage after it
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    assert decode_image_payload(bad_png)[3] == "fake"
+    # JPEG SOI then desynced bytes
+    bad_jpeg = b"\xff\xd8\xff\xe0\x00\x04zz" + b"no marker here"
+    assert decode_image_payload(bad_jpeg)[3] == "fake"
+    # JPEG that hits SOS before any SOF
+    sos_first = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xDA, 4) + b"\x01\x00"
+    assert decode_image_payload(sos_first)[3] == "fake"
+    # RIFF/WAVE with no fmt chunk
+    bad_wav = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    n = len(bad_wav)
+    assert decode_audio_payload(bad_wav) == (8000 * (1 + n % 3), n * 2, n * 2 * 1000 // (8000 * (1 + n % 3)))
+    # zero-dimension PNG is rejected, not returned
+    assert decode_image_payload(make_png(3, 2)[:16] + struct.pack(">II", 0, 5) + make_png(3, 2)[24:])[3] == "fake"
+
+
+def test_real_bytes_through_spark_decoders(spark):
+    """End-to-end: real PNG/JPEG/WAV payloads mixed with synthetic text
+    payloads through the mapInPandas decoders — real formats get real
+    metadata, text keeps the fake-codec contract the oracles pin."""
+    rows = [
+        (1, bytearray(make_png(640, 480))),
+        (2, bytearray(make_jpeg_header(1920, 1080))),
+        (3, bytearray(make_wav(16000, 8000))),  # 0.5 s
+        (4, bytearray(b"just some document text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, payload: binary")
+
+    img = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (img[1].width, img[1].height, img[1].channels, img[1].format) == (640, 480, 4, "png")
+    assert (img[2].width, img[2].height, img[2].format) == (1920, 1080, "jpeg")
+    assert img[4].format == "fake"
+    n = len(b"just some document text")
+    assert (img[4].width, img[4].height) == (n % 64 + 1, n % 48 + 1)
+
+    aud = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    assert (aud[3].sample_rate, aud[3].n_samples, aud[3].duration_ms) == (16000, 8000, 500)
+    assert aud[4].n_samples == n * 2  # fake-codec contract intact
