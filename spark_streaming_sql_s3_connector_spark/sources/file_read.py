@@ -23,6 +23,7 @@ embarrassingly parallel; no driver bottleneck beyond the file list itself.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Iterator, Optional
 
@@ -223,6 +224,16 @@ def _row_group_may_match(md, rg: int, col_idx: dict, accepted: list[tuple]) -> b
         if stats is None or not stats.has_min_max:
             continue
         lo, hi = stats.min, stats.max
+        # Legacy writers (old parquet-mr/parquet-cpp) fold NaN into
+        # float min/max; NaN comparisons all evaluate False, which would
+        # flip "not (lo < val)" to True and prune a group that contains
+        # matches — silent row loss on an accepted-filter path that
+        # Spark never re-evaluates. Skip stats pruning for such groups;
+        # the exact Arrow-side row filter still guarantees correctness.
+        if (isinstance(lo, float) and math.isnan(lo)) or (
+            isinstance(hi, float) and math.isnan(hi)
+        ):
+            continue
         try:
             if op == "eq" and not (lo <= val <= hi):
                 return False

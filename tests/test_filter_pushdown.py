@@ -225,3 +225,46 @@ def test_e2e_rejected_filters_still_applied_by_spark(pushdown_spark, pq_file):
     # startswith is rejected by pushFilters -> Spark must evaluate it
     got = df.where(F.col("s").startswith("row09")).count()
     assert got == 10
+
+
+def test_nan_stats_do_not_prune_row_groups():
+    """Legacy parquet writers fold NaN into float min/max stats; NaN
+    comparisons evaluate False, so e.g. 'lt' with lo=NaN would turn
+    'not (lo < val)' into True and silently prune a group containing
+    matches. The guard must keep any group whose min or max is NaN."""
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+        _row_group_may_match,
+    )
+
+    class _Stats:
+        def __init__(self, lo, hi):
+            self.has_min_max = True
+            self.min, self.max = lo, hi
+
+    class _Col:
+        def __init__(self, stats):
+            self.statistics = stats
+
+    class _Group:
+        def __init__(self, stats):
+            self._c = _Col(stats)
+
+        def column(self, i):
+            return self._c
+
+    class _MD:
+        def __init__(self, stats):
+            self._g = _Group(stats)
+
+        def row_group(self, rg):
+            return self._g
+
+    nan = float("nan")
+    col_idx = {"v": 0}
+    for bad in [_MD(_Stats(nan, 5.0)), _MD(_Stats(0.0, nan)), _MD(_Stats(nan, nan))]:
+        for op, val in [("lt", 1.0), ("le", 1.0), ("gt", 1.0), ("ge", 1.0), ("eq", 1.0), ("in", (1.0,))]:
+            assert _row_group_may_match(bad, 0, col_idx, [(op, "v", val)]), (op, val)
+    # sane float stats still prune
+    ok = _MD(_Stats(10.0, 20.0))
+    assert not _row_group_may_match(ok, 0, col_idx, [("lt", "v", 5.0)])
+    assert _row_group_may_match(ok, 0, col_idx, [("lt", "v", 15.0)])
