@@ -214,3 +214,28 @@ def test_bench_keys_are_registry_keys(spark):
 
     missing = [q for q in bench.BENCH_QUERIES if q not in em.queries()]
     assert missing == [], missing
+
+
+def test_q12_fact_join_broadcasts_orders_projection(spark):
+    """tpch_q12ish is a fact-fact join, but only a 3-column projection
+    of orders survives pruning — small enough that Spark must broadcast
+    it at bench scale instead of shuffling lineitem (r4 bench regression
+    watch; at 100 TB AQE makes this call from runtime stats and falls
+    back to a shuffle join, which is why the query doesn't hard-code the
+    hint)."""
+    plan = formatted_plan(spark, "tpch_q12ish")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # column pruning on both fact scans: lineitem reads exactly the
+    # join key + filter col + group col, orders its 3 used columns
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li = [l for l in reads if "l_orderkey" in l][0]
+    assert "l_extendedprice" not in li and "l_quantity" not in li
+    orders = [l for l in reads if "o_orderkey" in l][0]
+    assert "o_totalprice" not in orders and "o_custkey" not in orders
+    # exactly one data shuffle (the final agg); the only other exchange
+    # is the sort's range partitioning (formatted mode puts the
+    # partitioning on the Arguments line, not the operator line)
+    n_hash = plan.count("hashpartitioning(")
+    assert n_hash == 1, f"expected single hash exchange, saw {n_hash}"
+    assert plan.count("rangepartitioning(") <= 1
