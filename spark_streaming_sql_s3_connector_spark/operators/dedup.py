@@ -605,6 +605,13 @@ def connected_components(
     Returns (id, component) where component = min id in the component;
     only ids that appear in at least one pair are returned (singletons
     are their own trivial component — join back if needed).
+
+    Raises ``RuntimeError`` if the propagation loop exhausts
+    ``max_iterations`` without converging — a partial labeling is a
+    WRONG clustering (two rows of one component can carry different
+    labels), and returning it silently would poison every downstream
+    keep-one decision. The driver union-find path is exact and never
+    raises.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -636,6 +643,7 @@ def connected_components(
         .select("id", F.least(F.col("id"), F.col("_nbr_min")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             und.join(labels, und["u"] == labels["id"])
@@ -676,8 +684,18 @@ def connected_components(
         changed = checkpointed.agg(F.max("_chg")).collect()[0][0]
         labels = checkpointed.drop("_chg")
         if not changed:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; the partial labeling would be a wrong clustering. "
+            "With pointer jumping, rounds grow ~log2(component diameter) — "
+            "raise max_iterations (25 covers diameters beyond any real "
+            "near-dup graph) or lower the similarity threshold feeding the "
+            "pair graph."
+        )
     return labels
 
 

@@ -295,6 +295,34 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
 
+def test_connected_components_raises_on_iteration_cap(spark):
+    # a silent partial labeling is a wrong clustering — the distributed
+    # loop must signal when max_iterations elapses before convergence
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # long chain: diameter 15; one round of propagate+jump cannot finish
+    chain = [(i, i + 1) for i in range(15)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, driver_max_edges=0, max_iterations=1)
+    # same graph, enough rounds: converges and labels the whole chain 0
+    got = {
+        (r.id, r.component)
+        for r in connected_components(
+            pairs, driver_max_edges=0, max_iterations=8
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(16)}
+    # the driver union-find path is exact regardless of max_iterations
+    got_drv = {
+        (r.id, r.component)
+        for r in connected_components(pairs, max_iterations=1).collect()
+    }
+    assert got_drv == {(i, 0) for i in range(16)}
+
+
 def test_assign_canonical(spark):
     from spark_streaming_sql_s3_connector_spark.operators.dedup import assign_canonical
 
