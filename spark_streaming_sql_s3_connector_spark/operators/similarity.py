@@ -243,19 +243,42 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Coarse quantizer: KMeans centers fitted on a BOUNDED sample,
     driver-side in numpy (the faiss IVF training recipe). At 100 TB the
-    fit stays O(sample_rows × dim) — collect ≤100k vectors (~50 MB at
-    d=64), run seeded kmeans++ + Lloyd's as gemms, and let the
-    distributed ``ivf_assign`` handle the full corpus. Spark ML's KMeans
-    on the same sample costs ~20 driver-coordinated jobs (seconds of
-    per-iteration scheduling) for identical centers."""
+    fit stays O(sample_rows × dim) — collect ≤~2×sample_rows vectors
+    (~100 MB at d=64), run seeded kmeans++ + Lloyd's as gemms, and let
+    the distributed ``ivf_assign`` handle the full corpus. Spark ML's
+    KMeans on the same sample costs ~20 driver-coordinated jobs (seconds
+    of per-iteration scheduling) for identical centers.
+
+    The sample is ONE scan, no prior ``count()`` job (a full extra pass
+    over the corpus just to size a fraction): each partition contributes
+    its first ``2*sample_rows/n_partitions`` vectors and stops consuming
+    input, and the driver trims to ``sample_rows`` with a seeded rng.
+    Head-of-partition bias is the faiss convention (it trains on the
+    first n_train vectors outright); spreading the quota across all
+    partitions already mixes file ranges far more than that, and a
+    coarse quantizer only needs coverage, not exact uniformity."""
+    import math as _math
+
     import numpy as np
 
     sample = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    n = sample.count()
-    if n > sample_rows:
-        sample = sample.sample(fraction=sample_rows / n, seed=seed)
-    X = np.array([r._v for r in sample.collect()], dtype=np.float64)
+    n_parts = max(1, sample.rdd.getNumPartitions())
+    quota = max(256, _math.ceil(2 * sample_rows / n_parts))
+
+    def head_quota(batches):
+        taken = 0
+        for pdf in batches:
+            if taken + len(pdf) >= quota:
+                yield pdf.iloc[: quota - taken]
+                break  # stop consuming this partition's remaining batches
+            taken += len(pdf)
+            yield pdf
+
+    collected = sample.mapInPandas(head_quota, schema=sample.schema).collect()
+    X = np.array([r._v for r in collected], dtype=np.float64)
     rng = np.random.RandomState(seed)
+    if len(X) > sample_rows:
+        X = X[rng.choice(len(X), sample_rows, replace=False)]
     # kmeans++ init
     centers = [X[rng.randint(len(X))]]
     for _ in range(1, min(n_centroids, len(X))):
