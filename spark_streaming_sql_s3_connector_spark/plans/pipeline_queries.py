@@ -301,6 +301,61 @@ LIMIT 10
 """
 
 
+def _similarity_recall_profile(spark, sf):
+    """Brute-force top-k PLUS deterministic recall floors for the two
+    approximate ANN paths, in one driver-verified slot (the r4 verdict's
+    ask: bring the approximate family under the correctness gate without
+    evicting an oracle behavior).
+
+    The 10 brute neighbor rows are exactly DuckDB-verifiable (same
+    double-precision cosine, same tie order). The LSH/IVF outputs are
+    seeded-deterministic but not SQL-expressible, so each contributes a
+    BOOLEAN: recall@10 against the brute set must clear a floor (LSH
+    ≥0.3, IVF ≥0.5 — measured 0.5/0.7 at sf0.01, floors set below the
+    measurement so testdata regeneration can't flap them, yet a broken
+    bucketing/banding path that craters recall to ~0 flips the bit and
+    reddens the row). The three top-k collects are k=10 rows each —
+    bounded driver traffic by construction."""
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    q = _query_vector(spark, sf)
+    brute = brute_force_topk(emb, "embedding", "vec_id", q, k=10).select("neighbor_id")
+    brute_ids = {r.neighbor_id for r in brute.collect()}
+    lsh_ids = {
+        r.neighbor_id
+        for r in lsh_ann_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    }
+    ivf_ids = {
+        r.neighbor_id
+        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=6).collect()
+    }
+    lsh_ok = len(lsh_ids & brute_ids) >= 3
+    ivf_ok = len(ivf_ids & brute_ids) >= 5
+    return brute.select(
+        "neighbor_id",
+        F.lit(bool(lsh_ok)).alias("lsh_recall_ge_30"),
+        F.lit(bool(ivf_ok)).alias("ivf_recall_ge_50"),
+    ).orderBy("neighbor_id")
+
+
+_SIMILARITY_RECALL_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT * FROM (
+  SELECT b.vec_id AS neighbor_id,
+         TRUE AS lsh_recall_ge_30,
+         TRUE AS ivf_recall_ge_50
+  FROM embeddings b, q
+  WHERE b.vec_id != 0
+  ORDER BY list_dot_product(b.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           b.vec_id ASC
+  LIMIT 10
+) ORDER BY neighbor_id
+"""
+
+
 def _ann_lsh_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     q = _query_vector(spark, sf)
@@ -606,6 +661,48 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def _multimodal_profile(spark, sf):
+    """Fused image+audio metadata AND video-frame fan-out in one
+    driver-verified slot: per-doc media stats full-outer-joined onto the
+    per-frame sample rows. Every media-stats row survives (a frameless
+    doc keeps its stats with null frame columns) and every frame row
+    survives — the full behavior of both former slots, freeing one
+    window position. Stats columns repeat per frame row; at the gate's
+    sf that is ~3 frames/doc, and the join key is doc_id so AQE
+    broadcasts the per-doc side."""
+    stats = _multimodal_media_stats(spark, sf)
+    frames = _multimodal_frame_sample(spark, sf)
+    return stats.join(frames, "doc_id", "full_outer").orderBy("doc_id", "frame_idx")
+
+
+_MULTIMODAL_PROFILE_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
+         CAST(strlen(text) % 48 + 1 AS INTEGER) AS height,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(8000 * (1 + strlen(text) % 3) AS INTEGER) AS sample_rate,
+         CAST(strlen(text) * 2 AS BIGINT) AS n_samples,
+         CAST((strlen(text) * 2 * 1000) // (8000 * (1 + strlen(text) % 3)) AS BIGINT)
+           AS duration_ms
+  FROM documents
+), sized AS (
+  SELECT doc_id, strlen(text) AS n, (strlen(text) + 63) // 64 AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id,
+         CAST(f AS INTEGER) AS frame_idx,
+         CAST(f * 64 AS BIGINT) AS frame_offset,
+         CAST(LEAST(64, n - f * 64) AS INTEGER) AS frame_n_bytes
+  FROM sized, unnest(range(0, n_frames::BIGINT, 2)) AS t(f)
+)
+SELECT doc_id, width, height, n_bytes, sample_rate, n_samples, duration_ms,
+       frame_idx, frame_offset, frame_n_bytes
+FROM stats FULL OUTER JOIN frames USING (doc_id)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def _sketch_events_profile(spark, sf):
     """Single-pass approximate profile (HLL distinct users + GK value
     quantiles) — the O(1)-memory form of what an exact profile would
@@ -866,6 +963,85 @@ SELECT doc_id,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
 FROM salted
+ORDER BY doc_id
+"""
+
+
+def _text_transform_profile(spark, sf):
+    """Repetition screen + training-window chunk stats + PII redaction
+    fused into ONE driver-verified slot (the three round-4 behaviors the
+    50-slot window could not fit standalone — same pattern as
+    text_profile_docs). Per-row metrics (repetition, PII counts, redacted
+    md5) come from a single documents scan; the chunk aggregate is the
+    map-side posexplode path, joined back on doc_id. Inner join matches
+    the chunker's contract (zero-token docs emit no chunks, and the
+    oracle mirrors that)."""
+    rep = _repetition_docs(spark, sf)
+    ch = _chunk_docs(spark, sf)
+    red = _redact_docs(spark, sf)
+    return (
+        rep.join(ch, "doc_id")
+        .join(red, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_TRANSFORM_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+), rep AS (
+  SELECT doc_id,
+         len(l) AS n_lines,
+         len(list_distinct(l)) AS n_distinct_lines,
+         ROUND(CASE WHEN len(l) > 0
+                    THEN (len(l) - len(list_distinct(l))) / len(l)::DOUBLE
+                    ELSE 0.0 END, 6) AS dup_line_frac
+  FROM lines
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, len(tk[s + 1 : s + 64]) AS n
+  FROM toks, unnest(generate_series(0, greatest(len(tk) - 17, 0), 48)) AS t(s)
+  WHERE len(tk) > 0
+), chunk AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(n) AS BIGINT) AS total_chunk_tokens,
+         MAX(n) AS max_chunk_tokens,
+         MIN(n) AS min_chunk_tokens
+  FROM ch GROUP BY doc_id
+), salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://site' || CAST(doc_id AS VARCHAR)
+              || '.org or 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS t
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+         md5(regexp_replace(regexp_replace(regexp_replace(t,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+  FROM salted
+)
+SELECT rep.doc_id, rep.n_lines, rep.n_distinct_lines, rep.dup_line_frac,
+       chunk.n_chunks, chunk.total_chunk_tokens, chunk.max_chunk_tokens,
+       chunk.min_chunk_tokens,
+       red.n_urls, red.n_emails, red.n_ips, red.redacted_md5
+FROM rep
+JOIN chunk USING (doc_id)
+JOIN red USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -1236,10 +1412,13 @@ ORDER BY method, doc_id
 
 
 def _events_value_profile(spark, sf):
-    """Hourly time-bucket rollup enriched with per-type exact quantiles —
-    fuses `events_time_bucket_rollup` and `value_quantiles_by_type` into
-    one driver-verified slot. The quantile side is ≤ |event_type| rows, so
-    it broadcast-joins onto the rollup: two aggs, zero extra shuffle."""
+    """Hourly time-bucket rollup enriched with per-type exact quantiles
+    AND per-type frequent-item totals — fuses `events_time_bucket_rollup`,
+    `value_quantiles_by_type`, and (since r5) `frequent_event_types` into
+    one driver-verified slot. Both enrichment sides are ≤ |event_type|
+    rows, so they broadcast-join onto the rollup: three aggs, zero extra
+    shuffle."""
+    from spark_streaming_sql_s3_connector_spark.functions.sketches import frequent_items
     from spark_streaming_sql_s3_connector_spark.streaming.rollup import time_bucket
 
     ev = load_table(spark, sf, "events")
@@ -1263,9 +1442,16 @@ def _events_value_profile(spark, sf):
             F.col("_q")[2].alias("p90"),
         )
     )
+    freq = frequent_items(ev, "event_type", min_count=1).withColumnRenamed(
+        "cnt", "type_total"
+    )
     return (
         rollup.join(F.broadcast(quantiles), "event_type")
-        .select("bucket", "event_type", "cnt", "vmin", "vmax", "p25", "p50", "p90")
+        .join(F.broadcast(freq), "event_type")
+        .select(
+            "bucket", "event_type", "cnt", "vmin", "vmax",
+            "p25", "p50", "p90", "type_total",
+        )
         .orderBy("bucket", "event_type")
     )
 
@@ -1281,9 +1467,12 @@ WITH rollup AS (
          quantile_cont(value, 0.5)  AS p50,
          quantile_cont(value, 0.9)  AS p90
   FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type, COUNT(*) AS type_total
+  FROM events GROUP BY event_type HAVING COUNT(*) >= 1
 )
-SELECT bucket, event_type, cnt, vmin, vmax, p25, p50, p90
-FROM rollup JOIN q USING (event_type)
+SELECT bucket, event_type, cnt, vmin, vmax, p25, p50, p90, type_total
+FROM rollup JOIN q USING (event_type) JOIN f USING (event_type)
 ORDER BY bucket, event_type
 """
 
@@ -1396,9 +1585,13 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
     "sessionize_batch": QuerySpec(_sessionize_batch_events, _SESSIONIZE_BATCH_SQL),
     "connector_batch_read": QuerySpec(_connector_batch_read, _CONNECTOR_BATCH_READ_SQL),
-    "frequent_event_types": QuerySpec(_frequent_event_types, _FREQUENT_EVENT_TYPES_SQL),
-    "multimodal_media_stats": QuerySpec(_multimodal_media_stats, _MULTIMODAL_MEDIA_SQL),
-    "multimodal_frame_sample": QuerySpec(_multimodal_frame_sample, _MULTIMODAL_FRAMES_SQL),
+    "connector_pushdown_read": QuerySpec(
+        _connector_pushdown_read, _CONNECTOR_PUSHDOWN_READ_SQL
+    ),
+    # r5 fused slots: repetition+chunk+redact in one; media stats ⟗ frames
+    # in one (freeing the window positions the r4 standalones couldn't get)
+    "text_transform_profile": QuerySpec(_text_transform_profile, _TEXT_TRANSFORM_SQL),
+    "multimodal_profile": QuerySpec(_multimodal_profile, _MULTIMODAL_PROFILE_SQL),
     # oracle-backed pipeline operators
     "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
     "dedup_keep_best_docs": QuerySpec(_dedup_keep_best_docs, _DEDUP_KEEP_BEST_SQL),
@@ -1406,25 +1599,33 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard_docs": QuerySpec(_ngram_jaccard_docs, _NGRAM_JACCARD_SQL),
     "dedup_embedding_pairs": QuerySpec(_embedding_pairs_docs, _EMBEDDING_PAIRS_SQL),
     "dedup_cluster_docs": QuerySpec(_dedup_cluster_docs, _DEDUP_CLUSTER_SQL),
-    "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
+    # brute top-k rows + LSH/IVF recall-floor booleans (supersedes the
+    # bare ann_brute_topk slot; brute rows stay exactly oracle-checked)
+    "similarity_recall_profile": QuerySpec(
+        _similarity_recall_profile, _SIMILARITY_RECALL_SQL
+    ),
     "decontaminate_docs": QuerySpec(_decontaminate_docs, _DECONTAMINATE_SQL),
     "text_profile_docs": QuerySpec(_text_profile_docs, _text_profile_oracle_sql()),
     "events_value_profile": QuerySpec(_events_value_profile, _EVENTS_VALUE_PROFILE_SQL),
     "temporal_join_profile": QuerySpec(_temporal_join_profile, _TEMPORAL_JOIN_PROFILE_SQL),
     # ---- 50-slot window boundary (17 slots above + 33 from queries.py /
     # queries_ext.py) — everything below is bench/local-gate only ----
-    # rows-only approximate ops (no SQL oracle by nature)
+    # rows-only approximate ops (no SQL oracle by nature; recall floors
+    # for LSH/IVF are driver-checked inside similarity_recall_profile)
     "dedup_minhash_docs": QuerySpec(_minhash_pairs_docs, None),
     "dedup_simhash_docs": QuerySpec(_simhash_pairs_docs, None),
     "dedup_embedding_lsh_pairs": QuerySpec(_lsh_bucket_pairs_docs, None),
     "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(_ann_ivf_topk, None),
     "sketch_events_profile": QuerySpec(_sketch_events_profile, None),
-    # single-modality views, duplicate coverage of multimodal_media_stats
+    # single-behavior views whose coverage a fused in-window slot
+    # duplicates (bench key stability + finer-grained local-gate diagnosis)
+    "ann_brute_topk": QuerySpec(_ann_brute_topk, _ANN_BRUTE_SQL),
+    "frequent_event_types": QuerySpec(_frequent_event_types, _FREQUENT_EVENT_TYPES_SQL),
+    "multimodal_media_stats": QuerySpec(_multimodal_media_stats, _MULTIMODAL_MEDIA_SQL),
+    "multimodal_frame_sample": QuerySpec(_multimodal_frame_sample, _MULTIMODAL_FRAMES_SQL),
     "multimodal_image_stats": QuerySpec(_multimodal_image_stats, _MULTIMODAL_SQL),
     "multimodal_audio_stats": QuerySpec(_multimodal_audio_stats, _MULTIMODAL_AUDIO_SQL),
-    # standalone keys whose behavior a fused in-window slot already covers
-    # (bench key stability + finer-grained local-gate diagnosis)
     "sample_docs": QuerySpec(_sample_docs, _SAMPLE_DOCS_SQL),
     "text_stats_docs": QuerySpec(_text_stats_docs, _TEXT_STATS_SQL),
     "text_fingerprint_docs": QuerySpec(_fingerprint_docs, _FINGERPRINT_SQL),
@@ -1438,9 +1639,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "value_quantiles_by_type": QuerySpec(_value_quantiles_by_type, _VALUE_QUANTILES_SQL),
     "events_time_bucket_rollup": QuerySpec(
         _events_time_bucket_rollup, _EVENTS_TIME_BUCKET_SQL
-    ),
-    "connector_pushdown_read": QuerySpec(
-        _connector_pushdown_read, _CONNECTOR_PUSHDOWN_READ_SQL
     ),
     "repetition_docs": QuerySpec(_repetition_docs, _REPETITION_SQL),
     "chunk_docs": QuerySpec(_chunk_docs, _CHUNK_DOCS_SQL),
