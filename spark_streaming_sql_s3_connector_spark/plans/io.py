@@ -37,23 +37,39 @@ TABLES = [
 ]
 
 
-# path -> nanos column list. The test tables are static for a round, so
-# one footer probe per path per process is enough (each load_table call
-# otherwise pays glob + read_schema on the driver for every query run).
-_NANOS_COLS_CACHE: dict[str, list[str]] = {}
+# (path, probe mtime_ns, probe size) -> nanos column list. One footer
+# probe per file VERSION per process (each load_table call otherwise pays
+# glob + read_schema on the driver for every query run); keying on
+# mtime+size means a table regenerated in-process with a different
+# timestamp encoding re-probes instead of applying stale normalization.
+_NANOS_COLS_CACHE: dict[tuple, list[str]] = {}
+
+
+def _probe_file_for(path: str) -> str:
+    """The concrete parquet file whose footer represents ``path``."""
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return parts[0] if parts else path
+    return path
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), from the file footer.
 
-    Driver-side metadata-only read (one footer, memoized per path); works
-    whether ``path`` is a single parquet file or a directory of part
-    files."""
-    cached = _NANOS_COLS_CACHE.get(path)
+    Driver-side metadata-only read, memoized per (path, mtime, size);
+    works whether ``path`` is a single parquet file or a directory of
+    part files."""
+    probe = _probe_file_for(path)
+    try:
+        st = os.stat(probe)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    cached = _NANOS_COLS_CACHE.get(key)
     if cached is not None:
         return cached
     cols = _probe_nanos_cols(path)
-    _NANOS_COLS_CACHE[path] = cols
+    _NANOS_COLS_CACHE[key] = cols
     return cols
 
 

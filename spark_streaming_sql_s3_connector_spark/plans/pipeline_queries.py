@@ -743,7 +743,16 @@ _SCHEMA_CACHE: dict = {}
 
 
 def _table_schema(spark, sf, name):
-    key = (sf, name)
+    # key on (path, mtime, size) like io._NANOS_COLS_CACHE so a table
+    # regenerated in-process invalidates the memoized schema
+    import os as _os
+
+    path = _os.path.join(sf, f"{name}.parquet")
+    try:
+        st = _os.stat(path)
+        key = (sf, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf, name, None, None)
     s = _SCHEMA_CACHE.get(key)
     if s is None:
         s = load_table(spark, sf, name).schema

@@ -93,3 +93,39 @@ def test_sessionize_batch_on_raw_ntz_dataframe(spark):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     out = sessionize_batch(df).collect()
     assert [(r.user_id, r.n_events) for r in out] == [(7, 2), (7, 1), (8, 1)]
+
+
+def test_footer_probe_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The nanos-column probe is memoized per (path, mtime, size): a
+    table regenerated in-process with a DIFFERENT timestamp encoding
+    must re-probe, not apply stale normalization (ADVICE r4)."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+
+    p = str(tmp_path / "events.parquet")
+    ts = pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"])
+
+    # version 1: nanos encoding
+    t1 = pa.table({"ts": pa.array(ts, type=pa.timestamp("ns")), "v": [1, 2]})
+    pq.write_table(t1, p)
+    df1 = load_table(spark, str(tmp_path), "events")
+    assert dict(df1.dtypes)["ts"] == "timestamp"
+    assert df1.count() == 2
+
+    # version 2: same path, micros-NTZ encoding and different rows
+    t2 = pa.table(
+        {"ts": pa.array(list(ts) + [pd.Timestamp("2024-01-01 00:00:03")],
+                        type=pa.timestamp("us")), "v": [1, 2, 3]}
+    )
+    pq.write_table(t2, p)
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    df2 = load_table(spark, str(tmp_path), "events")
+    assert dict(df2.dtypes)["ts"] == "timestamp"
+    assert df2.count() == 3
+    # values must be the real wall-clock instants, not misscaled nanos
+    got = sorted(r.ts.second for r in df2.select("ts").collect())
+    assert got == [1, 2, 3]
