@@ -221,6 +221,123 @@ def bench_streaming_ingest(spark, sf_dir: str, rep: int = 0) -> dict[str, float]
     return out
 
 
+N_SMALL_FILES = 1000
+SMALL_FILE_ROWS = 200
+
+
+def bench_many_small_files(spark) -> dict[str, float]:
+    """Many-small-files ingest at the reference perf harness's shape:
+    the reference drives maxFilesPerTrigger=5000 over large file counts
+    (DataConsumer.scala:28); here 1,000 tiny parquet files go through
+    the s3-connector (queue-driven, no LIST) vs the stock file stream
+    (directory listing) — the regime where listing cost dominates and
+    the connector's design advantage is largest. Files are written
+    driver-side with pyarrow (1,000 Spark write tasks would time the
+    writer, not the ingest)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.queueing.local import LocalFileQueueClient
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="s3conn-bench-smallfiles-")
+    out = {}
+    try:
+        data_dir = os.path.join(work, "files")
+        os.makedirs(data_dir)
+        for i in range(N_SMALL_FILES):
+            base = i * SMALL_FILE_ROWS
+            t = pa.table(
+                {
+                    "id": pa.array(range(base, base + SMALL_FILE_ROWS), type=pa.int64()),
+                    "v": pa.array(
+                        [((base + j) % 97) / 7.0 for j in range(SMALL_FILE_ROWS)],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+            pq.write_table(t, os.path.join(data_dir, f"part-{i:05d}.parquet"))
+        files = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        schema = "id BIGINT, v DOUBLE"
+
+        # warm the Python worker pool (same rationale as bench_streaming_ingest)
+        warm = (
+            spark.read.format("s3-connector")
+            .schema(schema)
+            .option("spark.s3conn.fileFormat", "parquet")
+            .option("spark.s3conn.queueUrl", "warmup")
+            .option("spark.s3conn.queueType", "local")
+            .option("paths", ",".join(files[:32]))
+            .load()
+        )
+        warm.count()
+
+        # --- s3-connector: queue-driven, no directory listing ---
+        qdir = os.path.join(work, "queue")
+        q = LocalFileQueueClient(f"local://{qdir}")
+        stream = (
+            spark.readStream.format("s3-connector")
+            .schema(schema)
+            .option("spark.s3conn.fileFormat", "parquet")
+            .option("spark.s3conn.queueUrl", f"local://{qdir}")
+            .option("spark.s3conn.queueType", "local")
+            .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+            .option("spark.s3conn.maxFilesPerTrigger", "5000")
+            .option("spark.s3conn.metadataPath", os.path.join(work, "meta"))
+            .load()
+        )
+        query = (
+            stream.agg(F.count("*").alias("cnt"), F.sum("id").alias("sid"))
+            .writeStream.format("memory")
+            .queryName("bench_small_conn")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt1"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            now = int(time.time() * 1000)
+            for f in files:
+                q.send_file_event(f, now)
+            t0 = time.time()
+            query.processAllAvailable()
+            out["ingest_many_small_files_connector"] = round(time.time() - t0, 3)
+            n1 = spark.sql("SELECT SUM(cnt) c FROM bench_small_conn").collect()[0].c
+        finally:
+            query.stop()
+
+        # --- stock file stream source over the same files ---
+        watch_dir = os.path.join(work, "watched")
+        os.makedirs(watch_dir)
+        stream2 = spark.readStream.schema(schema).parquet(watch_dir)
+        query2 = (
+            stream2.agg(F.count("*").alias("cnt"), F.sum("id").alias("sid"))
+            .writeStream.format("memory")
+            .queryName("bench_small_fss")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt2"))
+            .start()
+        )
+        try:
+            query2.processAllAvailable()
+            for f in files:
+                os.rename(f, os.path.join(watch_dir, os.path.basename(f)))
+            t0 = time.time()
+            query2.processAllAvailable()
+            out["ingest_many_small_files_file_source"] = round(time.time() - t0, 3)
+            n2 = spark.sql("SELECT SUM(cnt) c FROM bench_small_fss").collect()[0].c
+        finally:
+            query2.stop()
+        out["ingest_many_small_files_row_mismatch"] = float(abs((n1 or 0) - (n2 or 0)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -306,6 +423,17 @@ def main():
         except Exception as e:  # keep the JSON line even if streaming bench dies
             print(f"# streaming bench failed (rep {rep}): {e}", file=sys.stderr)
             ingest_samples.setdefault("ingest_error", []).append(-1.0)
+
+    # many-small-files comparison: one measurement (1,000 files ingested
+    # twice is minutes of stream time; a single run per round keeps bench
+    # wall-clock bounded, and the 1,000-file population already averages
+    # away per-file noise)
+    try:
+        for k, v in bench_many_small_files(spark).items():
+            ingest_samples.setdefault(k, []).append(v)
+    except Exception as e:
+        print(f"# many-small-files bench failed: {e}", file=sys.stderr)
+        ingest_samples.setdefault("ingest_many_small_files_error", []).append(-1.0)
 
     qs = entrymod.queries()
     samples: dict[str, list[float]] = {}

@@ -43,7 +43,13 @@ SQS_KEEP_MESSAGE_FOR_CONSUMER_ERROR = "keepMessageForConsumerError"
 SQS_MAX_RETRIES = "maxRetries"
 SQS_MAX_CONCURRENCY = "maxConcurrency"
 
+# extension (not in the reference's 17): caps the bytes one read task
+# takes when the connector bin-packs small files into partitions —
+# mirrors spark.sql.files.maxPartitionBytes for the Python-source path
+MAX_BYTES_PER_PARTITION = _PREFIX + "maxBytesPerPartition"
+
 MAX_FILES_PER_TRIGGER_DEFAULT_VALUE = 100
+MAX_BYTES_PER_PARTITION_DEFAULT_VALUE = 128 * 1024 * 1024
 MAX_FILE_AGE_DEFAULT_VALUE = "15d"
 REPROCESS_DRY_RUN_DEFAULT_VALUE = True
 SQS_LONG_POLLING_WAIT_TIME_SECONDS_MIN_VALUE = 0
@@ -129,6 +135,7 @@ class S3ConnectorSourceOptions:
     queue_region: str = ""
     queue_type: str = SQS_QUEUE
     max_files_per_trigger: Optional[int] = MAX_FILES_PER_TRIGGER_DEFAULT_VALUE
+    max_bytes_per_partition: int = MAX_BYTES_PER_PARTITION_DEFAULT_VALUE
     max_file_age_ms: int = field(default_factory=lambda: time_string_as_ms(MAX_FILE_AGE_DEFAULT_VALUE))
     path_glob_filter: Optional[str] = None
     partition_columns: Optional[str] = None
@@ -263,6 +270,10 @@ class S3ConnectorSourceOptions:
             {}, QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, 2 * long_poll if long_poll > 0 else 1,
             get(QUEUE_FETCH_WAIT_TIMEOUT_SECONDS),
         )
+        max_bytes_per_partition = _positive_int(
+            {}, MAX_BYTES_PER_PARTITION, MAX_BYTES_PER_PARTITION_DEFAULT_VALUE,
+            get(MAX_BYTES_PER_PARTITION),
+        )
 
         known = {
             k.lower()
@@ -270,7 +281,7 @@ class S3ConnectorSourceOptions:
                 MAX_FILES_PER_TRIGGER, PATH_GLOB_FILTER, S3_FILE_FORMAT, MAX_FILE_AGE,
                 PARTITION_COLUMNS, QUEUE_URL, QUEUE_REGION, QUEUE_TYPE,
                 QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, REPROCESS_START_BATCH_ID,
-                REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
+                REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN, MAX_BYTES_PER_PARTITION,
             )
         }
         reader_options = {
@@ -285,6 +296,7 @@ class S3ConnectorSourceOptions:
             queue_region=queue_region,
             queue_type=queue_type,
             max_files_per_trigger=max_files_per_trigger,
+            max_bytes_per_partition=max_bytes_per_partition,
             max_file_age_ms=max_file_age_ms,
             path_glob_filter=get(PATH_GLOB_FILTER),
             partition_columns=get(PARTITION_COLUMNS),

@@ -53,6 +53,54 @@ class FileSlicePartition(InputPartition):
     files: list
 
 
+# per-file scheduling/open overhead used when bin-packing small files —
+# Spark's spark.sql.files.openCostInBytes default, same rationale: a
+# 40 KB file costs far more than 40 KB of scan time to open and schedule
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _pack_file_slices(files: list, max_bytes: int):
+    """Bin-pack (path, ts) entries into partitions of ≤ maxSplitBytes —
+    the FileSourceScanExec small-file coalescing recipe
+    (sql/execution/DataSourceScanExec.scala, FilePartition.scala) applied
+    to the Python-source path: 1,000 tiny files must not become 1,000
+    Python task launches. maxSplitBytes = min(maxBytesPerPartition,
+    max(openCost, totalPadded/driver-cores)) keeps small batches
+    parallel while capping partition width; each file costs
+    max(size, openCost) so open overhead is what actually packs.
+
+    Returns None when any size is unavailable (non-local store): caller
+    falls back to one file per task, the always-correct layout."""
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import normalize_local_path
+
+    sized = []
+    for path, ts in files:
+        try:
+            size = _os.stat(normalize_local_path(path)).st_size
+        except OSError:
+            return None
+        sized.append((path, ts, max(size, _OPEN_COST_BYTES)))
+    total = sum(s for _, _, s in sized)
+    par = max(1, _os.cpu_count() or 8)
+    max_split = min(max_bytes, max(_OPEN_COST_BYTES, total // par + 1))
+    # first-fit decreasing: large files first so bins fill tightly
+    sized.sort(key=lambda t: -t[2])
+    bins: list[list] = []
+    bin_cost: list[int] = []
+    for path, ts, cost in sized:
+        for i in range(len(bins)):
+            if bin_cost[i] + cost <= max_split:
+                bins[i].append((path, ts))
+                bin_cost[i] += cost
+                break
+        else:
+            bins.append([(path, ts)])
+            bin_cost.append(cost)
+    return bins
+
+
 class S3ConnectorNoSchemaError(ValueError):
     pass
 
@@ -143,10 +191,17 @@ class S3ConnectorStreamReader(DataSourceStreamReader):
         entries = self._controller().get_batch_files(start_off, end_off)
         if not entries:
             return [FileSlicePartition(files=[])]
-        # one file per task: reads stay embarrassingly parallel at any
-        # cluster size (5000 files/trigger → 5000 tasks, fine at 1000
-        # executors; locally Spark just queues them over 32 cores)
-        return [FileSlicePartition(files=[(e.path, e.timestamp)]) for e in entries]
+        files = [(e.path, e.timestamp) for e in entries]
+        # bin-pack small files (Spark's openCost/maxPartitionBytes
+        # recipe): a 5000-tiny-file trigger becomes ~cores partitions of
+        # batched reads instead of 5000 Python task launches, while big
+        # files still land one-per-task via the maxSplitBytes cap. If
+        # sizes aren't stat-able (remote store), keep one file per task —
+        # embarrassingly parallel at any cluster size.
+        packed = _pack_file_slices(files, self._options.max_bytes_per_partition)
+        if packed is None:
+            return [FileSlicePartition(files=[f]) for f in files]
+        return [FileSlicePartition(files=b) for b in packed]
 
     def commit(self, end: dict) -> None:
         self._controller().commit(int(end["logOffset"]))
@@ -210,9 +265,11 @@ class S3ConnectorBatchReader(DataSourceReader):
         return self._split_partitions(files)
 
     def _split_partitions(self, files: list[tuple[str, int]]) -> list[FileSlicePartition]:
-        """One partition per file; multi-row-group parquet files split
-        further so a single large file parallelizes across tasks."""
+        """Multi-row-group parquet files split per group so one large
+        file parallelizes across tasks; single-group (small) files are
+        bin-packed so many tiny files don't become as many tasks."""
         parts: list[FileSlicePartition] = []
+        small: list[tuple[str, int]] = []
         if self._options.file_format.lower() == "parquet":
             from spark_streaming_sql_s3_connector_spark.sources.file_read import normalize_local_path
 
@@ -229,9 +286,15 @@ class S3ConnectorBatchReader(DataSourceReader):
                         FileSlicePartition(files=[(path, ts, [g])]) for g in range(n_groups)
                     )
                 else:
-                    parts.append(FileSlicePartition(files=[(path, ts)]))
-            return parts
-        return [FileSlicePartition(files=[f]) for f in files]
+                    small.append((path, ts))
+        else:
+            small = list(files)
+        packed = _pack_file_slices(small, self._options.max_bytes_per_partition)
+        if packed is None:
+            parts.extend(FileSlicePartition(files=[f]) for f in small)
+        else:
+            parts.extend(FileSlicePartition(files=b) for b in packed)
+        return parts
 
     def read(self, partition: FileSlicePartition) -> Iterator:
         from spark_streaming_sql_s3_connector_spark.sources.file_read import iter_record_batches
