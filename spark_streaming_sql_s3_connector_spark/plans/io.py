@@ -136,11 +136,19 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     the repo on PYTHONPATH (e.g. an external verification harness)."""
     if getattr(spark, "_s3conn_pkg_shipped", False):
         return
+    import glob
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_name = os.path.basename(pkg_dir)
+    # Prefer a built wheel (dist/ next to the package, i.e. a repo checkout
+    # where `python -m build` ran); a wheel is a zip, addPyFile accepts it.
+    wheels = sorted(glob.glob(os.path.join(os.path.dirname(pkg_dir), "dist", "*.whl")))
+    if wheels:
+        spark.sparkContext.addPyFile(wheels[-1])
+        spark._s3conn_pkg_shipped = True
+        return
     fd, zpath = tempfile.mkstemp(prefix="s3conn-pkg-", suffix=".zip")
     os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
