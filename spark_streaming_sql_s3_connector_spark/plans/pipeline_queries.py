@@ -59,14 +59,51 @@ from spark_streaming_sql_s3_connector_spark.plans.queries import QuerySpec
 
 
 def _dedup_exact_docs(spark, sf):
-    return dedup_exact(load_table(spark, sf, "documents"), "text", "doc_id").orderBy("keeper_id")
+    """Exact dedup (keeper + dup_count) FUSED with the bloom-screen
+    history dedup (r5): docs with ``doc_id % 7 == 0`` play the historical
+    corpus; each keeper carries ``new_vs_history`` — whether its text
+    survives the two-phase bloom+anti-join screen. The bloom phase is an
+    optimization the oracle can't see (exact mode recovers false
+    positives), so the slot stays exactly SQL-checkable while a broken
+    bitmap/probe path flips booleans and reddens the row."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import (
+        dedup_against_history,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    ded = dedup_exact(docs, "text", "doc_id")
+    history = docs.where(F.col("doc_id") % 7 == 0)
+    kept = dedup_against_history(
+        docs.select("doc_id", "text"), history, on="text", expected_items=2000
+    )
+    return (
+        ded.join(
+            kept.select(F.col("doc_id").alias("keeper_id"), F.lit(True).alias("_new")),
+            "keeper_id",
+            "left",
+        )
+        .select(
+            "keeper_id",
+            "dup_count",
+            F.coalesce(F.col("_new"), F.lit(False)).alias("new_vs_history"),
+        )
+        .orderBy("keeper_id")
+    )
 
 
 _DEDUP_EXACT_SQL = r"""
-SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
-FROM documents
-GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-ORDER BY keeper_id
+WITH ded AS (
+  SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+  FROM documents
+  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+), hist AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+)
+SELECT ded.keeper_id, ded.dup_count, (hist.text IS NULL) AS new_vs_history
+FROM ded
+JOIN documents doc ON doc.doc_id = ded.keeper_id
+LEFT JOIN hist ON doc.text = hist.text
+ORDER BY ded.keeper_id
 """
 
 
@@ -976,21 +1013,100 @@ ORDER BY doc_id
 """
 
 
+def _pack_concat_docs(spark, sf):
+    """Concat-and-split sequence packing (operators/packing.pack_concat):
+    8 independent shard streams, 128-token sequences. One shuffle (hash
+    by shard) + a window cumsum — the exclusive prefix sum and the
+    straddle arithmetic both mirror exactly in DuckDB window SQL."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import pack_concat
+
+    docs = load_table(spark, sf, "documents")
+    return pack_concat(
+        docs, "doc_id", capacity=128, text_col="text", num_shards=8
+    ).orderBy("doc_id")
+
+
+_PACK_CONCAT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), pk AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(COALESCE(SUM(len(tk)) OVER (
+           PARTITION BY doc_id % 8 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM toks
+)
+SELECT doc_id, shard, start_offset, n_tokens,
+       start_offset // 128 AS seq_first,
+       greatest(start_offset + n_tokens - 1, start_offset) // 128 AS seq_last
+FROM pk
+ORDER BY doc_id
+"""
+
+
+def _pack_first_fit_docs(spark, sf):
+    """No-split FFD bin packing (operators/packing.pack_first_fit).
+    Deterministic but inherently sequential per shard (greedy recurrence)
+    — not SQL-expressible, so rows-only at the driver; the packing laws
+    (capacity, coverage, FFD bound) are pinned in tests/test_packing.py."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import pack_first_fit
+
+    docs = load_table(spark, sf, "documents")
+    return pack_first_fit(
+        docs, "doc_id", capacity=256, text_col="text", num_shards=8
+    ).orderBy("doc_id")
+
+
+def _bloom_dedup_docs(spark, sf):
+    """Two-phase bloom + exact anti-join history screen
+    (operators/bloom.dedup_against_history): docs with doc_id % 7 == 0
+    play the prior crawl. Exact mode ⇒ the result is precisely the
+    anti-join, which is what the oracle runs."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import (
+        dedup_against_history,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    history = docs.where(F.col("doc_id") % 7 == 0)
+    return (
+        dedup_against_history(docs, history, on="text", expected_items=2000)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_DEDUP_SQL = r"""
+SELECT d.doc_id
+FROM documents d
+ANTI JOIN (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+) h ON d.text = h.text
+ORDER BY d.doc_id
+"""
+
+
 def _text_transform_profile(spark, sf):
-    """Repetition screen + training-window chunk stats + PII redaction
-    fused into ONE driver-verified slot (the three round-4 behaviors the
-    50-slot window could not fit standalone — same pattern as
-    text_profile_docs). Per-row metrics (repetition, PII counts, redacted
-    md5) come from a single documents scan; the chunk aggregate is the
-    map-side posexplode path, joined back on doc_id. Inner join matches
+    """Repetition screen + training-window chunk stats + PII redaction +
+    (r5) concat-and-split sequence packing fused into ONE driver-verified
+    slot (behaviors the 50-slot window could not fit standalone — same
+    pattern as text_profile_docs). Per-row metrics (repetition, PII
+    counts, redacted md5) come from a single documents scan; the chunk
+    aggregate is the map-side posexplode path and the packing columns the
+    shard-window cumsum, each joined back on doc_id. Inner join matches
     the chunker's contract (zero-token docs emit no chunks, and the
     oracle mirrors that)."""
     rep = _repetition_docs(spark, sf)
     ch = _chunk_docs(spark, sf)
     red = _redact_docs(spark, sf)
+    pk = _pack_concat_docs(spark, sf)
     return (
         rep.join(ch, "doc_id")
         .join(red, "doc_id")
+        .join(pk, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1043,14 +1159,28 @@ WITH lined AS (
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
   FROM salted
+), pk AS (
+  SELECT doc_id, shard, start_offset, n_tokens,
+         start_offset // 128 AS seq_first,
+         greatest(start_offset + n_tokens - 1, start_offset) // 128 AS seq_last
+  FROM (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           CAST(COALESCE(SUM(len(tk)) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+           CAST(len(tk) AS BIGINT) AS n_tokens
+    FROM toks
+  )
 )
 SELECT rep.doc_id, rep.n_lines, rep.n_distinct_lines, rep.dup_line_frac,
        chunk.n_chunks, chunk.total_chunk_tokens, chunk.max_chunk_tokens,
        chunk.min_chunk_tokens,
-       red.n_urls, red.n_emails, red.n_ips, red.redacted_md5
+       red.n_urls, red.n_emails, red.n_ips, red.redacted_md5,
+       pk.shard, pk.start_offset, pk.n_tokens, pk.seq_first, pk.seq_last
 FROM rep
 JOIN chunk USING (doc_id)
 JOIN red USING (doc_id)
+JOIN pk USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -1652,4 +1782,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "repetition_docs": QuerySpec(_repetition_docs, _REPETITION_SQL),
     "chunk_docs": QuerySpec(_chunk_docs, _CHUNK_DOCS_SQL),
     "redact_docs": QuerySpec(_redact_docs, _REDACT_SQL),
+    # r5 additions; behaviors fused in-window (pack_concat inside
+    # text_transform_profile, bloom screen inside dedup_exact_docs)
+    "pack_concat_docs": QuerySpec(_pack_concat_docs, _PACK_CONCAT_SQL),
+    "pack_first_fit_docs": QuerySpec(_pack_first_fit_docs, None),
+    "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
 }

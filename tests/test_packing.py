@@ -1,0 +1,108 @@
+"""Sequence-packing laws.
+
+Concat-and-split: offsets are an exact exclusive prefix sum per shard
+(stream reconstruction), sequence spans match floor arithmetic, and the
+total token stream length is preserved. First-fit: capacity respected,
+every doc assigned exactly once, oversize docs isolated, bin count
+within the FFD guarantee of the lower bound.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.packing import (
+    pack_concat,
+    pack_first_fit,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "tok " * ((i * 37) % 211 + 1)) for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_concat_offsets_are_exclusive_prefix_sums(spark, docs):
+    out = pack_concat(docs, "doc_id", capacity=256, text_col="text", num_shards=8)
+    rows = out.orderBy("shard", "doc_id").collect()
+    stream_pos = {}
+    for r in rows:
+        expect = stream_pos.get(r.shard, 0)
+        assert r.start_offset == expect, (r.doc_id, r.start_offset, expect)
+        stream_pos[r.shard] = expect + r.n_tokens
+    # total stream length = total token count
+    total = docs.select(F.sum(F.size(F.split(F.trim("text"), r"\s+")))).collect()[0][0]
+    assert sum(stream_pos.values()) == total
+
+
+def test_concat_sequence_span_arithmetic(spark, docs):
+    cap = 256
+    out = pack_concat(docs, "doc_id", capacity=cap, text_col="text", num_shards=8)
+    for r in out.collect():
+        assert r.seq_first == r.start_offset // cap
+        last_tok = max(r.start_offset + r.n_tokens - 1, r.start_offset)
+        assert r.seq_last == last_tok // cap
+        assert r.seq_last >= r.seq_first
+
+
+def test_concat_empty_doc_attaches_at_offset(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (8, ""), (16, "d e")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in
+           pack_concat(docs, "doc_id", capacity=4, text_col="text", num_shards=8).collect()}
+    assert out[8].n_tokens == 0
+    assert out[8].seq_first == out[8].seq_last == out[8].start_offset // 4
+
+
+def test_concat_rejects_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        pack_concat(docs, "doc_id", capacity=0, text_col="text")
+    with pytest.raises(ValueError):
+        pack_concat(docs, "doc_id", capacity=8)  # neither text nor token col
+    with pytest.raises(ValueError):
+        pack_concat(docs, "doc_id", capacity=8, text_col="text", token_col="text")
+
+
+def test_first_fit_capacity_and_coverage(spark, docs):
+    cap = 300
+    out = pack_first_fit(docs, "doc_id", capacity=cap, text_col="text", num_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc exactly once
+    assert len({r.doc_id for r in rows}) == docs.count()
+    fills = {}
+    for r in rows:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    oversize = [r for r in rows if r.n_tokens >= cap]
+    for key, fill in fills.items():
+        members = [r for r in rows if (r.shard, r.bin_id) == key]
+        if any(m.n_tokens >= cap for m in members):
+            assert len(members) == 1  # oversize docs isolated
+        else:
+            assert fill <= cap
+    # FFD bound per shard: bins <= 11/9 * optimal + 1, optimal >= ceil(total/cap)
+    import collections
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for shard, members in by_shard.items():
+        n_bins = len({m.bin_id for m in members})
+        small_total = sum(m.n_tokens for m in members if m.n_tokens < cap)
+        n_over = sum(1 for m in members if m.n_tokens >= cap)
+        lower = math.ceil(small_total / cap) + n_over
+        assert n_bins <= math.ceil(11 / 9 * lower) + 1
+
+
+def test_first_fit_only_ids_flow(spark, docs):
+    out = pack_first_fit(docs, "doc_id", capacity=128, text_col="text", num_shards=4)
+    assert set(out.columns) == {"doc_id", "shard", "bin_id", "n_tokens"}
+
+
+def test_token_col_path_matches_text_col_path(spark, docs):
+    with_counts = docs.withColumn("ntok", F.size(F.split(F.trim("text"), r"\s+")))
+    a = pack_concat(docs, "doc_id", capacity=64, text_col="text", num_shards=4)
+    b = pack_concat(with_counts, "doc_id", capacity=64, token_col="ntok", num_shards=4)
+    assert a.exceptAll(b.select(*a.columns)).count() == 0
+    assert b.select(*a.columns).exceptAll(a).count() == 0

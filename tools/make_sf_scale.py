@@ -10,12 +10,15 @@ would at any real TPC-H scale.
 Two perturbations keep the *data distribution* constant so the scaling
 curve measures the engine, not a changed workload:
 
-- documents.text: replicas > 0 get a replica-specific salt token spliced
-  every 3 words. Any 3+-word shingle then differs across replicas, so
-  cross-replica copies are NOT near-duplicates (MinHash/SimHash/Jaccard
-  candidate volume grows linearly with R, exactly as a real 5× corpus
-  with a fixed dup-rate would), while within-replica near-dup structure
-  is preserved verbatim.
+- documents.text: replicas > 0 get a replica-specific alphanumeric
+  suffix appended to EVERY word — a bijection on the word (and hence
+  shingle) space, so within-replica near-dup structure is preserved
+  exactly while cross-replica copies share ZERO words or shingles.
+  Anything weaker leaks: a salt spliced every N words leaves 1-in-N+1
+  shingles unsalted, and those shared rare shingles make every
+  cross-replica copy-pair an inverted-index/SimHash candidate —
+  candidate volume then grows quadratically in R (observed: 17–26×
+  runtime at R=5), which measures the contamination, not the engine.
 - embeddings.embedding: replicas > 0 get a deterministic unit-noise
   vector (seeded by replica id) added at half the mean norm, pushing
   cross-replica cosine well below near-dup thresholds for the same
@@ -78,17 +81,11 @@ ROW_GROUP_SIZE = 131072  # multiple row groups at sf0.5 → realistic pruning
 def _salt_text(text: str, salt: str) -> str:
     if text is None:
         return text
-    words = text.split(" ")
-    out = []
-    for i, w in enumerate(words):
-        out.append(w)
-        if i % 3 == 2:
-            out.append(salt)
-    return " ".join(out)
+    return " ".join(w + salt if w else w for w in text.split(" "))
 
 
 def _perturb_documents(tbl: pa.Table, k: int) -> pa.Table:
-    salt = f"zrep{k}x"
+    salt = f"0r{k}"  # alphanumeric: survives [^a-z0-9] normalizers in-token
     texts = tbl.column("text").to_pylist()
     salted = [_salt_text(t, salt) for t in texts]
     idx = tbl.schema.get_field_index("text")
