@@ -99,3 +99,67 @@ def stratified_sample_exact(
         .where(F.col("_strat_rn") <= n_per_stratum)
         .drop("_strat_rn")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+    token_budget: int,
+    salt: str = "",
+    default_share: float = 0.0,
+) -> DataFrame:
+    """Deterministic source-weighted downsampling to a token budget —
+    the "data mixing" step of a training run: given target token SHARES
+    per source (e.g. web 0.6, code 0.25, books 0.15) and a total token
+    budget, keep a hash-stable subset of each source whose expected
+    token mass hits ``share × budget``.
+
+    Per-source keep fraction = min(1, share·budget / source_tokens),
+    applied through the same salted-md5 bucket filter as
+    :func:`deterministic_sample`, so the kept set is stable across
+    reruns, partitionings, and engines. Sources missing from
+    ``target_shares`` get ``default_share`` (0 ⇒ dropped).
+
+    Scale shape: ONE aggregation producing |sources| rows (map-side
+    partial sums), broadcast-joined back onto the corpus; membership is
+    then a scan-local filter — the corpus itself never shuffles. An
+    oversubscribed source (share·budget > its total tokens) keeps all
+    its rows; re-normalize shares upstream if strict shares matter more
+    than the budget.
+
+    Returns the kept rows with ``keep_fraction`` attached (useful for
+    loss reweighting).
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    bad = {k: v for k, v in target_shares.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative shares: {bad}")
+
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("_grp_tokens")
+    )
+    share_items = []
+    for k, v in sorted(target_shares.items()):
+        share_items.extend([F.lit(k), F.lit(float(v))])
+    share_map = F.create_map(*share_items) if share_items else None
+    share = (
+        F.coalesce(
+            share_map[F.col(group_col)] if share_map is not None else F.lit(None),
+            F.lit(float(default_share)),
+        )
+    )
+    frac = F.least(
+        F.lit(1.0),
+        share * F.lit(float(token_budget)) / F.col("_grp_tokens"),
+    )
+    cut = F.floor(frac * _BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(totals), group_col)
+        .where(_hash_bucket(F.col(id_col), salt) < cut)
+        .withColumn("keep_fraction", frac)
+        .drop("_grp_tokens")
+    )

@@ -1506,11 +1506,14 @@ ORDER BY t.doc_id
 
 
 def _sampling_docs_combined(spark, sf):
-    """Hash-membership sample (+ train/test split) AND exact-k stratified
-    sample, union-tagged into one result — fuses `sample_docs` and
-    `stratified_sample_docs` into one driver-verified slot. Both are
-    membership filters / one-shuffle window ops; the union adds no
-    shuffle."""
+    """Hash-membership sample (+ train/test split), exact-k stratified
+    sample, AND (r5) token-budget data mixing, union-tagged into one
+    result — fuses `sample_docs`, `stratified_sample_docs`, and
+    `mix_corpus_docs` into one driver-verified slot. All are membership
+    filters / one-shuffle window ops / broadcast-joined group totals; the
+    union adds no shuffle."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import mix_corpus
+
     docs = load_table(spark, sf, "documents")
     sampled = deterministic_sample(docs, "doc_id", 0.10, salt="bench")
     labeled = with_split(sampled, "doc_id", test_fraction=0.2, salt="split")
@@ -1521,7 +1524,23 @@ def _sampling_docs_combined(spark, sf):
     strat_part = strat.select(
         F.lit("strat").alias("method"), "doc_id", F.col("lang").alias("label")
     )
-    return hash_part.unionByName(strat_part).orderBy("method", "doc_id")
+    mixed = mix_corpus(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        {"en": 0.5, "de": 0.2, "fr": 0.1},
+        token_budget=20_000,
+        salt="mix",
+        default_share=0.05,
+    )
+    mix_part = mixed.select(
+        F.lit("mix").alias("method"), "doc_id", F.col("lang").alias("label")
+    )
+    return (
+        hash_part.unionByName(strat_part).unionByName(mix_part)
+        .orderBy("method", "doc_id")
+    )
 
 
 _SAMPLING_COMBINED_SQL = """
@@ -1546,7 +1565,61 @@ SELECT 'strat' AS method, doc_id, lang AS label FROM (
   FROM documents
 ) t
 WHERE rn <= 3
+UNION ALL
+SELECT 'mix' AS method, doc_id, lang AS label FROM (
+  SELECT d.doc_id, d.lang,
+         LEAST(1.0,
+               (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                            WHEN 'fr' THEN 0.1 ELSE 0.05 END)
+               * 20000.0 / t.grp) AS frac
+  FROM documents d
+  JOIN (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS grp
+        FROM documents GROUP BY lang) t USING (lang)
+) m
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT)
+      % 10000 < CAST(FLOOR(frac * 10000) AS BIGINT)
 ORDER BY method, doc_id
+"""
+
+
+def _mix_corpus_docs(spark, sf):
+    """Token-budget data mixing (operators/sampling.mix_corpus) standalone:
+    lang-keyed target shares, n_chars as the token mass. keep_fraction
+    rounds to 6 places on both engines (the underlying doubles are
+    bit-identical — integer-valued sums stay exact under double addition,
+    and both engines evaluate the same IEEE expression tree)."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import mix_corpus
+
+    docs = load_table(spark, sf, "documents")
+    mixed = mix_corpus(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        {"en": 0.5, "de": 0.2, "fr": 0.1},
+        token_budget=20_000,
+        salt="mix",
+        default_share=0.05,
+    )
+    return mixed.select(
+        "doc_id", "lang", F.round("keep_fraction", 6).alias("keep_fraction")
+    ).orderBy("doc_id")
+
+
+_MIX_CORPUS_SQL = """
+SELECT doc_id, lang, ROUND(frac, 6) AS keep_fraction FROM (
+  SELECT d.doc_id, d.lang,
+         LEAST(1.0,
+               (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                            WHEN 'fr' THEN 0.1 ELSE 0.05 END)
+               * 20000.0 / t.grp) AS frac
+  FROM documents d
+  JOIN (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS grp
+        FROM documents GROUP BY lang) t USING (lang)
+) m
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT)
+      % 10000 < CAST(FLOOR(frac * 10000) AS BIGINT)
+ORDER BY doc_id
 """
 
 
@@ -1787,4 +1860,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "pack_concat_docs": QuerySpec(_pack_concat_docs, _PACK_CONCAT_SQL),
     "pack_first_fit_docs": QuerySpec(_pack_first_fit_docs, None),
     "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
+    "mix_corpus_docs": QuerySpec(_mix_corpus_docs, _MIX_CORPUS_SQL),
 }

@@ -30,9 +30,11 @@ def docs(spark):
 
 def test_bloom_params_sizing():
     m, k = bloom_params(10_000, 0.01)
-    # textbook optimum: ~9.59 bits/key, k ~ 7
-    assert 90_000 < m < 101_000
-    assert k in (6, 7, 8)
+    # textbook optimum ~9.59 bits/key (95.9k), rounded UP to a power of
+    # two for mask arithmetic -> 2^17; k tracks the realized density
+    assert m == 131072
+    assert m & (m - 1) == 0
+    assert 6 <= k <= 10
     with pytest.raises(ValueError):
         bloom_params(0, 0.01)
     with pytest.raises(ValueError):
@@ -101,15 +103,17 @@ def test_bitmap_probe_roundtrip_numpy():
     from spark_streaming_sql_s3_connector_spark.operators.bloom import BloomFilter
 
     m, k = bloom_params(100, 0.01)
+    mask = np.int64(m - 1)
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     rng = np.random.RandomState(7)
-    h1 = rng.randint(0, 2**63, 100, dtype=np.int64).view(np.uint64)
-    h2 = rng.randint(0, 2**63, 100, dtype=np.int64).view(np.uint64)
+    h1 = rng.randint(-(2**62), 2**62, 100).astype(np.int64)
+    h2 = rng.randint(-(2**62), 2**62, 100).astype(np.int64)
+    a, b = h1 & mask, h2 & mask
     for i in range(k):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        idx = (a + np.int64(i) * b) & mask
         np.bitwise_or.at(
-            bits, (idx >> np.uint64(3)).astype(np.int64),
-            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+            bits, idx >> np.int64(3),
+            (np.uint8(1) << (idx & np.int64(7)).astype(np.uint8)),
         )
     bf = BloomFilter(m, k, 0, bits)
     assert bf.might_contain_np(h1, h2).all()

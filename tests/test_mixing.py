@@ -1,0 +1,88 @@
+"""Data-mixing (mix_corpus) laws: determinism under repartition, budget
+targeting, oversubscription keep-all, default-share drop, keep_fraction
+arithmetic, argument validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.sampling import mix_corpus
+
+SHARES = {"web": 0.6, "code": 0.3}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(3000):
+        src = ("web", "code", "books")[i % 3]
+        rows.append((i, src, (i * 13) % 97 + 10))
+    return spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+
+
+def test_deterministic_under_repartition(spark, corpus):
+    a = mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, 30_000, salt="s")
+    b = mix_corpus(
+        corpus.repartition(17), "doc_id", "source", "n_tokens", SHARES, 30_000, salt="s"
+    )
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_budget_targeting(spark, corpus):
+    budget = 30_000
+    out = mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, budget, salt="s")
+    got = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    for src, share in SHARES.items():
+        target = share * budget
+        # hash sampling is binomial-ish; 25% envelope at ~1000 rows/source
+        assert abs(got[src] - target) / target < 0.25, (src, got[src], target)
+
+
+def test_oversubscribed_source_keeps_all(spark, corpus):
+    # share*budget far above the source's total -> fraction clamps to 1
+    out = mix_corpus(
+        corpus, "doc_id", "source", "n_tokens", {"web": 1.0}, 10**9, salt="s"
+    )
+    n_web = corpus.where(F.col("source") == "web").count()
+    kept = out.where(F.col("source") == "web")
+    assert kept.count() == n_web
+    assert kept.select(F.min("keep_fraction")).collect()[0][0] == 1.0
+
+
+def test_default_share_zero_drops_unlisted(spark, corpus):
+    out = mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, 30_000, salt="s")
+    assert out.where(F.col("source") == "books").count() == 0
+
+
+def test_default_share_nonzero_keeps_unlisted(spark, corpus):
+    out = mix_corpus(
+        corpus, "doc_id", "source", "n_tokens", SHARES, 30_000,
+        salt="s", default_share=0.1,
+    )
+    assert out.where(F.col("source") == "books").count() > 0
+
+
+def test_keep_fraction_arithmetic(spark, corpus):
+    budget = 30_000
+    out = mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, budget, salt="s")
+    totals = {
+        r.source: r.tok
+        for r in corpus.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    fracs = {
+        r.source: r.f
+        for r in out.groupBy("source").agg(F.max("keep_fraction").alias("f")).collect()
+    }
+    for src, share in SHARES.items():
+        assert fracs[src] == pytest.approx(min(1.0, share * budget / totals[src]))
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, 0)
+    with pytest.raises(ValueError):
+        mix_corpus(corpus, "doc_id", "source", "n_tokens", {"web": -0.1}, 100)
