@@ -239,3 +239,40 @@ def test_q12_fact_join_broadcasts_orders_projection(spark):
     n_hash = plan.count("hashpartitioning(")
     assert n_hash == 1, f"expected single hash exchange, saw {n_hash}"
     assert plan.count("rangepartitioning(") <= 1
+
+
+def test_pack_concat_single_shuffle(spark):
+    """pack_concat: one hash exchange (the shard window partition) plus
+    the orderBy's range partitioning — no Python anywhere, so the whole
+    prefix-sum plan stays in codegen."""
+    plan = formatted_plan(spark, "pack_concat_docs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    n_hash = plan.count("hashpartitioning(")
+    assert n_hash == 1, f"expected single hash exchange, saw {n_hash}"
+
+
+def test_mix_corpus_broadcasts_totals(spark):
+    """mix_corpus: the per-source totals aggregate broadcasts back onto
+    the corpus; the corpus itself must NOT hash-shuffle (membership is a
+    scan-local filter)."""
+    plan = formatted_plan(spark, "mix_corpus_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange feeds the |sources|-row totals aggregate,
+    # so it must partition on the group column, not carry the corpus
+    for line in plan.splitlines():
+        if "hashpartitioning(" in line and "lang" not in line:
+            raise AssertionError(f"corpus-side shuffle leaked: {line}")
+
+
+def test_bloom_negative_path_no_join(spark):
+    """bloom_dedup_docs: the screen's negative branch is a map-side
+    filter; only the bloom-positive slice reaches a join. The plan must
+    contain exactly one join (the positives' anti-join) and no join on
+    the negatives' branch — i.e. a single join node total."""
+    plan = formatted_plan(spark, "bloom_dedup_docs")
+    # formatted explain names each node twice (tree + detail section)
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins <= 4, f"more than one join node: \n{plan}"
+    assert "CartesianProduct" not in plan
