@@ -106,6 +106,7 @@ def build_bloom(
     fpp: float = 0.01,
     seed: int = 0x10f,
     build_partitions: int = 8,
+    params: tuple[int, int] | None = None,
 ) -> BloomFilter:
     """One scan over ``df[col]`` → a driver-held :class:`BloomFilter`.
 
@@ -117,9 +118,15 @@ def build_bloom(
     read of the history — acceptable for a one-off index build, but at
     full scale prefer passing the bound.
     """
-    if expected_items is None:
-        expected_items = max(df.count(), 1)
-    m_bits, k = bloom_params(expected_items, fpp)
+    if params is not None:
+        m_bits, k = params  # caller pins the geometry (incremental updates
+        # of a persisted bitmap must keep it fixed across batches)
+    else:
+        if expected_items is None:
+            expected_items = max(df.count(), 1)
+        m_bits, k = bloom_params(expected_items, fpp)
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
     n_bytes = (m_bits + 7) // 8
 
     hashed = (

@@ -1,0 +1,340 @@
+"""Streaming EXACT dedup against everything seen before, bloom-accelerated.
+
+`streaming/dedup_index.py` answers the incremental NEAR-dup question;
+this module answers the exact one: as documents stream in, which have
+*literally* (after normalization) been seen in any earlier batch? The
+per-batch recipe:
+
+1. key every row: ``md5(normalized_text)`` (128-bit — collision-free at
+   any realistic corpus size), plus a hash shard for index pruning;
+2. within-batch dedup: keep the min-id row per key;
+3. screen the keepers against the persisted key index, accelerated by a
+   persisted Bloom bitmap: bloom-NEGATIVE keepers are guaranteed new
+   and skip the join entirely; only bloom-positive keepers anti-join
+   the (shard-pruned, still tiny) history index;
+4. append the new keys under ``_new/batch=<id>``, the duplicate verdicts
+   under ``_dups/batch=<id>``;
+5. OR the batch's bits into the bitmap (atomic tmp+rename).
+
+**The bloom is pure acceleration, never a correctness input.** Every
+bloom-positive goes through the exact anti-join, and a missing/corrupt/
+stale bitmap just routes ALL keepers through that join — the result is
+identical either way (tests delete the bitmap mid-stream and assert
+equality). This is the property that makes the bitmap safe to keep as a
+lazily-updated side file rather than transactional state.
+
+Replay safety mirrors `dedup_index` / `rollup`: every write overwrites
+its own ``batch=<id>`` directory, history reads exclude the in-flight
+batch id, and the bitmap update is an idempotent OR — so a replayed
+batch converges to identical state. The bitmap geometry (m, k) is fixed
+at index creation (``expected_total_items``) because incremental ORs
+require a stable bit layout; an undersized bitmap degrades fpp (more
+rows take the join path), never correctness.
+
+Scale shape: index rows are (id, key) — 40 B/doc, not the corpus. The
+per-trigger join broadcasts the batch's bloom-positive slice and prunes
+history shards by the batch's shard set, so a steady-state trigger
+touches a few shards of a small table and shuffles nothing.
+
+NULL text rows pass through as new and are never indexed (a NULL equals
+nothing — the same convention as the batch anti-join operators).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.bloom import (
+    BloomFilter,
+    bloom_params,
+    build_bloom,
+    might_contain_column,
+)
+from spark_streaming_sql_s3_connector_spark.operators.dedup import normalized_text
+
+_N_SHARDS = 64
+_BLOOM_SEED = 0x5eed
+
+
+def _new_dir(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "_new", f"batch={batch_id}")
+
+
+def _dups_dir(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "_dups", f"batch={batch_id}")
+
+
+def _bitmap_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_bloom", "bitmap.bin")
+
+
+def _pointer_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_latest")
+
+
+def _read_pointer(index_dir: str) -> Optional[int]:
+    try:
+        with open(_pointer_path(index_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _write_pointer(index_dir: str, version: int) -> None:
+    tmp = _pointer_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(index_dir))
+
+
+def _delta_ids(index_dir: str) -> list[int]:
+    root = os.path.join(index_dir, "_new")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for e in os.listdir(root):
+        if e.startswith("batch="):
+            try:
+                out.append(int(e.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _index_frames(
+    spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
+) -> list[DataFrame]:
+    ptr = _read_pointer(index_dir)
+    frames = []
+    if ptr is not None:
+        frames.append(spark.read.parquet(os.path.join(index_dir, "base", f"v={ptr}")))
+    for i in _delta_ids(index_dir):
+        if ptr is not None and i <= ptr:
+            continue
+        if before_batch is not None and i >= before_batch:
+            continue
+        frames.append(spark.read.parquet(_new_dir(index_dir, i)))
+    return frames
+
+
+def _load_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
+    try:
+        raw = open(_bitmap_path(index_dir), "rb").read()
+    except FileNotFoundError:
+        return None
+    if len(raw) != (m_bits + 7) // 8:
+        return None  # geometry drift (e.g. config change) → ignore, stay exact
+    return BloomFilter(m_bits, k, _BLOOM_SEED, np.frombuffer(raw, dtype=np.uint8))
+
+
+def _or_into_bitmap(index_dir: str, batch_bits: np.ndarray) -> None:
+    path = _bitmap_path(index_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        current = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+        merged = (
+            current | batch_bits if len(current) == len(batch_bits) else batch_bits
+        )
+    except FileNotFoundError:
+        merged = batch_bits
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(merged.tobytes())
+    os.replace(tmp, path)
+
+
+def _keyed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    key = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
+    return batch.select(
+        F.col(id_col).alias("_id"),
+        key.alias("key"),
+        F.pmod(F.xxhash64(key), F.lit(_N_SHARDS)).cast("int").alias("_shard"),
+    )
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_total_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> None:
+    """One micro-batch of the incremental exact dedup (see module doc).
+    Overwrites ``batch=<id>``-keyed outputs — replay converges."""
+    spark = batch.sparkSession
+    m_bits, k = bloom_params(expected_total_items, fpp)
+
+    keyed = _keyed(batch, text_col, id_col)
+    null_rows = keyed.where(F.col("key").isNull())
+    keyed = keyed.where(F.col("key").isNotNull())
+
+    # within-batch keeper per key (min id); the rest are internal dups
+    agg = keyed.groupBy("key", "_shard").agg(
+        F.min("_id").alias("_id"), F.count("*").alias("_n")
+    )
+    keepers = agg.select("_id", "key", "_shard").persist()
+    internal_dups = (
+        keyed.join(
+            agg.select(F.col("key").alias("k2"), F.col("_id").alias("keeper_id")),
+            keyed["key"] == F.col("k2"),
+        )
+        .where(F.col("_id") != F.col("keeper_id"))
+        .select("_id", "key", F.lit("within_batch").alias("dup_kind"))
+    )
+
+    try:
+        frames = _index_frames(spark, index_dir, before_batch=batch_id)
+        if frames:
+            hist = frames[0]
+            for fr in frames[1:]:
+                hist = hist.unionByName(fr)
+            bloom = _load_bitmap(index_dir, m_bits, k)
+            if bloom is not None:
+                flagged = keepers.withColumn(
+                    "_maybe", might_contain_column(keepers, "key", bloom)
+                ).persist()
+                negatives = flagged.where(~F.col("_maybe")).drop("_maybe")
+                cand = flagged.where(F.col("_maybe")).drop("_maybe")
+            else:
+                flagged = None
+                negatives = keepers.limit(0)
+                cand = keepers
+            shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
+            hist = hist.where(F.col("_shard").isin(shards))
+            matched = (
+                hist.join(F.broadcast(cand.select("key")), "key", "left_semi")
+                .select("key")
+                .distinct()
+            )
+            hist_dups = cand.join(F.broadcast(matched), "key", "left_semi").select(
+                "_id", "key", F.lit("vs_history").alias("dup_kind")
+            )
+            new_from_cand = cand.join(F.broadcast(matched), "key", "left_anti")
+            new_rows = negatives.unionByName(new_from_cand)
+            dups = internal_dups.unionByName(hist_dups)
+        else:
+            flagged = None
+            new_rows = keepers
+            dups = internal_dups
+
+        new_rows = new_rows.unionByName(
+            null_rows.select("_id", "key", "_shard")
+        )
+        dups.write.mode("overwrite").parquet(_dups_dir(index_dir, batch_id))
+        # NULL-key rows stay in _new as passthrough outputs — a NULL key
+        # never equi-joins, so they can never produce a false duplicate
+        # verdict later. Write AFTER dups (same ordering argument as
+        # dedup_index: replay rewrites both idempotently).
+        new_rows.write.mode("overwrite").partitionBy("_shard").parquet(
+            _new_dir(index_dir, batch_id)
+        )
+
+        # bitmap update: OR in ALL batch keys (supersets of the new ones
+        # are harmless and make the update idempotent under replay)
+        batch_bloom = build_bloom(
+            keepers, "key", params=(m_bits, k), seed=_BLOOM_SEED
+        )
+        _or_into_bitmap(index_dir, batch_bloom.bits)
+    finally:
+        keepers.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_total_items: int = 1_000_000,
+    fpp: float = 0.01,
+):
+    """Start the incremental exact-dedup stream; returns the
+    StreamingQuery. New (first-seen) keys accumulate under ``_new``;
+    duplicate verdicts land under ``_dups/batch=<id>``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch,
+            batch_id,
+            index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            expected_total_items=expected_total_items,
+            fpp=fpp,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_unique_ids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Ids of first-seen rows across all processed batches."""
+    frames = _index_frames(spark, index_dir)
+    if not frames:
+        raise FileNotFoundError(f"no exact-dedup index under {index_dir}")
+    df = frames[0]
+    for fr in frames[1:]:
+        df = df.unionByName(fr)
+    return df.select(F.col("_id").alias("doc_id"), "key")
+
+
+def read_dup_ids(spark: SparkSession, index_dir: str) -> DataFrame:
+    root = os.path.join(index_dir, "_dups")
+    return spark.read.parquet(os.path.join(root, "batch=*")).select(
+        F.col("_id").alias("doc_id"), "key", "dup_kind"
+    )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
+    """Fold _new deltas into a versioned shard-partitioned base behind an
+    atomically-flipped pointer — same crash-safety argument as
+    ``rollup.compact_rollup`` / ``dedup_index.compact_index``."""
+    ids = _delta_ids(index_dir)
+    ptr = _read_pointer(index_dir)
+    pending = [i for i in ids if ptr is None or i > ptr]
+    if not pending:
+        return None
+    new_v = max(pending)
+    frames = _index_frames(spark, index_dir)
+    df = frames[0]
+    for fr in frames[1:]:
+        df = df.unionByName(fr)
+    # keys are unique across deltas by construction (a key admitted in
+    # batch i is history for batch j>i); min-id keeps the fold
+    # deterministic anyway. NULL-key passthrough rows fold verbatim —
+    # a groupBy would wrongly collapse them into one row.
+    nn = (
+        df.where(F.col("key").isNotNull())
+        .groupBy("key", "_shard")
+        .agg(F.min("_id").alias("_id"))
+    )
+    nulls = df.where(F.col("key").isNull()).select("key", "_shard", "_id").distinct()
+    (
+        nn.unionByName(nulls)
+        .repartition("_shard")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(os.path.join(index_dir, "base", f"v={new_v}"))
+    )
+    _write_pointer(index_dir, new_v)
+    for i in ids:
+        if i <= new_v:
+            shutil.rmtree(_new_dir(index_dir, i), ignore_errors=True)
+    if ptr is not None:
+        shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
+    return new_v

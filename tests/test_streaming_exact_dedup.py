@@ -1,0 +1,136 @@
+"""Streaming exact-dedup laws.
+
+- Incremental result over N batches == batch `dedup_exact` keepers on
+  the union corpus (exact set equality of keeper ids).
+- Replaying a batch converges (idempotent state).
+- Deleting the bloom bitmap mid-stream changes NOTHING in the results
+  (the bloom is acceleration, not correctness).
+- Cross-batch duplicates are flagged `vs_history`, within-batch ones
+  `within_batch`; NULL-text rows pass through as new.
+- Compaction preserves the unique set and replays keep working on the
+  compacted base.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.dedup import dedup_exact
+from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+    compact_index,
+    process_batch,
+    read_dup_ids,
+    read_unique_ids,
+)
+
+
+def _mk_batches(spark):
+    # batch 0: ids 0-9 unique texts, with 11/12 duplicating 1/2 in-batch
+    b0 = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)]
+        + [(11, "text number 1"), (12, "text number 2")],
+        "doc_id bigint, text string",
+    )
+    # batch 1: 20-24 new, 25 duplicates batch-0's text 3, 26 dups text 4
+    b1 = spark.createDataFrame(
+        [(20 + i, f"fresh text {i}") for i in range(5)]
+        + [(25, "text number 3"), (26, "text number 4")],
+        "doc_id bigint, text string",
+    )
+    # batch 2: one new, one dup of batch-1 text, one dup of batch-0 text
+    b2 = spark.createDataFrame(
+        [(30, "brand new"), (31, "fresh text 0"), (32, "text number 0")],
+        "doc_id bigint, text string",
+    )
+    return [b0, b1, b2]
+
+
+def _union(spark, batches):
+    u = batches[0]
+    for b in batches[1:]:
+        u = u.unionByName(b)
+    return u
+
+
+def test_incremental_equals_batch_dedup(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    for i, b in enumerate(batches):
+        process_batch(b, i, idx, expected_total_items=1000)
+    got = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    want = sorted(
+        r.keeper_id
+        for r in dedup_exact(_union(spark, batches), "text", "doc_id").collect()
+    )
+    assert got == want
+
+
+def test_replay_converges(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    for i, b in enumerate(batches):
+        process_batch(b, i, idx, expected_total_items=1000)
+    before = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    process_batch(batches[1], 1, idx, expected_total_items=1000)  # replay
+    after = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    assert before == after
+    dups = read_dup_ids(spark, idx)
+    assert dups.count() == dups.dropDuplicates(["doc_id"]).count()
+
+
+def test_bloom_is_acceleration_only(spark, tmp_path):
+    idx_a = str(tmp_path / "with_bloom")
+    idx_b = str(tmp_path / "no_bloom")
+    batches = _mk_batches(spark)
+    for i, b in enumerate(batches):
+        process_batch(b, i, idx_a, expected_total_items=1000)
+    for i, b in enumerate(batches):
+        process_batch(b, i, idx_b, expected_total_items=1000)
+        # sabotage: remove the bitmap after every batch
+        bp = os.path.join(idx_b, "_bloom", "bitmap.bin")
+        if os.path.exists(bp):
+            os.remove(bp)
+    a = sorted(r.doc_id for r in read_unique_ids(spark, idx_a).collect())
+    b = sorted(r.doc_id for r in read_unique_ids(spark, idx_b).collect())
+    assert a == b
+
+
+def test_dup_kinds_and_nulls(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, None)], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, None)], "doc_id bigint, text string"
+    )
+    process_batch(b0, 0, idx, expected_total_items=100)
+    process_batch(b1, 1, idx, expected_total_items=100)
+    dups = {r.doc_id: r.dup_kind for r in read_dup_ids(spark, idx).collect()}
+    assert dups == {2: "within_batch", 10: "vs_history"}
+    uniq = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    assert uniq == [1, 3, 11, 12]  # nulls always pass through
+
+
+def test_compaction_preserves_and_continues(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    process_batch(batches[0], 0, idx, expected_total_items=1000)
+    process_batch(batches[1], 1, idx, expected_total_items=1000)
+    before = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    v = compact_index(spark, idx)
+    assert v == 1
+    assert sorted(r.doc_id for r in read_unique_ids(spark, idx).collect()) == before
+    # dedup continues to work against the compacted base
+    process_batch(batches[2], 2, idx, expected_total_items=1000)
+    got = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    want = sorted(
+        r.keeper_id
+        for r in dedup_exact(_union(spark, batches), "text", "doc_id").collect()
+    )
+    assert got == want
+    # batch-2 delta folds into v2; with nothing pending the next call
+    # is a no-op
+    assert compact_index(spark, idx) == 2
+    assert compact_index(spark, idx) is None
+    assert sorted(r.doc_id for r in read_unique_ids(spark, idx).collect()) == want
