@@ -103,6 +103,15 @@ BENCH_QUERIES = [
     "repetition_docs",
     "chunk_docs",
     "redact_docs",
+    # added in round 5: bloom history screen, sequence packing, data
+    # mixing, and the fused text-transform/similarity window slots
+    "bloom_dedup_docs",
+    "pack_concat_docs",
+    "pack_first_fit_docs",
+    "mix_corpus_docs",
+    "text_transform_profile",
+    "similarity_recall_profile",
+    "multimodal_profile",
 ]
 
 N_INGEST_FILES = 32

@@ -12,6 +12,9 @@ payload's magic bytes and dispatches:
 - **WAV**  → real stdlib parser (RIFF chunk walk: ``fmt `` gives
   channels/sample-rate/block-align, ``data`` size gives frame count and
   duration).
+- **MP4**  → real stdlib parser (ISO-BMFF box walk: ``mvhd`` gives
+  duration/timescale/track count; the ``stbl`` sample tables give TRUE
+  per-frame byte offsets for ``sample_frames``).
 - anything else → the deterministic fake codec keyed on byte length
   (the synthetic testdata path; also what full pixel/sample decoding
   would need Pillow/torchaudio for — those libs are absent here, so
@@ -80,13 +83,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str:
-    """Classify a payload by magic bytes: 'png' | 'jpeg' | 'wav' | 'fake'."""
+    """Classify a payload by magic bytes:
+    'png' | 'jpeg' | 'wav' | 'mp4' | 'fake'."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "fake"
 
 
@@ -335,6 +341,193 @@ def decode_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 # video frame sampling: payload treated as fixed-size frame chunks by the
 # fake codec; the real codec (av/ffmpeg keyframe iteration) replaces
 # _fake_iter_frames only — row fan-out, schema, and batching are real
+# ---------------------------------------------------------------- MP4 ----
+# Real ISO-BMFF (MP4) box parsing, pure stdlib struct: mvhd for
+# duration/timescale, trak counting for metadata; the stbl sample tables
+# (stsz sizes, stsc sample→chunk runs, stco/co64 chunk offsets) for TRUE
+# per-frame byte offsets in sample_frames. Only the box headers and
+# tables are touched — never the media data.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the boxes laid
+    end-to-end in buf[start:end]; stops cleanly on truncation."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = buf[off + 4:off + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, *path: bytes):
+    """Payload span of the first box at a nested ``path``, or None."""
+    for btype, ps, pe in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(buf, ps, pe, *path[1:])
+    return None
+
+
+def _decode_mp4(payload: bytes) -> Optional[Tuple[int, int, int, str]]:
+    """Parse moov/mvhd: returns (duration_ms, timescale, n_tracks,
+    'mp4'), or None if malformed."""
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    mvhd = _find_box(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    ps, pe = mvhd
+    if pe - ps < 20:
+        return None
+    version = payload[ps]
+    try:
+        if version == 1:
+            timescale = int.from_bytes(payload[ps + 20:ps + 24], "big")
+            duration = int.from_bytes(payload[ps + 24:ps + 32], "big")
+        else:
+            timescale = int.from_bytes(payload[ps + 12:ps + 16], "big")
+            duration = int.from_bytes(payload[ps + 16:ps + 20], "big")
+    except (IndexError, ValueError):
+        return None
+    if timescale <= 0:
+        return None
+    n_tracks = sum(1 for t, _, _ in _iter_boxes(payload, moov[0], moov[1]) if t == b"trak")
+    return (duration * 1000) // timescale, timescale, n_tracks, "mp4"
+
+
+def _mp4_video_samples(payload: bytes) -> Optional[list[tuple[int, int]]]:
+    """(absolute_offset, size) for every sample of the FIRST video track,
+    from the stsz/stsc/stco(co64) tables. Returns None if the payload
+    isn't a parseable MP4 with a video track."""
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    for btype, ps, pe in _iter_boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(payload, ps, pe, b"mdia", b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _find_box(payload, ps, pe, b"mdia", b"minf", b"stbl")
+        if stbl is None:
+            return None
+        stsz = _find_box(payload, stbl[0], stbl[1], b"stsz")
+        stsc = _find_box(payload, stbl[0], stbl[1], b"stsc")
+        stco = _find_box(payload, stbl[0], stbl[1], b"stco")
+        co64 = _find_box(payload, stbl[0], stbl[1], b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            return None
+        s = stsz[0]
+        uniform = int.from_bytes(payload[s + 4:s + 8], "big")
+        n_samples = int.from_bytes(payload[s + 8:s + 12], "big")
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = [
+                int.from_bytes(payload[s + 12 + 4 * i:s + 16 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+        s = stsc[0]
+        n_runs = int.from_bytes(payload[s + 4:s + 8], "big")
+        runs = []  # (first_chunk 1-based, samples_per_chunk)
+        for i in range(n_runs):
+            o = s + 8 + 12 * i
+            runs.append(
+                (
+                    int.from_bytes(payload[o:o + 4], "big"),
+                    int.from_bytes(payload[o + 4:o + 8], "big"),
+                )
+            )
+        if co64 is not None:
+            s = co64[0]
+            n_chunks = int.from_bytes(payload[s + 4:s + 8], "big")
+            chunk_offs = [
+                int.from_bytes(payload[s + 8 + 8 * i:s + 16 + 8 * i], "big")
+                for i in range(n_chunks)
+            ]
+        else:
+            s = stco[0]
+            n_chunks = int.from_bytes(payload[s + 4:s + 8], "big")
+            chunk_offs = [
+                int.from_bytes(payload[s + 8 + 4 * i:s + 12 + 4 * i], "big")
+                for i in range(n_chunks)
+            ]
+        # expand stsc runs: samples-per-chunk for each chunk
+        spc = []
+        for ri, (first, per) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            spc.extend([per] * max(0, last - first + 1))
+        out: list[tuple[int, int]] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offs):
+            per = spc[ci] if ci < len(spc) else (spc[-1] if spc else 0)
+            off = coff
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        return out if out else None
+    return None
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("duration_ms", LongType()),
+        StructField("timescale", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def decode_video_payload(payload: bytes) -> tuple[int, int, int, str]:
+    """Dispatch on magic bytes: real MP4 mvhd parse, fake-codec fallback
+    (duration keyed on byte length, 1 track) otherwise."""
+    if sniff_format(payload) == "mp4":
+        meta = _decode_mp4(payload)
+        if meta is not None:
+            return meta
+    n = len(payload)
+    return (n % 7200_000), 1000, 1, "fake"
+
+
+def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-row video metadata via mapInPandas (same plumbing as
+    decode_image_meta; real parse for MP4 payloads)."""
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(VIDEO_META_SCHEMA.fields))
+    pass_names = [f.name for f in passthrough]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                d, ts, nt, fmt = decode_video_payload(bytes(rec[payload_col]))
+                out = {k: rec[k] for k in pass_names}
+                out.update(duration_ms=d, timescale=ts, n_tracks=nt, format=fmt)
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=pass_names + ["duration_ms", "timescale", "n_tracks", "format"]
+            )
+
+    return spread_for_compute(df).mapInPandas(decode, schema=out_schema)
+
+
 _FAKE_FRAME_BYTES = 64
 
 FRAME_SCHEMA = StructType(
@@ -356,6 +549,20 @@ def _fake_iter_frames(payload: bytes, every_n: int):
         yield (idx, off, min(_FAKE_FRAME_BYTES, n - off))
 
 
+def _iter_frames(payload: bytes, every_n: int):
+    """Dispatch: MP4 payloads yield REAL sample positions from the stbl
+    tables (every ``every_n``-th video sample); anything else falls back
+    to the fake fixed-width iterator."""
+    if sniff_format(payload) == "mp4":
+        samples = _mp4_video_samples(payload)
+        if samples is not None:
+            for idx in range(0, len(samples), every_n):
+                off, size = samples[idx]
+                yield (idx, off, size)
+            return
+    yield from _fake_iter_frames(payload, every_n)
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_n: int = 30
 ) -> DataFrame:
@@ -364,10 +571,11 @@ def sample_frames(
     in and out, no explode of a materialized frame array, so a 2-hour
     video never holds all frames in memory at once).
 
-    The codec step is the deterministic fake above; dropping in a real
-    codec (av/ffmpeg) replaces ``_fake_iter_frames`` with packet
-    iteration and adds a frame-bytes column — the Spark plumbing
-    (schema, partitioning, batch shape) is unchanged."""
+    MP4 payloads yield REAL sample positions parsed from the stbl
+    tables (stsz/stsc/stco); other payloads use the deterministic fake
+    iterator. Dropping in a full codec (av/ffmpeg) for non-BMFF
+    containers replaces the fake branch with packet iteration — the
+    Spark plumbing (schema, partitioning, batch shape) is unchanged."""
     try:
         import av  # noqa: F401  # real codec path, absent in this container
     except ImportError:
@@ -383,7 +591,7 @@ def sample_frames(
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec[payload_col])
-                for idx, off, ln in _fake_iter_frames(payload, every_n):
+                for idx, off, ln in _iter_frames(payload, every_n):
                     out_row = {k: rec[k] for k in pass_names}
                     out_row["frame_idx"] = idx
                     out_row["frame_offset"] = off

@@ -238,3 +238,139 @@ def test_real_bytes_through_spark_decoders(spark):
     aud = {r.doc_id: r for r in decode_audio_meta(df).collect()}
     assert (aud[3].sample_rate, aud[3].n_samples, aud[3].duration_ms) == (16000, 8000, 500)
     assert aud[4].n_samples == n * 2  # fake-codec contract intact
+
+
+# ------------------------------------------------------------- MP4 ----
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(sample_sizes, chunks, timescale=1000, duration=5000):
+    """Minimal but REAL ISO-BMFF file: ftyp + mdat (samples laid out per
+    ``chunks`` = list of samples-per-chunk) + moov(mvhd, trak(mdia(hdlr
+    'vide', minf(stbl(stsz, stsc, stco))))). Returns (bytes, expected
+    [(offset, size)] per sample)."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(bytes([i % 251]) * s for i, s in enumerate(sample_sizes))
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_body = len(ftyp) + 8
+
+    # chunk offsets + expected per-sample (offset, size)
+    chunk_offs, expected = [], []
+    off = mdat_body
+    si = 0
+    for per in chunks:
+        chunk_offs.append(off)
+        for _ in range(per):
+            expected.append((off, sample_sizes[si]))
+            off += sample_sizes[si]
+            si += 1
+    assert si == len(sample_sizes)
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", timescale, duration) + b"\x00" * 80,
+    )
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + b"vide" + b"\x00" * 12)
+    stsz = _box(
+        b"stsz",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, len(sample_sizes))
+        + b"".join(struct.pack(">I", s) for s in sample_sizes),
+    )
+    # stsc runs: collapse identical consecutive samples-per-chunk
+    runs = []
+    for ci, per in enumerate(chunks, start=1):
+        if not runs or runs[-1][1] != per:
+            runs.append((ci, per))
+    stsc = _box(
+        b"stsc",
+        b"\x00\x00\x00\x00" + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", first, per, 1) for first, per in runs),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00\x00\x00\x00" + struct.pack(">I", len(chunk_offs))
+        + b"".join(struct.pack(">I", o) for o in chunk_offs),
+    )
+    stbl = _box(b"stbl", stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, expected
+
+
+def test_mp4_mvhd_metadata():
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        decode_video_payload,
+        sniff_format,
+    )
+
+    mp4, _ = make_mp4([10, 20, 30], [3], timescale=600, duration=1200)
+    assert sniff_format(mp4) == "mp4"
+    duration_ms, timescale, n_tracks, fmt = decode_video_payload(mp4)
+    assert (duration_ms, timescale, n_tracks, fmt) == (2000, 600, 1, "mp4")
+
+
+def test_mp4_sample_table_offsets():
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        _mp4_video_samples,
+    )
+
+    sizes = [10, 20, 30, 40, 50]
+    mp4, expected = make_mp4(sizes, [2, 3])
+    got = _mp4_video_samples(mp4)
+    assert got == expected
+    # the declared sample bytes really live inside the file
+    for off, size in got:
+        assert off + size <= len(mp4)
+
+
+def test_mp4_malformed_falls_back_to_fake():
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        decode_video_payload,
+    )
+
+    junk = _box(b"ftyp", b"isom") + b"\x00" * 32  # ftyp but no moov
+    d, ts, nt, fmt = decode_video_payload(junk)
+    assert fmt == "fake" and ts == 1000
+
+
+def test_sample_frames_real_mp4_offsets(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    sizes = [10, 20, 30, 40, 50, 60]
+    mp4, expected = make_mp4(sizes, [2, 2, 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"not a video, fake path"))],
+        "doc_id: int, payload: binary",
+    )
+    out = sample_frames(df, every_n=2)
+    mp4_rows = sorted(
+        ((r.frame_idx, r.frame_offset, r.frame_n_bytes)
+         for r in out.where(F.col("doc_id") == 1).collect())
+    )
+    assert mp4_rows == [(i, expected[i][0], expected[i][1]) for i in (0, 2, 4)]
+    # the fake path still follows the 64-byte contract the oracles pin
+    fake_rows = out.where(F.col("doc_id") == 2).collect()
+    assert all(r.frame_offset == r.frame_idx * 64 for r in fake_rows)
+
+
+def test_decode_video_meta_mapinpandas(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        decode_video_meta,
+    )
+
+    mp4, _ = make_mp4([16, 16], [2], timescale=1000, duration=250)
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"plain text"))],
+        "doc_id: int, payload: binary",
+    )
+    rows = {r.doc_id: r for r in decode_video_meta(df).collect()}
+    assert (rows[1].duration_ms, rows[1].n_tracks, rows[1].format) == (250, 1, "mp4")
+    assert rows[2].format == "fake"
