@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "text_transform_profile",
     "similarity_recall_profile",
     "multimodal_profile",
+    "web_clean_docs",
 ]
 
 N_INGEST_FILES = 32

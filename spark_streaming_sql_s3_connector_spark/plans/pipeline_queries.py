@@ -1089,6 +1089,90 @@ ORDER BY d.doc_id
 """
 
 
+def _web_clean_docs(spark, sf):
+    """Web-corpus cleaning (functions/web + operators/web): canonical
+    URL (synthesized deterministically per doc — the corpus has no URL
+    column — exercising case/port/tracking/fragment/trailing-slash rules
+    end to end) and cross-doc boilerplate counts over sentence-lines
+    (the repetition oracle's `lined` transform)."""
+    from spark_streaming_sql_s3_connector_spark.functions.web import canonical_url
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        boilerplate_profile,
+        lined_text,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    raw_url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("#sec"),
+    )
+    urls = docs.select("doc_id", canonical_url(raw_url).alias("canon_url"))
+    lined = docs.select("doc_id", lined_text(F.col("text")).alias("text"))
+    bp = boilerplate_profile(lined, "text", "doc_id", min_doc_freq=2)
+    return (
+        urls.join(bp, "doc_id")
+        .where(F.col("n_distinct_lines") > 0)  # mirror the oracle's inner join
+        .select(
+            "doc_id",
+            "canon_url",
+            "n_distinct_lines",
+            "n_boilerplate_lines",
+            F.round("boilerplate_frac", 6).alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RAW_URL_SQL = (
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang || '/'"
+    " || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref='"
+    " || CAST(doc_id AS VARCHAR) || '#sec'"
+)
+
+
+def _web_clean_sql() -> str:
+    from spark_streaming_sql_s3_connector_spark.functions.web import (
+        canonical_url_duckdb_sql,
+    )
+
+    raw = _RAW_URL_SQL
+    return r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), dlines AS (
+  SELECT DISTINCT doc_id, trim(x) AS line
+  FROM lined, unnest(str_split(t, chr(10))) AS u(x)
+  WHERE trim(x) != ''
+), ldf AS (
+  SELECT line, COUNT(*) AS doc_freq FROM dlines GROUP BY line
+), bp AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+         CAST(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate_lines
+  FROM dlines JOIN ldf USING (line)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       """ + canonical_url_duckdb_sql(raw) + r""" AS canon_url,
+       bp.n_distinct_lines,
+       bp.n_boilerplate_lines,
+       ROUND(bp.n_boilerplate_lines / bp.n_distinct_lines::DOUBLE, 6)
+         AS boilerplate_frac
+FROM documents d
+JOIN bp USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _text_transform_profile(spark, sf):
     """Repetition screen + training-window chunk stats + PII redaction +
     (r5) concat-and-split sequence packing fused into ONE driver-verified
@@ -1103,10 +1187,14 @@ def _text_transform_profile(spark, sf):
     ch = _chunk_docs(spark, sf)
     red = _redact_docs(spark, sf)
     pk = _pack_concat_docs(spark, sf)
+    wc = _web_clean_docs(spark, sf).select(
+        "doc_id", "canon_url", "n_boilerplate_lines"
+    )
     return (
         rep.join(ch, "doc_id")
         .join(red, "doc_id")
         .join(pk, "doc_id")
+        .join(wc, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1171,18 +1259,45 @@ WITH lined AS (
            CAST(len(tk) AS BIGINT) AS n_tokens
     FROM toks
   )
+), dl AS (
+  SELECT DISTINCT doc_id, trim(x) AS line
+  FROM lined, unnest(str_split(t, chr(10))) AS u(x)
+  WHERE trim(x) != ''
+), ldf2 AS (
+  SELECT line, COUNT(*) AS doc_freq FROM dl GROUP BY line
+), wc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate_lines
+  FROM dl JOIN ldf2 USING (line)
+  GROUP BY doc_id
+), curl AS (
+  SELECT doc_id, __CANON_URL__ AS canon_url FROM documents
 )
 SELECT rep.doc_id, rep.n_lines, rep.n_distinct_lines, rep.dup_line_frac,
        chunk.n_chunks, chunk.total_chunk_tokens, chunk.max_chunk_tokens,
        chunk.min_chunk_tokens,
        red.n_urls, red.n_emails, red.n_ips, red.redacted_md5,
-       pk.shard, pk.start_offset, pk.n_tokens, pk.seq_first, pk.seq_last
+       pk.shard, pk.start_offset, pk.n_tokens, pk.seq_first, pk.seq_last,
+       curl.canon_url, wc.n_boilerplate_lines
 FROM rep
 JOIN chunk USING (doc_id)
 JOIN red USING (doc_id)
 JOIN pk USING (doc_id)
+JOIN wc USING (doc_id)
+JOIN curl USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _finalize_text_transform_sql() -> str:
+    from spark_streaming_sql_s3_connector_spark.functions.web import (
+        canonical_url_duckdb_sql,
+    )
+
+    return _TEXT_TRANSFORM_SQL.replace(
+        "__CANON_URL__", canonical_url_duckdb_sql(_RAW_URL_SQL)
+    )
 
 
 def _stratified_sample_docs(spark, sf):
@@ -1802,7 +1917,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     ),
     # r5 fused slots: repetition+chunk+redact in one; media stats ⟗ frames
     # in one (freeing the window positions the r4 standalones couldn't get)
-    "text_transform_profile": QuerySpec(_text_transform_profile, _TEXT_TRANSFORM_SQL),
+    "text_transform_profile": QuerySpec(_text_transform_profile, _finalize_text_transform_sql()),
     "multimodal_profile": QuerySpec(_multimodal_profile, _MULTIMODAL_PROFILE_SQL),
     # oracle-backed pipeline operators
     "dedup_exact_docs": QuerySpec(_dedup_exact_docs, _DEDUP_EXACT_SQL),
@@ -1861,4 +1976,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "pack_first_fit_docs": QuerySpec(_pack_first_fit_docs, None),
     "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
     "mix_corpus_docs": QuerySpec(_mix_corpus_docs, _MIX_CORPUS_SQL),
+    "web_clean_docs": QuerySpec(_web_clean_docs, _web_clean_sql()),
 }

@@ -1,0 +1,111 @@
+"""URL canonicalization + cross-doc boilerplate laws."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.web import (
+    canonical_url,
+    canonical_url_duckdb_sql,
+)
+from spark_streaming_sql_s3_connector_spark.operators.web import (
+    boilerplate_profile,
+    line_doc_frequency,
+    lined_text,
+    strip_boilerplate,
+)
+
+URL_CASES = [
+    # (raw, canonical)
+    ("HTTPS://Example.COM/Path/?utm_source=x&id=3#frag",
+     "https://example.com/Path?id=3"),
+    ("https://example.com:443/a/", "https://example.com/a"),
+    ("http://example.com:80/", "http://example.com"),
+    ("https://example.com/a?gclid=abc&b=2&utm_medium=email",
+     "https://example.com/a?b=2"),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a?x=1&&y=2", "https://example.com/a?x=1&y=2"),
+    ("https://example.com", "https://example.com"),
+    ("  https://example.com/a  ", "https://example.com/a"),
+    ("not a url at all", "not a url at all"),
+    ("ftp://Files.Example.com/Dir/", "ftp://files.example.com/Dir"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(URL_CASES)],
+                               "id int, url string")
+    got = {r.id: r.c for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (raw, want) in enumerate(URL_CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_canonical_url_duckdb_parity(spark):
+    con = duckdb.connect()
+    expr = canonical_url_duckdb_sql("url")
+    for raw, want in URL_CASES:
+        (duck,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()
+        assert duck == want, (raw, duck, want)
+
+
+@pytest.fixture(scope="module")
+def web_docs(spark):
+    nav = "Home | About | Contact"
+    cookie = "We use cookies"
+    rows = [
+        (1, f"{nav}\nUnique article one\n{cookie}"),
+        (2, f"{nav}\nAnother story here\n{cookie}\nExtra line two"),
+        (3, f"{nav}\nThird text body"),
+        (4, "Totally standalone document"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_line_doc_frequency(spark, web_docs):
+    freq = {r.line: r.doc_freq for r in line_doc_frequency(web_docs, "text", "doc_id").collect()}
+    assert freq["Home | About | Contact"] == 3
+    assert freq["We use cookies"] == 2
+    assert freq["Unique article one"] == 1
+
+
+def test_boilerplate_profile(spark, web_docs):
+    prof = {r.doc_id: r for r in
+            boilerplate_profile(web_docs, "text", "doc_id", min_doc_freq=2).collect()}
+    assert prof[1].n_boilerplate_lines == 2       # nav + cookie
+    assert prof[1].n_distinct_lines == 3
+    assert prof[1].boilerplate_frac == pytest.approx(2 / 3)
+    assert prof[3].n_boilerplate_lines == 1       # nav only
+    assert prof[4].n_boilerplate_lines == 0
+    assert prof[5].n_distinct_lines == 0 and prof[5].boilerplate_frac == 0.0
+    with pytest.raises(ValueError):
+        boilerplate_profile(web_docs, "text", "doc_id", min_doc_freq=1)
+
+
+def test_strip_boilerplate_preserves_order(spark, web_docs):
+    out = {r.doc_id: r.clean_text for r in
+           strip_boilerplate(web_docs, "text", "doc_id", min_doc_freq=2).collect()}
+    assert out[1] == "Unique article one"
+    assert out[2] == "Another story here\nExtra line two"
+    assert out[3] == "Third text body"
+    assert out[4] == "Totally standalone document"
+    assert out[5] == ""
+
+
+def test_strip_keeps_in_doc_duplicates_of_unique_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nother"), (2, "unrelated")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in
+           strip_boilerplate(df, "text", "doc_id").collect()}
+    # 'same line' repeats IN doc 1 but is in only one doc -> kept, both copies
+    assert out[1] == "same line\nsame line\nother"
+
+
+def test_lined_text_matches_repetition_convention(spark):
+    df = spark.createDataFrame([(1, "One. Two. Three.")], "doc_id bigint, text string")
+    out = df.select(lined_text(F.col("text")).alias("t")).collect()[0].t
+    assert out == "One.\nTwo.\nThree."
