@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "similarity_recall_profile",
     "multimodal_profile",
     "web_clean_docs",
+    # streaming_exact_dedup_docs stays a gate/local-gate key only: it
+    # drives three sequential foreachBatch-style jobs (~17 s of fixed
+    # orchestration), which would dominate the bench without measuring
+    # any per-row cost the other keys don't already cover.
 ]
 
 N_INGEST_FILES = 32

@@ -1173,6 +1173,50 @@ ORDER BY doc_id
 """
 
 
+def _streaming_exact_dedup_docs(spark, sf):
+    """Drive streaming/exact_dedup.py batch-by-batch over documents
+    partitioned into 3 'micro-batches' (doc_id % 3) and return the
+    first-seen keeper ids. Deterministic, and SQL-expressible: the
+    incremental keeper of a text is the row minimizing (batch, doc_id) —
+    so the bloom-accelerated incremental path oracle-checks against a
+    plain window over the whole corpus."""
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        process_batch,
+        read_unique_ids,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="s3conn-xdedup-")
+    for b in range(3):
+        process_batch(
+            docs.where(F.col("doc_id") % 3 == b),
+            b,
+            idx,
+            expected_total_items=10_000,
+        )
+    return (
+        read_unique_ids(spark, idx)
+        .select(F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+_STREAMING_EXACT_DEDUP_SQL = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+           ORDER BY doc_id % 3, doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def _text_transform_profile(spark, sf):
     """Repetition screen + training-window chunk stats + PII redaction +
     (r5) concat-and-split sequence packing fused into ONE driver-verified
@@ -1977,4 +2021,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
     "mix_corpus_docs": QuerySpec(_mix_corpus_docs, _MIX_CORPUS_SQL),
     "web_clean_docs": QuerySpec(_web_clean_docs, _web_clean_sql()),
+    "streaming_exact_dedup_docs": QuerySpec(
+        _streaming_exact_dedup_docs, _STREAMING_EXACT_DEDUP_SQL
+    ),
 }
