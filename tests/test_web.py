@@ -109,3 +109,37 @@ def test_lined_text_matches_repetition_convention(spark):
     df = spark.createDataFrame([(1, "One. Two. Three.")], "doc_id bigint, text string")
     out = df.select(lined_text(F.col("text")).alias("t")).collect()[0].t
     assert out == "One.\nTwo.\nThree."
+
+
+def test_canonical_url_randomized_cross_engine_parity(spark):
+    """300 seeded random URL-ish strings (plus pathological separator
+    soup) through BOTH engines' chains — any divergence in regex
+    semantics between Java and RE2 shows up here, not in production."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    frags = [
+        "http://", "https://", "HTTPS://", "ftp://", "", "Example.COM",
+        "WWW.site.org", ":443", ":80", ":8080", "/Path", "/a/b/", "/",
+        "?", "&", "utm_source=x", "utm_campaign=Y", "gclid=123",
+        "fbclid=z9", "id=3", "q=Hello", "#frag", "#", "plain text",
+        "//", "???", "&&&", "a=b&utm_x=1&c=d",
+    ]
+    cases = []
+    for _ in range(300):
+        n = rng.randint(1, 6)
+        cases.append("".join(rng.choice(frags) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, url string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    expr = canonical_url_duckdb_sql("url")
+    for i, raw in enumerate(cases):
+        (duck,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()
+        assert got[i] == duck, (raw, got[i], duck)
