@@ -430,18 +430,28 @@ def _mp4_video_samples(payload: bytes) -> Optional[list[tuple[int, int]]]:
         co64 = _find_box(payload, stbl[0], stbl[1], b"co64")
         if stsz is None or stsc is None or (stco is None and co64 is None):
             return None
+        # Header counts are attacker/corruption-controlled 32-bit ints;
+        # bound every one by its box's actual extent (and the payload
+        # size) BEFORE allocating, or a corrupt file claiming 2^32
+        # samples becomes a multi-GB list in the Python worker.
         s = stsz[0]
         uniform = int.from_bytes(payload[s + 4:s + 8], "big")
         n_samples = int.from_bytes(payload[s + 8:s + 12], "big")
+        if n_samples > len(payload):
+            return None
         if uniform:
             sizes = [uniform] * n_samples
         else:
+            if 12 + 4 * n_samples > stsz[1] - stsz[0]:
+                return None  # table longer than its box — corrupt
             sizes = [
                 int.from_bytes(payload[s + 12 + 4 * i:s + 16 + 4 * i], "big")
                 for i in range(n_samples)
             ]
         s = stsc[0]
         n_runs = int.from_bytes(payload[s + 4:s + 8], "big")
+        if 8 + 12 * n_runs > stsc[1] - stsc[0]:
+            return None
         runs = []  # (first_chunk 1-based, samples_per_chunk)
         for i in range(n_runs):
             o = s + 8 + 12 * i
@@ -454,6 +464,8 @@ def _mp4_video_samples(payload: bytes) -> Optional[list[tuple[int, int]]]:
         if co64 is not None:
             s = co64[0]
             n_chunks = int.from_bytes(payload[s + 4:s + 8], "big")
+            if 8 + 8 * n_chunks > co64[1] - co64[0]:
+                return None
             chunk_offs = [
                 int.from_bytes(payload[s + 8 + 8 * i:s + 16 + 8 * i], "big")
                 for i in range(n_chunks)
@@ -461,6 +473,8 @@ def _mp4_video_samples(payload: bytes) -> Optional[list[tuple[int, int]]]:
         else:
             s = stco[0]
             n_chunks = int.from_bytes(payload[s + 4:s + 8], "big")
+            if 8 + 4 * n_chunks > stco[1] - stco[0]:
+                return None
             chunk_offs = [
                 int.from_bytes(payload[s + 8 + 4 * i:s + 12 + 4 * i], "big")
                 for i in range(n_chunks)

@@ -29,7 +29,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
-_TRACKING = r"(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*"
+# anchored to a parameter boundary so 'xgclid=5' (a different parameter)
+# is never mangled; the leading separator is re-emitted by the replacement
+_TRACKING = r"([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*"
 
 
 def canonical_url(col: Column) -> Column:
@@ -38,9 +40,10 @@ def canonical_url(col: Column) -> Column:
     head = F.regexp_extract(u, _SCHEME_HOST, 0)
     tail = F.regexp_replace(u, _SCHEME_HOST, "")
     u2 = F.concat(F.lower(head), tail)                         # 2. case
-    u2 = F.regexp_replace(u2, r"^(https://[^/?#:]*):443", r"$1")  # 3. ports
-    u2 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80", r"$1")
-    u2 = F.regexp_replace(u2, _TRACKING, "")                   # 4. tracking
+    # 3. ports — terminator group keeps ':4433'/':8080' hosts intact
+    u2 = F.regexp_replace(u2, r"^(https://[^/?#:]*):443([/?#]|$)", r"$1$2")
+    u2 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80([/?#]|$)", r"$1$2")
+    u2 = F.regexp_replace(u2, _TRACKING, r"$1")                # 4. tracking
     u2 = F.regexp_replace(u2, r"([?&])&+", r"$1")              #    ?&& -> ?
     u2 = F.regexp_replace(u2, r"[?&]+$", "")                   #    trailing ?/&
     u2 = F.regexp_replace(u2, r"([^/])/\?", r"$1?")           # 5. path '/' before query
@@ -55,9 +58,9 @@ def canonical_url_duckdb_sql(expr: str) -> str:
     head = f"regexp_extract({u}, '{_SCHEME_HOST}', 0)"
     tail = f"regexp_replace({u}, '{_SCHEME_HOST}', '')"
     u2 = f"(lower({head}) || {tail})"
-    u2 = f"regexp_replace({u2}, '^(https://[^/?#:]*):443', '\\1')"
-    u2 = f"regexp_replace({u2}, '^(http://[^/?#:]*):80', '\\1')"
-    u2 = f"regexp_replace({u2}, '(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '', 'g')"
+    u2 = f"regexp_replace({u2}, '^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2')"
+    u2 = f"regexp_replace({u2}, '^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2')"
+    u2 = f"regexp_replace({u2}, '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g')"
     u2 = f"regexp_replace({u2}, '([?&])&+', '\\1', 'g')"
     u2 = f"regexp_replace({u2}, '[?&]+$', '')"
     u2 = f"regexp_replace({u2}, '([^/])/\\?', '\\1?')"

@@ -110,9 +110,11 @@ def build_bloom(
 ) -> BloomFilter:
     """One scan over ``df[col]`` → a driver-held :class:`BloomFilter`.
 
-    Per-partition uint8 bitmaps are OR-folded inside ``mapInPandas`` (one
-    output row per build partition), so at most ``build_partitions``
-    bitmap-sized rows ever reach the driver. Pass ``expected_items``
+    Two-stage fold: per-partition uint8 bitmaps are built at the scan's
+    natural parallelism, then OR-reduced executor-side down to at most
+    ``build_partitions`` rows before the driver collect — the scan never
+    loses parallelism and the driver never sees more than
+    ``build_partitions`` bitmap-sized rows. Pass ``expected_items``
     (an upper bound is fine — oversizing only wastes bitmap space);
     when omitted, a ``count()`` pre-scan sizes it, which costs one extra
     read of the history — acceptable for a one-off index build, but at
@@ -129,11 +131,12 @@ def build_bloom(
         raise ValueError("m_bits must be a power of two")
     n_bytes = (m_bits + 7) // 8
 
-    hashed = (
-        df.where(F.col(col).isNotNull())
-        .select(*_hash_pair(col, seed))
-        .coalesce(build_partitions)
-    )
+    # Stage 1 hashes + sets bits at the scan's NATURAL parallelism (a
+    # coalesce here would merge input splits and serialize the history
+    # scan to build_partitions tasks — the one expensive phase). Only the
+    # already-tiny bitmap rows repartition down for the OR fold, so at
+    # most build_partitions bitmap-sized rows ever reach the driver.
+    hashed = df.where(F.col(col).isNotNull()).select(*_hash_pair(col, seed))
 
     def _bitmap(batches):
         bits = np.zeros(n_bytes, dtype=np.uint8)
@@ -155,7 +158,21 @@ def build_bloom(
         if saw:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(_bitmap, "bits binary").collect()
+    def _or_fold(batches):
+        acc = None
+        for pdf in batches:
+            for raw in pdf["bits"]:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                acc = arr.copy() if acc is None else acc | arr
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    per_part = hashed.mapInPandas(_bitmap, "bits binary")
+    parts = (
+        per_part.repartition(build_partitions)
+        .mapInPandas(_or_fold, "bits binary")
+        .collect()
+    )
     bits = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         bits |= np.frombuffer(row.bits, dtype=np.uint8)

@@ -101,6 +101,66 @@ def pack_concat(
     )
 
 
+class _FirstFitTree:
+    """Leftmost-bin-that-fits in O(log B) per item via a max segment
+    tree over per-bin remaining capacity — the naive linear scan is
+    O(items × bins) per shard, hours of pure Python at the shard sizes
+    the module prescribes. Placement order is IDENTICAL to the naive
+    first-fit (leftmost bin with remaining ≥ n), verified by the
+    differential test in tests/test_packing.py."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.rem: list[int] = []
+        self._size = 1
+        self._tree = [-1, -1]  # 1-based heap; leaves at [_size, 2*_size)
+
+    def _rebuild(self) -> None:
+        size = self._size
+        t = [-1] * (2 * size)
+        for i, r in enumerate(self.rem):
+            t[size + i] = r
+        for i in range(size - 1, 0, -1):
+            t[i] = t[2 * i] if t[2 * i] >= t[2 * i + 1] else t[2 * i + 1]
+        self._tree = t
+
+    def _update(self, i: int, val: int) -> None:
+        j = self._size + i
+        t = self._tree
+        t[j] = val
+        j //= 2
+        while j:
+            m = t[2 * j] if t[2 * j] >= t[2 * j + 1] else t[2 * j + 1]
+            if t[j] == m:
+                break
+            t[j] = m
+            j //= 2
+
+    def place(self, n: int) -> int:
+        """Bin index for an item of ``n`` tokens: leftmost existing bin
+        with remaining ≥ n, else a new bin (oversize items always open
+        their own bin and close it)."""
+        if n < self.capacity and self._tree[1] >= n:
+            j = 1
+            while j < self._size:
+                j *= 2
+                if self._tree[j] < n:
+                    j += 1
+            b = j - self._size
+            self.rem[b] -= n
+            self._update(b, self.rem[b])
+            return b
+        b = len(self.rem)
+        self.rem.append(self.capacity - n)  # negative for oversize: never fits more
+        if b >= self._size:
+            while b >= self._size:
+                self._size *= 2
+            self._rebuild()
+        else:
+            self._update(b, self.rem[b])
+        return b
+
+
 def pack_first_fit(
     df: DataFrame,
     id_col: str,
@@ -129,21 +189,8 @@ def pack_first_fit(
 
     def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", "_id"], ascending=[False, True])
-        fills: list[int] = []  # current fill per bin
-        assign = []
-        for n in pdf["n_tokens"].to_numpy():
-            n = int(n)
-            placed = -1
-            if n < capacity:
-                for b, f in enumerate(fills):
-                    if f + n <= capacity:
-                        placed = b
-                        break
-            if placed < 0:
-                fills.append(0)
-                placed = len(fills) - 1
-            fills[placed] += n
-            assign.append(placed)
+        ff = _FirstFitTree(capacity)
+        assign = [ff.place(int(n)) for n in pdf["n_tokens"].to_numpy()]
         out = pdf.copy()
         out["bin_id"] = assign
         return out

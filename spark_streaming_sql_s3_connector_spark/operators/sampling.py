@@ -141,7 +141,7 @@ def mix_corpus(
 
     totals = df.groupBy(group_col).agg(
         F.sum(F.col(token_col).cast("double")).alias("_grp_tokens")
-    )
+    ).withColumnRenamed(group_col, "_grp_key")
     share_items = []
     for k, v in sorted(target_shares.items()):
         share_items.extend([F.lit(k), F.lit(float(v))])
@@ -152,14 +152,24 @@ def mix_corpus(
             F.lit(float(default_share)),
         )
     )
+    # try_divide: a zero-mass group yields NULL, least() skips it, and the
+    # fraction clamps to keep-all (ANSI mode would throw on the division)
     frac = F.least(
         F.lit(1.0),
-        share * F.lit(float(token_budget)) / F.col("_grp_tokens"),
+        F.try_divide(share * F.lit(float(token_budget)), F.col("_grp_tokens")),
     )
     cut = F.floor(frac * _BUCKETS).cast("long")
+    # null-safe join: a NULL group is still a group ("unlabeled source")
+    # and gets default_share like any other unlisted source — a plain
+    # equi-join would silently delete those rows from the mix. A group
+    # whose token sum is 0/NULL clamps to keep-all (least skips the
+    # NULL/Infinity fraction), which oversamples nothing of zero mass.
     return (
-        df.join(F.broadcast(totals), group_col)
+        df.join(
+            F.broadcast(totals),
+            F.col(group_col).eqNullSafe(F.col("_grp_key")),
+        )
         .where(_hash_bucket(F.col(id_col), salt) < cut)
         .withColumn("keep_fraction", frac)
-        .drop("_grp_tokens")
+        .drop("_grp_tokens", "_grp_key")
     )

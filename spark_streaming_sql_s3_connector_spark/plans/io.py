@@ -142,13 +142,22 @@ def ensure_package_shipped(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_name = os.path.basename(pkg_dir)
-    # Prefer a built wheel (dist/ next to the package, i.e. a repo checkout
-    # where `python -m build` ran); a wheel is a zip, addPyFile accepts it.
-    wheels = sorted(glob.glob(os.path.join(os.path.dirname(pkg_dir), "dist", "*.whl")))
+    # Prefer a built wheel (dist/ next to the package) ONLY when it is at
+    # least as new as every source file — a stale wheel would ship old
+    # code to executors while the driver runs the live tree (silent
+    # behavior skew). Newest-by-mtime, not lexicographic (0.10 > 0.5).
+    src_mtime = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                src_mtime = max(src_mtime, os.path.getmtime(os.path.join(root, f)))
+    wheels = glob.glob(os.path.join(os.path.dirname(pkg_dir), "dist", "*.whl"))
     if wheels:
-        spark.sparkContext.addPyFile(wheels[-1])
-        spark._s3conn_pkg_shipped = True
-        return
+        newest = max(wheels, key=os.path.getmtime)
+        if os.path.getmtime(newest) >= src_mtime:
+            spark.sparkContext.addPyFile(newest)
+            spark._s3conn_pkg_shipped = True
+            return
     fd, zpath = tempfile.mkstemp(prefix="s3conn-pkg-", suffix=".zip")
     os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:

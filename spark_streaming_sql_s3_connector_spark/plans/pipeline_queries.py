@@ -1211,8 +1211,13 @@ SELECT doc_id FROM (
            ORDER BY doc_id % 3, doc_id
          ) AS rn
   FROM documents
+  WHERE text IS NOT NULL
 ) t
 WHERE rn = 1
+UNION ALL
+-- NULL texts are never duplicates (the engine passes every one through);
+-- a bare window would collapse them into one partition and keep only one
+SELECT doc_id FROM documents WHERE text IS NULL
 ORDER BY doc_id
 """
 

@@ -133,20 +133,49 @@ def _load_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
     return BloomFilter(m_bits, k, _BLOOM_SEED, np.frombuffer(raw, dtype=np.uint8))
 
 
-def _or_into_bitmap(index_dir: str, batch_bits: np.ndarray) -> None:
+def _write_bitmap(index_dir: str, bits: np.ndarray) -> None:
     path = _bitmap_path(index_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    try:
-        current = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
-        merged = (
-            current | batch_bits if len(current) == len(batch_bits) else batch_bits
-        )
-    except FileNotFoundError:
-        merged = batch_bits
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(merged.tobytes())
+        f.write(bits.tobytes())
     os.replace(tmp, path)
+
+
+def _update_bitmap(
+    spark: SparkSession,
+    index_dir: str,
+    batch_bits: np.ndarray,
+    m_bits: int,
+    k: int,
+) -> None:
+    """OR the batch's bits into the persisted bitmap — but if the bitmap
+    is missing or its geometry drifted, REBUILD it from the full key
+    index instead. Writing batch-only bits over a lost bitmap would make
+    every pre-loss key bloom-NEGATIVE, and negatives skip the exact
+    join: the one way this design could silently drop the
+    no-false-negative guarantee. The rebuild is one scan of the (tiny,
+    keys-only) index, which at this point already includes the current
+    batch's delta."""
+    path = _bitmap_path(index_dir)
+    try:
+        current = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    except FileNotFoundError:
+        current = None
+    if current is not None and len(current) == len(batch_bits):
+        _write_bitmap(index_dir, current | batch_bits)
+        return
+    frames = _index_frames(spark, index_dir)
+    if not frames:  # first batch: the index IS this batch
+        _write_bitmap(index_dir, batch_bits)
+        return
+    allkeys = frames[0]
+    for fr in frames[1:]:
+        allkeys = allkeys.unionByName(fr)
+    full = build_bloom(
+        allkeys, "key", params=(m_bits, k), seed=_BLOOM_SEED
+    )
+    _write_bitmap(index_dir, full.bits | batch_bits)
 
 
 def _keyed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -172,6 +201,7 @@ def process_batch(
     spark = batch.sparkSession
     m_bits, k = bloom_params(expected_total_items, fpp)
 
+    flagged = None  # assigned in the bloom branch; finally unpersists it
     keyed = _keyed(batch, text_col, id_col)
     null_rows = keyed.where(F.col("key").isNull())
     keyed = keyed.where(F.col("key").isNotNull())
@@ -242,7 +272,7 @@ def process_batch(
         batch_bloom = build_bloom(
             keepers, "key", params=(m_bits, k), seed=_BLOOM_SEED
         )
-        _or_into_bitmap(index_dir, batch_bloom.bits)
+        _update_bitmap(spark, index_dir, batch_bloom.bits, m_bits, k)
     finally:
         keepers.unpersist()
         if flagged is not None:

@@ -86,3 +86,27 @@ def test_validation(spark, corpus):
         mix_corpus(corpus, "doc_id", "source", "n_tokens", SHARES, 0)
     with pytest.raises(ValueError):
         mix_corpus(corpus, "doc_id", "source", "n_tokens", {"web": -0.1}, 100)
+
+
+def test_null_group_gets_default_share(spark):
+    rows = [(i, None if i % 2 else "web", 50) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    out = mix_corpus(
+        df, "doc_id", "source", "n_tokens", {"web": 0.5}, 20_000,
+        salt="s", default_share=0.5,
+    )
+    null_kept = out.where(F.col("source").isNull()).count()
+    # NULL is the unlabeled source: sampled at default_share, not deleted
+    assert null_kept > 0
+    target_rows = 0.5 * 20_000 / 50  # share*budget / tokens-per-row
+    assert abs(null_kept - target_rows) / target_rows < 0.3
+
+
+def test_zero_token_group_keeps_all(spark):
+    rows = [(i, "empty", 0) for i in range(50)] + [(100 + i, "web", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    out = mix_corpus(
+        df, "doc_id", "source", "n_tokens", {"web": 0.5, "empty": 0.5}, 1000, salt="s"
+    )
+    # zero-mass group clamps to keep-all rather than vanishing
+    assert out.where(F.col("source") == "empty").count() == 50

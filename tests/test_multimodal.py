@@ -374,3 +374,26 @@ def test_decode_video_meta_mapinpandas(spark):
     rows = {r.doc_id: r for r in decode_video_meta(df).collect()}
     assert (rows[1].duration_ms, rows[1].n_tracks, rows[1].format) == (250, 1, "mp4")
     assert rows[2].format == "fake"
+
+
+def test_mp4_corrupt_counts_fall_back_not_allocate():
+    """A corrupt stsz claiming 2^32-1 samples must be rejected by box-
+    extent bounds, not allocated (per-row memory bomb otherwise)."""
+    from spark_streaming_sql_s3_connector_spark.functions.multimodal import (
+        _mp4_video_samples,
+        sample_frames,  # noqa: F401  (import parity)
+    )
+
+    mp4, _ = make_mp4([10, 20], [2])
+    # corrupt the stsz sample count in place: find the stsz box and
+    # overwrite its 32-bit count with 0xFFFFFFFF
+    i = mp4.index(b"stsz")
+    corrupted = bytearray(mp4)
+    corrupted[i + 4 + 8 : i + 4 + 12] = b"\xff\xff\xff\xff"
+    assert _mp4_video_samples(bytes(corrupted)) is None
+    # uniform-size variant: count bounded by payload length
+    j = mp4.index(b"stsz")
+    corrupted2 = bytearray(mp4)
+    corrupted2[j + 4 + 4 : j + 4 + 8] = b"\x00\x00\x00\x10"  # uniform=16
+    corrupted2[j + 4 + 8 : j + 4 + 12] = b"\xff\xff\xff\xff"
+    assert _mp4_video_samples(bytes(corrupted2)) is None

@@ -106,3 +106,55 @@ def test_token_col_path_matches_text_col_path(spark, docs):
     b = pack_concat(with_counts, "doc_id", capacity=64, token_col="ntok", num_shards=4)
     assert a.exceptAll(b.select(*a.columns)).count() == 0
     assert b.select(*a.columns).exceptAll(a).count() == 0
+
+
+def test_first_fit_tree_matches_naive_scan():
+    """Differential: the segment-tree placement must equal the naive
+    leftmost-bin-that-fits loop item for item, across random workloads
+    including oversize and zero-token items."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        _FirstFitTree,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(30):
+        cap = rng.choice([16, 100, 257])
+        items = [rng.choice([0, 1, cap // 3, cap // 2, cap - 1, cap, cap + 7])
+                 for _ in range(rng.randint(1, 400))]
+        # naive reference
+        fills = []
+        naive = []
+        for n in items:
+            placed = -1
+            if n < cap:
+                for b, f in enumerate(fills):
+                    if f + n <= cap:
+                        placed = b
+                        break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += n
+            naive.append(placed)
+        ff = _FirstFitTree(cap)
+        fast = [ff.place(n) for n in items]
+        assert fast == naive, (trial, cap, items[:20])
+
+
+def test_first_fit_tree_scales():
+    # 50k items with tight capacity: must finish fast (the naive scan
+    # would do ~hundreds of millions of comparisons here)
+    import time
+
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        _FirstFitTree,
+    )
+
+    ff = _FirstFitTree(100)
+    t0 = time.time()
+    for i in range(50_000):
+        ff.place((i * 37) % 99 + 1)
+    assert time.time() - t0 < 5.0
+    assert len(ff.rem) > 100

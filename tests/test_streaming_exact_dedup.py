@@ -96,6 +96,45 @@ def test_bloom_is_acceleration_only(spark, tmp_path):
     assert a == b
 
 
+def test_bitmap_loss_mid_stream_rebuilds_not_resets(spark, tmp_path):
+    """The reviewer-found failure mode: lose the bitmap after batch 0,
+    process batch 1 (which must NOT write a batch-1-only bitmap), then
+    batch 2 containing a duplicate of a batch-0 text. A reset bitmap
+    would make that key bloom-negative and skip the exact join —
+    silently emitting the duplicate as unique."""
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    process_batch(batches[0], 0, idx, expected_total_items=1000)
+    os.remove(os.path.join(idx, "_bloom", "bitmap.bin"))
+    process_batch(batches[1], 1, idx, expected_total_items=1000)
+    # batch 2's id 32 duplicates batch-0's "text number 0"
+    process_batch(batches[2], 2, idx, expected_total_items=1000)
+    got = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    want = sorted(
+        r.keeper_id
+        for r in dedup_exact(_union(spark, batches), "text", "doc_id").collect()
+    )
+    assert got == want
+    assert 32 not in got  # the cross-batch duplicate was caught
+    # and the rebuilt bitmap holds the no-false-negative invariant for
+    # EVERY indexed key, not just post-loss ones
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import bloom_params
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _load_bitmap,
+        might_contain_column,
+        read_unique_ids as _rui,
+    )
+
+    m, k = bloom_params(1000, 0.01)
+    bloom = _load_bitmap(idx, m, k)
+    assert bloom is not None
+    keys = _rui(spark, idx).where(F.col("key").isNotNull())
+    probed = keys.withColumn("_mc", might_contain_column(keys, "key", bloom))
+    assert probed.where(~F.col("_mc")).count() == 0
+
+
 def test_dup_kinds_and_nulls(spark, tmp_path):
     idx = str(tmp_path / "idx")
     b0 = spark.createDataFrame(

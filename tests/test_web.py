@@ -29,6 +29,16 @@ URL_CASES = [
     ("  https://example.com/a  ", "https://example.com/a"),
     ("not a url at all", "not a url at all"),
     ("ftp://Files.Example.com/Dir/", "ftp://files.example.com/Dir"),
+    # port anchoring: longer ports must never lose a ':443'/':80' prefix
+    ("http://host:8080/x", "http://host:8080/x"),
+    ("https://h:4433/a", "https://h:4433/a"),
+    ("https://example.com:443", "https://example.com"),
+    # tracking-param anchoring: names merely containing the tracking
+    # names are different parameters and survive
+    ("https://h/a?xgclid=5", "https://h/a?xgclid=5"),
+    ("https://h/a?myfbclid=2&b=1", "https://h/a?myfbclid=2&b=1"),
+    ("https://h/gclid=path/seg", "https://h/gclid=path/seg"),
+    ("https://h/a?utm_a=1&utm_b=2&b=3", "https://h/a?b=3"),
 ]
 
 
