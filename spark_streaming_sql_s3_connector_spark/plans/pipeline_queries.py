@@ -1113,11 +1113,19 @@ def _web_clean_docs(spark, sf):
         F.col("doc_id").cast("string"),
         F.lit("#sec"),
     )
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        strip_boilerplate,
+    )
+
     urls = docs.select("doc_id", canonical_url(raw_url).alias("canon_url"))
     lined = docs.select("doc_id", lined_text(F.col("text")).alias("text"))
     bp = boilerplate_profile(lined, "text", "doc_id", min_doc_freq=2)
+    stripped = strip_boilerplate(lined, "text", "doc_id", min_doc_freq=2).select(
+        "doc_id", F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_md5")
+    )
     return (
         urls.join(bp, "doc_id")
+        .join(stripped, "doc_id")
         .where(F.col("n_distinct_lines") > 0)  # mirror the oracle's inner join
         .select(
             "doc_id",
@@ -1125,6 +1133,7 @@ def _web_clean_docs(spark, sf):
             "n_distinct_lines",
             "n_boilerplate_lines",
             F.round("boilerplate_frac", 6).alias("boilerplate_frac"),
+            "clean_md5",
         )
         .orderBy("doc_id")
     )
@@ -1160,15 +1169,32 @@ WITH lined AS (
            AS n_boilerplate_lines
   FROM dlines JOIN ldf USING (line)
   GROUP BY doc_id
+), ltab AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+), posl AS (
+  SELECT doc_id, l[i] AS line, i AS pos
+  FROM ltab, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) > 0
+), kept AS (
+  SELECT p.doc_id, p.line, p.pos
+  FROM posl p
+  ANTI JOIN (SELECT line FROM ldf WHERE doc_freq >= 2) b ON p.line = b.line
+), clean AS (
+  SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
 )
 SELECT doc_id,
        """ + canonical_url_duckdb_sql(raw) + r""" AS canon_url,
        bp.n_distinct_lines,
        bp.n_boilerplate_lines,
        ROUND(bp.n_boilerplate_lines / bp.n_distinct_lines::DOUBLE, 6)
-         AS boilerplate_frac
+         AS boilerplate_frac,
+       COALESCE(clean.clean_md5, md5('')) AS clean_md5
 FROM documents d
 JOIN bp USING (doc_id)
+LEFT JOIN clean USING (doc_id)
 ORDER BY doc_id
 """
 
