@@ -28,12 +28,16 @@ os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH"
 def _registry():
     from spark_streaming_sql_s3_connector_spark.plans.pipeline_queries import PIPELINE_QUERIES
     from spark_streaming_sql_s3_connector_spark.plans.queries import RELATIONAL_QUERIES
-    from spark_streaming_sql_s3_connector_spark.plans.queries_ext import RELATIONAL_QUERIES_EXT
+    from spark_streaming_sql_s3_connector_spark.plans.queries_ext import (
+        RELATIONAL_QUERIES_EXT,
+        RELATIONAL_QUERIES_EXT_PAST_CAP,
+    )
 
     merged = {}
     merged.update(RELATIONAL_QUERIES)
     merged.update(RELATIONAL_QUERIES_EXT)
     merged.update(PIPELINE_QUERIES)
+    merged.update(RELATIONAL_QUERIES_EXT_PAST_CAP)
     return merged
 
 

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "similarity_recall_profile",
     "multimodal_profile",
     "web_clean_docs",
+    "tpch_q7ish",
+    "tpch_q20ish",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

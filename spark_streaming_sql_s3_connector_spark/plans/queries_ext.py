@@ -583,6 +583,105 @@ LIMIT 500
 """
 
 
+
+
+def _tpch_q7ish(spark, sf):
+    # nation-pair trade volume (Q7 shape): two DISTINCT roles for the
+    # same nation dim — supplier's and customer's — so it broadcasts
+    # twice under different aliases; the fact chain shuffles on its join
+    # keys once each and aggregates on (pair, year).
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year"))
+        # decimal accumulate: double summation is addition-order-dependent
+        # and this query's many-term sums land on rounding boundaries —
+        # DECIMAL(18,4) makes the sum exact and engine-portable
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q7ISH_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(CAST(vol AS DECIMAL(18,4))) AS DOUBLE), 2) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM o_orderdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _tpch_q20ish(spark, sf):
+    # Q20 flavor without partsupp: suppliers whose shipped quantity of
+    # a-named parts crosses a threshold — an aggregate-derived IN list
+    # planned as a semi-join (the aggregate side shrinks to ~|suppliers|
+    # rows, so AQE broadcasts it into the semi-join).
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    heavy = (
+        li.join(F.broadcast(part.where(F.col("p_name").like("%a%"))),
+                li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 500)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q20ISH_SQL = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%a%'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 500
+)
+ORDER BY s_suppkey
+"""
+
+
 RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "tpch_q4ish": QuerySpec(_tpch_q4ish, _TPCH_Q4ISH_SQL),
     "tpch_q6ish": QuerySpec(_tpch_q6ish, _TPCH_Q6ISH_SQL),
@@ -602,4 +701,14 @@ RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "rolling_7d_events": QuerySpec(_rolling_7d_events, _ROLLING_7D_SQL),
     "corr_scalar_subquery": QuerySpec(_corr_scalar_subquery, _CORR_SCALAR_SQL),
     "except_all_lineitems": QuerySpec(_except_all_lineitems, _EXCEPT_ALL_SQL),
+}
+
+
+# Registered PAST the driver's 50-slot window (merged last in
+# __spark_entry__._registry): the window's 50 fused oracle slots are a
+# stable contract — new relational shapes go here, verified by the local
+# gate and the per-round bench.
+RELATIONAL_QUERIES_EXT_PAST_CAP: dict[str, QuerySpec] = {
+    "tpch_q7ish": QuerySpec(_tpch_q7ish, _TPCH_Q7ISH_SQL),
+    "tpch_q20ish": QuerySpec(_tpch_q20ish, _TPCH_Q20ISH_SQL),
 }

@@ -276,3 +276,28 @@ def test_bloom_negative_path_no_join(spark):
                 ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins <= 4, f"more than one join node: \n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_dims_broadcast_no_cartesian(spark):
+    """tpch_q7ish joins nation under two aliases: both must broadcast,
+    and the inequality filter must never degrade the plan to a
+    cartesian/nested-loop join."""
+    plan = formatted_plan(spark, "tpch_q7ish")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_planned(spark):
+    """tpch_q20ish's aggregate-derived IN list must plan as a semi join
+    (LeftSemi), not a distinct + inner join."""
+    plan = formatted_plan(spark, "tpch_q20ish")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_web_clean_line_ops_stay_jvm_side(spark):
+    """web_clean_docs: URL chain + line inverted index + reconstruction
+    are all JVM expressions — no Python evaluator anywhere."""
+    plan = formatted_plan(spark, "web_clean_docs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
