@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "web_clean_docs",
     "tpch_q7ish",
     "tpch_q20ish",
+    "sequence_manifest_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -101,6 +101,59 @@ def pack_concat(
     )
 
 
+def sequence_manifest(
+    df: DataFrame,
+    id_col: str,
+    capacity: int,
+    text_col: str | None = None,
+    token_col: str | None = None,
+    num_shards: int = 32,
+) -> DataFrame:
+    """The training-loader view of concat-and-split packing: one row per
+    (sequence, document slice). For every document this explodes the
+    sequences it touches and emits which token range of the doc lands
+    where in the sequence:
+
+    - ``shard``, ``seq``: the sequence's identity (``(shard, seq)`` is
+      globally unique);
+    - ``pos_in_seq``: where the slice starts inside the sequence;
+    - ``doc_from`` / ``doc_to``: the half-open token range of the doc
+      (``doc_to - doc_from`` tokens, contiguous);
+    - reading a sequence = its rows ordered by ``pos_in_seq``.
+
+    Pure map-side arithmetic on top of :func:`pack_concat` (an explode of
+    at most ``1 + n_tokens/capacity`` rows per doc — no extra shuffle),
+    so the manifest for a 100 TB corpus costs the same one hash shuffle
+    as the packing itself. Zero-token docs emit no slices.
+    """
+    packed = pack_concat(
+        df,
+        id_col,
+        capacity,
+        text_col=text_col,
+        token_col=token_col,
+        num_shards=num_shards,
+    )
+    seq = F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias("seq")
+    base = packed.where(F.col("n_tokens") > 0).select(
+        id_col, "shard", "start_offset", "n_tokens", seq
+    )
+    seq_start = F.col("seq") * capacity
+    doc_from = F.greatest(seq_start - F.col("start_offset"), F.lit(0))
+    doc_to = F.least(
+        (F.col("seq") + 1) * capacity - F.col("start_offset"), F.col("n_tokens")
+    )
+    pos_in_seq = F.greatest(F.col("start_offset") - seq_start, F.lit(0))
+    return base.select(
+        "shard",
+        F.col("seq").cast("bigint").alias("seq"),
+        F.col(id_col),
+        pos_in_seq.cast("bigint").alias("pos_in_seq"),
+        doc_from.cast("bigint").alias("doc_from"),
+        doc_to.cast("bigint").alias("doc_to"),
+    )
+
+
 class _FirstFitTree:
     """Leftmost-bin-that-fits in O(log B) per item via a max segment
     tree over per-bin remaining capacity — the naive linear scan is

@@ -1048,6 +1048,52 @@ ORDER BY doc_id
 """
 
 
+def _sequence_manifest_docs(spark, sf):
+    """Training-loader manifest (operators/packing.sequence_manifest):
+    per-(sequence, doc-slice) rows from the same shard-window packing —
+    the slice arithmetic mirrors exactly in DuckDB generate_series."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        sequence_manifest,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return sequence_manifest(
+        docs, "doc_id", capacity=128, text_col="text", num_shards=8
+    ).orderBy("shard", "seq", "doc_id")
+
+
+_SEQUENCE_MANIFEST_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), pk AS (
+  SELECT doc_id, shard, start_offset, n_tokens,
+         start_offset // 128 AS seq_first,
+         greatest(start_offset + n_tokens - 1, start_offset) // 128 AS seq_last
+  FROM (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           CAST(COALESCE(SUM(len(tk)) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+           CAST(len(tk) AS BIGINT) AS n_tokens
+    FROM toks
+  )
+), m AS (
+  SELECT doc_id, shard, start_offset, n_tokens, s.seq
+  FROM pk, unnest(generate_series(seq_first, seq_last)) AS s(seq)
+  WHERE n_tokens > 0
+)
+SELECT shard, CAST(seq AS BIGINT) AS seq, doc_id,
+       CAST(GREATEST(start_offset - seq * 128, 0) AS BIGINT) AS pos_in_seq,
+       CAST(GREATEST(seq * 128 - start_offset, 0) AS BIGINT) AS doc_from,
+       CAST(LEAST((seq + 1) * 128 - start_offset, n_tokens) AS BIGINT) AS doc_to
+FROM m
+ORDER BY shard, seq, doc_id
+"""
+
+
 def _pack_first_fit_docs(spark, sf):
     """No-split FFD bin packing (operators/packing.pack_first_fit).
     Deterministic but inherently sequential per shard (greedy recurrence)
@@ -2049,6 +2095,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # text_transform_profile, bloom screen inside dedup_exact_docs)
     "pack_concat_docs": QuerySpec(_pack_concat_docs, _PACK_CONCAT_SQL),
     "pack_first_fit_docs": QuerySpec(_pack_first_fit_docs, None),
+    "sequence_manifest_docs": QuerySpec(
+        _sequence_manifest_docs, _SEQUENCE_MANIFEST_SQL
+    ),
     "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
     "mix_corpus_docs": QuerySpec(_mix_corpus_docs, _MIX_CORPUS_SQL),
     "web_clean_docs": QuerySpec(_web_clean_docs, _web_clean_sql()),

@@ -158,3 +158,68 @@ def test_first_fit_tree_scales():
         ff.place((i * 37) % 99 + 1)
     assert time.time() - t0 < 5.0
     assert len(ff.rem) > 100
+
+
+def test_sequence_manifest_reconstructs_streams(spark, docs):
+    """Manifest laws: per sequence, slices tile [0, capacity) contiguously
+    (except the shard's last sequence); per doc, slices tile [0, n_tokens)
+    in order; slice arithmetic is consistent with pack_concat offsets."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        sequence_manifest,
+    )
+
+    cap = 128
+    man = sequence_manifest(docs, "doc_id", capacity=cap, text_col="text", num_shards=4)
+    rows = man.collect()
+    assert all(0 <= r.pos_in_seq < cap for r in rows)
+    assert all(0 <= r.doc_from < r.doc_to for r in rows)
+
+    import collections
+    by_seq = collections.defaultdict(list)
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_seq[(r.shard, r.seq)].append(r)
+        by_doc[r.doc_id].append(r)
+
+    # per-doc tiling: ordered slices cover exactly [0, n_tokens)
+    tok = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) AS n"
+        ).collect()
+    }
+    for doc, slices in by_doc.items():
+        slices.sort(key=lambda r: r.doc_from)
+        assert slices[0].doc_from == 0
+        assert slices[-1].doc_to == tok[doc]
+        for a, b in zip(slices, slices[1:]):
+            assert a.doc_to == b.doc_from  # contiguous, no gap/overlap
+
+    # per-sequence tiling: slices are contiguous from 0; full sequences
+    # (any but the shard's last) sum to exactly `cap` tokens
+    last_seq = {}
+    for (shard, seq) in by_seq:
+        last_seq[shard] = max(last_seq.get(shard, -1), seq)
+    for (shard, seq), slices in by_seq.items():
+        slices.sort(key=lambda r: r.pos_in_seq)
+        assert slices[0].pos_in_seq == 0
+        total = 0
+        for r in slices:
+            assert r.pos_in_seq == total
+            total += r.doc_to - r.doc_from
+        if seq < last_seq[shard]:
+            assert total == cap
+        else:
+            assert total <= cap
+
+
+def test_sequence_manifest_skips_empty_docs(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        sequence_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (8, ""), (16, "c")], "doc_id bigint, text string"
+    )
+    man = sequence_manifest(docs, "doc_id", capacity=4, text_col="text", num_shards=8)
+    assert sorted(r.doc_id for r in man.collect()) == [0, 16]
