@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "tpch_q7ish",
     "tpch_q20ish",
     "sequence_manifest_docs",
+    "materialize_sequences_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

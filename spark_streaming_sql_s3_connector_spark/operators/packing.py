@@ -154,6 +154,66 @@ def sequence_manifest(
     )
 
 
+def materialize_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Build the actual training sequences: ``(shard, seq, seq_text,
+    seq_tokens)`` with ``seq_text`` the space-joined tokens of every doc
+    slice in manifest order. Every sequence except a shard's last holds
+    exactly ``capacity`` tokens.
+
+    Cost shape (honest accounting — this is the one packing step that
+    must move text): the manifest itself adds no shuffle, but slicing
+    needs the tokens, so this joins manifest→corpus on the doc id (one
+    shuffle of the corpus' token arrays) and aggregates by (shard, seq)
+    (one shuffle of the sliced spans — each token travels once). At
+    100 TB that is the irreducible 2× token movement of any
+    concat-packing materialization; emit the manifest alone when the
+    trainer can gather slices itself.
+    """
+    man = sequence_manifest(
+        df, id_col, capacity, text_col=text_col, num_shards=num_shards
+    )
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("_nt"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).where(F.col("_nt") > 0)
+    sliced = man.join(toks, id_col).select(
+        "shard",
+        "seq",
+        "pos_in_seq",
+        F.slice(
+            "_toks",
+            (F.col("doc_from") + 1).cast("int"),
+            (F.col("doc_to") - F.col("doc_from")).cast("int"),
+        ).alias("_span"),
+    )
+    return (
+        sliced.groupBy("shard", "seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos_in_seq", "_span"))
+            ).alias("_parts")
+        )
+        .select(
+            "shard",
+            "seq",
+            F.array_join(
+                F.flatten(F.transform("_parts", lambda s: s["_span"])), " "
+            ).alias("seq_text"),
+            F.aggregate(
+                F.transform("_parts", lambda s: F.size(s["_span"])),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("seq_tokens"),
+        )
+    )
+
+
 class _FirstFitTree:
     """Leftmost-bin-that-fits in O(log B) per item via a max segment
     tree over per-bin remaining capacity — the naive linear scan is

@@ -1094,6 +1094,67 @@ ORDER BY shard, seq, doc_id
 """
 
 
+def _materialize_sequences_docs(spark, sf):
+    """Full packed-sequence materialization
+    (operators/packing.materialize_sequences): per-sequence text md5 +
+    token count, hash-matching DuckDB's list-slice + ordered string_agg
+    reconstruction — proves the slice arithmetic AND the reassembly
+    byte-for-byte."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        materialize_sequences,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = materialize_sequences(docs, "doc_id", "text", capacity=128, num_shards=8)
+    return out.select(
+        "shard",
+        "seq",
+        F.md5(F.encode("seq_text", "UTF-8")).alias("seq_md5"),
+        F.col("seq_tokens").cast("bigint").alias("seq_tokens"),
+    ).orderBy("shard", "seq")
+
+
+_MATERIALIZE_SEQUENCES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), pk AS (
+  SELECT doc_id, shard, start_offset, n_tokens, tk,
+         start_offset // 128 AS seq_first,
+         greatest(start_offset + n_tokens - 1, start_offset) // 128 AS seq_last
+  FROM (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           CAST(COALESCE(SUM(len(tk)) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+           CAST(len(tk) AS BIGINT) AS n_tokens, tk
+    FROM toks
+  )
+), m AS (
+  SELECT shard, CAST(s.seq AS BIGINT) AS seq, doc_id,
+         CAST(GREATEST(start_offset - s.seq * 128, 0) AS BIGINT) AS pos_in_seq,
+         CAST(GREATEST(s.seq * 128 - start_offset, 0) AS BIGINT) AS doc_from,
+         CAST(LEAST((s.seq + 1) * 128 - start_offset, n_tokens) AS BIGINT) AS doc_to,
+         tk
+  FROM pk, unnest(generate_series(seq_first, seq_last)) AS s(seq)
+  WHERE n_tokens > 0
+), spans AS (
+  SELECT shard, seq, pos_in_seq,
+         array_to_string(tk[doc_from + 1 : doc_to], ' ') AS span,
+         doc_to - doc_from AS span_tokens
+  FROM m
+)
+SELECT shard, seq,
+       md5(string_agg(span, ' ' ORDER BY pos_in_seq)) AS seq_md5,
+       CAST(SUM(span_tokens) AS BIGINT) AS seq_tokens
+FROM spans
+GROUP BY shard, seq
+ORDER BY shard, seq
+"""
+
+
 def _pack_first_fit_docs(spark, sf):
     """No-split FFD bin packing (operators/packing.pack_first_fit).
     Deterministic but inherently sequential per shard (greedy recurrence)
@@ -2097,6 +2158,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "pack_first_fit_docs": QuerySpec(_pack_first_fit_docs, None),
     "sequence_manifest_docs": QuerySpec(
         _sequence_manifest_docs, _SEQUENCE_MANIFEST_SQL
+    ),
+    "materialize_sequences_docs": QuerySpec(
+        _materialize_sequences_docs, _MATERIALIZE_SEQUENCES_SQL
     ),
     "bloom_dedup_docs": QuerySpec(_bloom_dedup_docs, _BLOOM_DEDUP_SQL),
     "mix_corpus_docs": QuerySpec(_mix_corpus_docs, _MIX_CORPUS_SQL),

@@ -223,3 +223,38 @@ def test_sequence_manifest_skips_empty_docs(spark):
     )
     man = sequence_manifest(docs, "doc_id", capacity=4, text_col="text", num_shards=8)
     assert sorted(r.doc_id for r in man.collect()) == [0, 16]
+
+
+def test_materialize_sequences_exact_capacity_and_reconstruction(spark, docs):
+    """Every non-final sequence holds exactly `capacity` tokens; the
+    concatenation of a shard's sequences equals the concatenation of its
+    docs' tokens in doc_id order (lossless stream reconstruction)."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        materialize_sequences,
+    )
+
+    cap = 128
+    out = materialize_sequences(docs, "doc_id", "text", capacity=cap, num_shards=4)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.seq))
+    import collections
+    last = collections.defaultdict(int)
+    for r in rows:
+        last[r.shard] = max(last[r.shard], r.seq)
+    for r in rows:
+        assert r.seq_tokens == len(r.seq_text.split())
+        if r.seq < last[r.shard]:
+            assert r.seq_tokens == cap, (r.shard, r.seq, r.seq_tokens)
+        else:
+            assert 0 < r.seq_tokens <= cap
+    # stream reconstruction per shard
+    docs_rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    streams = collections.defaultdict(list)
+    for did, text in docs_rows:
+        streams[did % 4].extend(text.split())
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r.shard].extend(r.seq_text.split())
+    for shard in streams:
+        assert got[shard] == streams[shard], f"shard {shard} stream mismatch"
