@@ -393,6 +393,10 @@ def _decode_mp4(payload: bytes) -> Optional[Tuple[int, int, int, str]]:
     if pe - ps < 20:
         return None
     version = payload[ps]
+    # a truncated v1 box would let int.from_bytes read short slices and
+    # yield garbage durations — require the full 32-byte v1 header
+    if version == 1 and pe - ps < 32:
+        return None
     try:
         if version == 1:
             timescale = int.from_bytes(payload[ps + 20:ps + 24], "big")

@@ -63,6 +63,6 @@ def canonical_url_duckdb_sql(expr: str) -> str:
     u2 = f"regexp_replace({u2}, '([?&])(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g')"
     u2 = f"regexp_replace({u2}, '([?&])&+', '\\1', 'g')"
     u2 = f"regexp_replace({u2}, '[?&]+$', '')"
-    u2 = f"regexp_replace({u2}, '([^/])/\\?', '\\1?')"
+    u2 = f"regexp_replace({u2}, '([^/])/\\?', '\\1?', 'g')"
     u2 = f"regexp_replace({u2}, '([^/])/$', '\\1')"
     return f"CASE WHEN {head} = '' THEN {u} ELSE {u2} END"

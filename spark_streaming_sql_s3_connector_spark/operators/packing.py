@@ -89,12 +89,12 @@ def pack_concat(
         "shard",
         "start_offset",
         "n_tokens",
-        F.floor(F.col("start_offset") / capacity).cast("bigint").alias("seq_first"),
-        F.floor(
-            F.greatest(
-                F.col("start_offset") + F.col("n_tokens") - 1, F.col("start_offset")
-            )
-            / capacity
+        # integer `div`, not floor(double /): double division is only exact
+        # for power-of-two capacities below 2^53 — `div` matches the
+        # DuckDB oracle's exact integer `//` for any capacity/offset.
+        F.expr(f"start_offset div {int(capacity)}").cast("bigint").alias("seq_first"),
+        F.expr(
+            f"greatest(start_offset + n_tokens - 1, start_offset) div {int(capacity)}"
         )
         .cast("bigint")
         .alias("seq_last"),

@@ -1313,6 +1313,10 @@ def _streaming_exact_dedup_docs(spark, sf):
     incremental keeper of a text is the row minimizing (batch, doc_id) —
     so the bloom-accelerated incremental path oracle-checks against a
     plain window over the whole corpus."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
@@ -1321,7 +1325,15 @@ def _streaming_exact_dedup_docs(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    idx = tempfile.mkdtemp(prefix="s3conn-xdedup-")
+    # Deterministic per-sf dir, wiped on entry and at interpreter exit:
+    # the returned DataFrame reads the index lazily, so the dir must
+    # outlive this function — but repeated runs must not leak one
+    # mkdtemp per invocation.
+    tag = hashlib.md5(str(sf).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"s3conn-xdedup-{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
     for b in range(3):
         process_batch(
             docs.where(F.col("doc_id") % 3 == b),

@@ -31,6 +31,13 @@ at index creation (``expected_total_items``) because incremental ORs
 require a stable bit layout; an undersized bitmap degrades fpp (more
 rows take the join path), never correctness.
 
+One compaction caveat: if ``compact_index`` folds the delta of a batch
+that is still awaiting replay, the replay can no longer exclude that
+batch's own keys from the (compacted) history, so its rewritten dup
+VERDICTS skew to ``vs_history`` — unique-id output is unaffected.
+Compact with ``upto_batch=<last committed batch id + 1>`` when a stream
+may be down mid-batch (see :func:`compact_index`).
+
 Scale shape: index rows are (id, key) — 40 B/doc, not the corpus. The
 per-trigger join broadcasts the batch's bloom-positive slice and prunes
 history shards by the batch's shard set, so a steady-state trigger
@@ -329,17 +336,34 @@ def read_dup_ids(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
+def compact_index(
+    spark: SparkSession, index_dir: str, upto_batch: Optional[int] = None
+) -> Optional[int]:
     """Fold _new deltas into a versioned shard-partitioned base behind an
     atomically-flipped pointer — same crash-safety argument as
-    ``rollup.compact_rollup`` / ``dedup_index.compact_index``."""
+    ``rollup.compact_rollup`` / ``dedup_index.compact_index``.
+
+    ``upto_batch``: fold only deltas with id STRICTLY below it. Pass the
+    stream's last committed batch id + 1 (or the checkpoint's pending
+    batch id) when compacting while the stream may be down mid-batch:
+    if a crashed batch N's delta were folded into the base, its replay
+    could no longer exclude its own keys via ``before_batch=N`` and the
+    rewritten ``_dups/batch=N`` verdicts would mark N's first-seen rows
+    as ``vs_history`` (unique-id output stays correct either way — only
+    the dup-verdict labels skew). With ``upto_batch=None`` every delta
+    folds; that is safe only when no batch is awaiting replay."""
     ids = _delta_ids(index_dir)
     ptr = _read_pointer(index_dir)
-    pending = [i for i in ids if ptr is None or i > ptr]
+    pending = [
+        i
+        for i in ids
+        if (ptr is None or i > ptr)
+        and (upto_batch is None or i < upto_batch)
+    ]
     if not pending:
         return None
     new_v = max(pending)
-    frames = _index_frames(spark, index_dir)
+    frames = _index_frames(spark, index_dir, before_batch=upto_batch)
     df = frames[0]
     for fr in frames[1:]:
         df = df.unionByName(fr)

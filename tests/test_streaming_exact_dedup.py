@@ -173,3 +173,35 @@ def test_compaction_preserves_and_continues(spark, tmp_path):
     assert compact_index(spark, idx) == 2
     assert compact_index(spark, idx) is None
     assert sorted(r.doc_id for r in read_unique_ids(spark, idx).collect()) == want
+
+def test_compaction_upto_batch_keeps_replay_verdicts(spark, tmp_path):
+    """The ADVICE-flagged race: batch 1 crashed mid-commit and awaits
+    replay while maintenance compacts. With upto_batch=1 the compactor
+    folds only batch 0, so the replay still excludes batch 1's own keys
+    and re-derives IDENTICAL dup verdicts. (An unbounded compact would
+    fold batch 1's keys into the base and skew its verdicts to
+    vs_history.)"""
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    process_batch(batches[0], 0, idx, expected_total_items=1000)
+    process_batch(batches[1], 1, idx, expected_total_items=1000)
+    verdicts_before = {
+        r.doc_id: r.dup_kind for r in read_dup_ids(spark, idx).collect()
+    }
+    # maintenance runs while batch 1 is (conceptually) uncommitted
+    v = compact_index(spark, idx, upto_batch=1)
+    assert v == 0  # only batch 0 folded; batch 1's delta untouched
+    assert os.path.isdir(os.path.join(idx, "_new", "batch=1"))
+    process_batch(batches[1], 1, idx, expected_total_items=1000)  # replay
+    verdicts_after = {
+        r.doc_id: r.dup_kind for r in read_dup_ids(spark, idx).collect()
+    }
+    assert verdicts_after == verdicts_before
+    uniq = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    want = sorted(
+        r.keeper_id
+        for r in dedup_exact(
+            _union(spark, batches[:2]), "text", "doc_id"
+        ).collect()
+    )
+    assert uniq == want
