@@ -20,7 +20,6 @@ All of this is driver-side and O(in-flight files); the data plane
 
 from __future__ import annotations
 
-import os
 import threading
 from typing import Optional
 
@@ -29,6 +28,7 @@ from spark_streaming_sql_s3_connector_spark.options import ReprocessState, S3Con
 from spark_streaming_sql_s3_connector_spark.queueing.base import QueueClient
 from spark_streaming_sql_s3_connector_spark.queueing.factory import create_queue_client
 from spark_streaming_sql_s3_connector_spark.state.file_cache import FileCache
+from spark_streaming_sql_s3_connector_spark.state.log_fs import filesystem_for
 from spark_streaming_sql_s3_connector_spark.state.metadata_log import JsonMetadataLog
 from spark_streaming_sql_s3_connector_spark.state.validator import FileValidator, FileValidResult, glob_matches
 
@@ -55,14 +55,24 @@ class AdmissionController:
         options: S3ConnectorSourceOptions,
         metadata_path: str,
         queue_client: Optional[QueueClient] = None,
+        meta_fs=None,
     ):
         self.options = options
         self.metadata_path = metadata_path
-        os.makedirs(metadata_path, exist_ok=True)
+        # metadataPath may be local OR an object-store URI (s3://, hdfs://)
+        # — the reference checkpoints admission state to DFS
+        # (S3ConnectorSource.scala:53-59); state.log_fs dispatches by scheme.
+        # meta_fs injects a filesystem directly (tests: pyarrow mock FS).
+        if meta_fs is not None:
+            self._meta_fs, self._meta_root = meta_fs, metadata_path
+        else:
+            self._meta_fs, self._meta_root = filesystem_for(metadata_path)
+        self._meta_fs.mkdirs(self._meta_root)
         self.file_cache = FileCache(options.max_file_age_ms)
         self.metadata_log = JsonMetadataLog(
-            os.path.join(metadata_path, "s3conn-log"),
+            self._meta_fs.join(self._meta_root, "s3conn-log"),
             purge_timestamp_provider=lambda: self.file_cache.last_purge_timestamp,
+            fs=self._meta_fs,
         )
         latest = self.metadata_log.get_latest_batch_id()
         self.current_offset = latest if latest is not None else -1
@@ -126,14 +136,13 @@ class AdmissionController:
                 f"Reprocess dry run completed.\n{listing}"
             )
         if self.options.reprocess_state == ReprocessState.IN_ACTION:
-            lock_path = os.path.join(self.metadata_path, REPROCESS_LOCK_FILE)
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-            except FileExistsError:
+            lock_path = self._meta_fs.join(self._meta_root, REPROCESS_LOCK_FILE)
+            # exclusive create through the same FS layer as the log (POSIX
+            # O_EXCL / object-store check-then-put under the driver lock)
+            if not self._meta_fs.write_atomic(lock_path, "", overwrite=False):
                 raise ReprocessLockExistsError(
                     f"{lock_path} already exists. Remove it and rerun the reprocessing."
-                ) from None
+                )
             for f in self.get_metadata_log_by_range(start_id, end_id):
                 self.file_cache.add(f.path, QueueMessageDesc(f.timestamp, False, None))
 

@@ -1,0 +1,191 @@
+"""Pluggable file layer under the metadata log.
+
+The reference checkpoints its state plane to DFS: RocksDBFileManager.scala
+:157-312 uploads SSTs + ``<v>.zip`` to the checkpoint dir resolved from
+``metadataPath`` (S3ConnectorSource.scala:53-59), so a driver relaunch on a
+new node recovers admission state from ``s3a://…``/``hdfs://…``. The JSON
+log needs the same property; this module abstracts the five file
+operations the log performs (mkdirs / exists / list / read / atomic-write
+/ delete) behind :class:`LogFileSystem` with two implementations:
+
+- :class:`PosixLogFileSystem` — local paths; atomic exclusive create via
+  tmp + fsync + ``os.link`` (fails if the target appeared concurrently),
+  atomic overwrite via tmp + ``os.replace``. Byte-identical behavior to
+  the pre-abstraction log.
+- :class:`ArrowLogFileSystem` — any ``pyarrow.fs`` filesystem
+  (S3/GCS/Azure/HDFS, and ``_MockFileSystem`` in tests). Object stores
+  have no rename, so "atomic overwrite" is a single PUT (atomic on S3)
+  and "exclusive create" is check-then-put under the log's driver-side
+  lock. That is the SAME weakening Spark's own CheckpointFileManager
+  accepts on rename-less stores (``FileSystemBasedCheckpointFileManager``
+  docs: correctness requires the single-writer discipline the streaming
+  engine already enforces — one driver owns a checkpoint dir).
+
+``filesystem_for(path)`` picks the implementation from the path scheme, so
+``metadataPath`` may be a local path, ``file://…``, or any
+``scheme://…`` pyarrow.fs understands.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Protocol, Tuple
+
+
+class LogFileSystem(Protocol):
+    """The file operations JsonMetadataLog needs — nothing more."""
+
+    def join(self, *parts: str) -> str: ...
+
+    def mkdirs(self, path: str) -> None: ...
+
+    def exists(self, path: str) -> bool: ...
+
+    def listdir(self, path: str) -> list[str]:
+        """Base names of entries under ``path``; [] if it doesn't exist."""
+        ...
+
+    def read_text(self, path: str) -> str:
+        """Raises FileNotFoundError if missing."""
+        ...
+
+    def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
+        """Persist ``data`` at ``path`` all-or-nothing. With
+        ``overwrite=False`` this is an exclusive create: returns False
+        (writing nothing) if the target already exists."""
+        ...
+
+    def delete(self, path: str) -> None:
+        """Remove a file; missing is not an error."""
+        ...
+
+
+class PosixLogFileSystem:
+    """Local-POSIX implementation — the original log semantics."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def read_text(self, path: str) -> str:
+        with open(path, "r") as f:
+            return f.read()
+
+    def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
+        parent = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(
+            dir=parent, prefix="." + os.path.basename(path) + "-", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            if overwrite:
+                os.replace(tmp, path)
+                return True
+            try:
+                # atomic, fails if target appeared concurrently (POSIX
+                # link semantics; the log also holds its driver lock)
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
+class ArrowLogFileSystem:
+    """Any ``pyarrow.fs.FileSystem`` — S3/GCS/HDFS/mock.
+
+    Exclusive create degrades to check-then-put under the log's lock
+    (single-writer checkpoint contract, see module docstring); overwrite
+    is a plain PUT, which object stores apply atomically.
+    """
+
+    def __init__(self, fs) -> None:
+        self._fs = fs
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.create_dir(path, recursive=True)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._fs.get_file_info(path).type != FileType.NotFound
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector
+
+        try:
+            infos = self._fs.get_file_info(
+                FileSelector(path, allow_not_found=True, recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        return [i.base_name for i in infos]
+
+    def read_text(self, path: str) -> str:
+        try:
+            with self._fs.open_input_stream(path) as f:
+                return f.read().decode("utf-8")
+        except OSError as e:
+            if isinstance(e, FileNotFoundError):
+                raise
+            raise FileNotFoundError(path) from e
+
+    def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
+        if not overwrite and self.exists(path):
+            return False
+        with self._fs.open_output_stream(path) as f:
+            f.write(data.encode("utf-8"))
+        return True
+
+    def delete(self, path: str) -> None:
+        try:
+            self._fs.delete_file(path)
+        except (FileNotFoundError, OSError):
+            pass
+
+
+def filesystem_for(path: str) -> Tuple[LogFileSystem, str]:
+    """Resolve ``path`` to (filesystem, normalized path). Local paths and
+    ``file://`` URIs get the POSIX impl; any other scheme goes through
+    ``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs://, …)."""
+    if path.startswith("file://"):
+        return PosixLogFileSystem(), path[len("file://"):]
+    if "://" in path:
+        fs, resolved = _pyarrow_from_uri(path)
+        return ArrowLogFileSystem(fs), resolved
+    return PosixLogFileSystem(), path
+
+
+def _pyarrow_from_uri(path: str):
+    """Module-level seam (pyarrow's C classes can't be monkeypatched)."""
+    from pyarrow.fs import FileSystem
+
+    return FileSystem.from_uri(path)

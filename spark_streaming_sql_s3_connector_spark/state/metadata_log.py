@@ -15,19 +15,27 @@ Behavioral parity with RocksDBS3SourceLog:
 - bounded GC: ≤ MAX_BATCH_TO_REMOVE_PER_ADD batches cleaned per add, a batch
   is only removed when batch ts AND max file ts are below the horizon
   (scala:416-460, 489).
+
+The log's file ops go through ``state.log_fs.LogFileSystem``, so the log
+dir may live on a local disk OR any ``pyarrow.fs`` store (``s3://``,
+``hdfs://``) — the analog of the reference checkpointing RocksDB state to
+DFS (RocksDBFileManager.scala:157-312): a driver relaunch on a new node
+recovers admission state from the object store.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 import time
 import threading
 import zlib
 from typing import Callable, Optional
 
 from spark_streaming_sql_s3_connector_spark.models import FileEntry
+from spark_streaming_sql_s3_connector_spark.state.log_fs import (
+    LogFileSystem,
+    filesystem_for,
+)
 
 MAX_BATCH_TO_REMOVE_PER_ADD = 20
 COMPACT_EVERY_N_ADDS = 25
@@ -51,15 +59,27 @@ class JsonMetadataLog:
         self,
         log_dir: str,
         purge_timestamp_provider: Optional[Callable[[], int]] = None,
+        fs: Optional[LogFileSystem] = None,
     ):
-        self._dir = log_dir
-        self._batches_dir = os.path.join(log_dir, "batches")
+        """``log_dir`` may be a local path, ``file://…``, or any
+        ``pyarrow.fs`` URI (``s3://…``, ``hdfs://…``) — the reference's
+        DFS-checkpoint contract (RocksDBFileManager.scala:157-312,
+        metadataPath init S3ConnectorSource.scala:53-59). Pass ``fs``
+        explicitly to inject a filesystem (tests use the pyarrow mock
+        FS as the object-store stand-in)."""
+        if fs is not None:
+            self._fs: LogFileSystem = fs
+            self._dir = log_dir
+        else:
+            self._fs, self._dir = filesystem_for(log_dir)
+        j = self._fs.join
+        self._batches_dir = j(self._dir, "batches")
         # legacy (pre-sharding) monolithic snapshot — read if present,
         # migrated to shards at the next compaction, then removed
-        self._legacy_snapshot_path = os.path.join(log_dir, "seen-snapshot.json")
-        self._shards_dir = os.path.join(log_dir, "seen-shards")
-        os.makedirs(self._batches_dir, exist_ok=True)
-        os.makedirs(self._shards_dir, exist_ok=True)
+        self._legacy_snapshot_path = j(self._dir, "seen-snapshot.json")
+        self._shards_dir = j(self._dir, "seen-shards")
+        self._fs.mkdirs(self._batches_dir)
+        self._fs.mkdirs(self._shards_dir)
         self._purge_ts = purge_timestamp_provider or (lambda: 0)
         self._lock = threading.RLock()
         # add/commit latency distributions (reference: RocksDB.scala:334-381
@@ -85,7 +105,7 @@ class JsonMetadataLog:
     # ---------- recovery ----------
 
     def _batch_path(self, batch_id: int) -> str:
-        return os.path.join(self._batches_dir, f"{batch_id}.json")
+        return self._fs.join(self._batches_dir, f"{batch_id}.json")
 
     def _shard_of(self, path: str) -> int:
         # crc32, NOT builtin hash(): stable across processes/restarts
@@ -93,7 +113,7 @@ class JsonMetadataLog:
         return zlib.crc32(path.encode("utf-8")) % N_SEEN_SHARDS
 
     def _shard_path(self, shard: int) -> str:
-        return os.path.join(self._shards_dir, f"seen-{shard:02d}.json")
+        return self._fs.join(self._shards_dir, f"seen-{shard:02d}.json")
 
     def _seen_get(self, path: str) -> Optional[int]:
         return self._seen_shards[self._shard_of(path)].get(path)
@@ -113,16 +133,16 @@ class JsonMetadataLog:
             self._dirty_shards.add(s)
 
     def _recover(self) -> None:
-        if os.path.exists(self._legacy_snapshot_path):
-            with open(self._legacy_snapshot_path) as f:
-                snap = json.load(f)
+        if self._fs.exists(self._legacy_snapshot_path):
+            snap = json.loads(self._fs.read_text(self._legacy_snapshot_path))
             for k, v in snap.get("seen", {}).items():
                 self._seen_put(k, int(v))
-        for name in os.listdir(self._shards_dir):
+        for name in self._fs.listdir(self._shards_dir):
             if not (name.startswith("seen-") and name.endswith(".json")):
                 continue
-            with open(os.path.join(self._shards_dir, name)) as f:
-                snap = json.load(f)
+            snap = json.loads(
+                self._fs.read_text(self._fs.join(self._shards_dir, name))
+            )
             # direct load, no dirty-marking: these entries match disk by
             # definition (unless a legacy value above already superseded
             # one — that shard is then already marked dirty)
@@ -132,10 +152,13 @@ class JsonMetadataLog:
                 cur = shard.get(k)
                 if cur is None or ts > cur:
                     shard[k] = ts
-        for name in os.listdir(self._batches_dir):
+        for name in self._fs.listdir(self._batches_dir):
             if not name.endswith(".json"):
                 continue
-            batch_id = int(name[: -len(".json")])
+            try:
+                batch_id = int(name[: -len(".json")])
+            except ValueError:
+                continue
             doc = self._read_batch_doc(batch_id)
             if doc is None:
                 continue
@@ -145,8 +168,7 @@ class JsonMetadataLog:
 
     def _read_batch_doc(self, batch_id: int) -> Optional[dict]:
         try:
-            with open(self._batch_path(batch_id)) as f:
-                return json.load(f)
+            return json.loads(self._fs.read_text(self._batch_path(batch_id)))
         except FileNotFoundError:
             return None
 
@@ -170,7 +192,7 @@ class JsonMetadataLog:
             # Clean before add so the latest batch is never removed
             self._clean_log(self._purge_ts())
             target = self._batch_path(batch_id)
-            if os.path.exists(target):
+            if self._fs.exists(target):
                 return False
             ts = timestamp if timestamp is not None else int(time.time() * 1000)
             doc = {
@@ -179,23 +201,11 @@ class JsonMetadataLog:
                 "timestamp": ts,
                 "entries": [e.to_dict() for e in file_entries],
             }
-            fd, tmp = tempfile.mkstemp(dir=self._batches_dir, prefix=f".{batch_id}-", suffix=".tmp")
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump(doc, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                try:
-                    # atomic, fails if target appeared concurrently (POSIX link semantics
-                    # via rename-with-check under the log lock)
-                    os.link(tmp, target)
-                except FileExistsError:
-                    return False
-            finally:
-                try:
-                    os.unlink(tmp)
-                except FileNotFoundError:
-                    pass
+            # exclusive create: POSIX uses tmp+fsync+link (fails if the
+            # target appeared concurrently); object stores check-then-put
+            # under this lock (single-writer checkpoint contract)
+            if not self._fs.write_atomic(target, json.dumps(doc), overwrite=False):
+                return False
             self._batch_ts[batch_id] = ts
             for e in file_entries:
                 self._seen_put(e.path, e.timestamp)
@@ -222,21 +232,16 @@ class JsonMetadataLog:
         # index is stored pre-partitioned by shard
         for s in self._dirty_shards:
             seen = self._seen_shards[s]
-            fd, tmp = tempfile.mkstemp(dir=self._shards_dir, prefix=f".seen-{s:02d}-", suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"v": VERSION, "seen": seen}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._shard_path(s))
+            self._fs.write_atomic(
+                self._shard_path(s),
+                json.dumps({"v": VERSION, "seen": seen}),
+                overwrite=True,
+            )
         self._dirty_shards.clear()
         # legacy monolithic snapshot fully superseded once shards persist
         # everything it contributed (its entries were marked dirty at
         # recovery, so they are on disk in shard form by now)
-        if os.path.exists(self._legacy_snapshot_path):
-            try:
-                os.unlink(self._legacy_snapshot_path)
-            except FileNotFoundError:
-                pass
+        self._fs.delete(self._legacy_snapshot_path)
 
     def _clean_log(self, last_purge_timestamp: int) -> int:
         """Bounded GC (RocksDBS3SourceLog.scala:416-460): remove at most
@@ -254,10 +259,7 @@ class JsonMetadataLog:
                 continue
             max_file_ts = max((int(e["timestamp"]) for e in doc["entries"]), default=0)
             if max_file_ts < last_purge_timestamp:
-                try:
-                    os.unlink(self._batch_path(batch_id))
-                except FileNotFoundError:
-                    pass
+                self._fs.delete(self._batch_path(batch_id))
                 self._batch_ts.pop(batch_id, None)
                 for e in doc["entries"]:
                     # drop from seen index only if not re-logged with a newer ts
