@@ -69,17 +69,24 @@ def _pack_file_slices(files: list, max_bytes: int):
     parallel while capping partition width; each file costs
     max(size, openCost) so open overhead is what actually packs.
 
-    Returns None when any size is unavailable (non-local store): caller
-    falls back to one file per task, the always-correct layout."""
+    Returns None when any size is unavailable: caller falls back to one
+    file per task, the always-correct layout. Sizes come through the same
+    pyarrow.fs dispatch as the reads, so object-store files bin-pack too
+    (one HEAD per file — the same listing cost the reference's
+    FileStatus-based packing pays)."""
     import os as _os
 
-    from spark_streaming_sql_s3_connector_spark.sources.file_read import normalize_local_path
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+        _file_size,
+        resolve_read_path,
+    )
 
     sized = []
     for path, ts in files:
         try:
-            size = _os.stat(normalize_local_path(path)).st_size
-        except OSError:
+            fs, local = resolve_read_path(path)
+            size = _file_size(fs, local)
+        except (OSError, ValueError):  # missing file / unresolvable URI
             return None
         sized.append((path, ts, max(size, _OPEN_COST_BYTES)))
     total = sum(s for _, _, s in sized)
@@ -271,16 +278,22 @@ class S3ConnectorBatchReader(DataSourceReader):
         parts: list[FileSlicePartition] = []
         small: list[tuple[str, int]] = []
         if self._options.file_format.lower() == "parquet":
-            from spark_streaming_sql_s3_connector_spark.sources.file_read import normalize_local_path
+            from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+                _open_input,
+                resolve_read_path,
+            )
 
             for path, ts in files:
                 n_groups = 1
                 try:
                     import pyarrow.parquet as pq
 
-                    n_groups = pq.ParquetFile(normalize_local_path(path)).num_row_groups
+                    fs, local = resolve_read_path(path)
+                    n_groups = pq.ParquetFile(
+                        local if fs is None else _open_input(fs, local)
+                    ).num_row_groups
                 except Exception:
-                    pass  # remote/unreadable here: fall back to whole-file task
+                    pass  # unreadable here: fall back to whole-file task
                 if n_groups > 1:
                     parts.extend(
                         FileSlicePartition(files=[(path, ts, [g])]) for g in range(n_groups)

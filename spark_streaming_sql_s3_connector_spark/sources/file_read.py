@@ -38,6 +38,56 @@ def normalize_local_path(path: str) -> str:
     return path
 
 
+def _fs_from_uri(path: str):
+    """Seam for tests (pyarrow's C classes can't be monkeypatched)."""
+    from pyarrow.fs import FileSystem
+
+    return FileSystem.from_uri(path)
+
+
+def resolve_read_path(path: str):
+    """Dispatch a path to its filesystem: returns ``(fs, resolved)``
+    where ``fs`` is None for local paths (readers take the bare path —
+    the mmap-capable fast path) or a ``pyarrow.fs.FileSystem`` for
+    object-store URIs (``s3://…``, ``hdfs://…``, …). The data-plane
+    analog of the reference reading S3 objects through Hadoop FS
+    (S3ConnectorSource.scala:170-181)."""
+    if path.startswith("file://"):
+        return None, path[len("file://"):]
+    if "://" in path:
+        from pyarrow.fs import LocalFileSystem
+
+        fs, p = _fs_from_uri(path)
+        if isinstance(fs, LocalFileSystem):
+            return None, p
+        return fs, p
+    return None, path
+
+
+def _file_size(fs, path: str) -> int:
+    if fs is None:
+        return os.path.getsize(path)
+    from pyarrow.fs import FileType
+
+    info = fs.get_file_info(path)
+    if info.type == FileType.NotFound:
+        raise FileNotFoundError(path)
+    return info.size
+
+
+def _open_input(fs, path: str):
+    """Random-access input file; raises FileNotFoundError when missing
+    (both impls — the checkFilesExist=false contract depends on it)."""
+    if fs is None:
+        return open(path, "rb")
+    try:
+        return fs.open_input_file(path)
+    except OSError as e:
+        if isinstance(e, FileNotFoundError):
+            raise
+        raise FileNotFoundError(path) from e
+
+
 def arrow_schema_for(spark_schema: StructType) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -268,7 +318,9 @@ def read_file_to_table(
     fmt = file_format.lower()
     if target is None:
         target = arrow_schema_for(spark_schema)
-    local = normalize_local_path(path)
+    # fs is None for local paths (bare-path fast path); a pyarrow.fs
+    # FileSystem for object-store URIs
+    fs, local = resolve_read_path(path)
     partition_values = partition_values_from_path(path, base_path, partition_cols or [])
     # only keep partition values for columns actually in the schema
     partition_values = {k: v for k, v in partition_values.items() if k in target.names}
@@ -278,7 +330,7 @@ def read_file_to_table(
         import pyarrow.parquet as pq
 
         wanted = [f.name for f in target if f.name not in partition_values]
-        pf = pq.ParquetFile(local)
+        pf = pq.ParquetFile(local if fs is None else _open_input(fs, local))
         present = [c for c in wanted if c in pf.schema_arrow.names]
         groups = row_groups if row_groups is not None else list(range(pf.num_row_groups))
         if pushed_filters:
@@ -297,7 +349,7 @@ def read_file_to_table(
         import pyarrow.orc as po
 
         wanted = [f.name for f in target if f.name not in partition_values]
-        of = po.ORCFile(local)
+        of = po.ORCFile(local if fs is None else _open_input(fs, local))
         present = [c for c in wanted if c in of.schema.names]
         raw = of.read(columns=present)
         return _project_to_schema(raw, target, True, drop_malformed, partition_values)
@@ -307,10 +359,10 @@ def read_file_to_table(
 
         # an empty file is zero rows, not malformed data — Spark's JSON
         # reader does the same in any mode
-        if os.path.getsize(local) == 0:
+        if _file_size(fs, local) == 0:
             return target.empty_table()
         try:
-            raw = pj.read_json(local)
+            raw = pj.read_json(local if fs is None else _open_input(fs, local))
         except pa.ArrowInvalid as e:
             if drop_malformed or "Empty JSON file" in str(e):
                 return target.empty_table()
@@ -321,7 +373,7 @@ def read_file_to_table(
         import pyarrow.csv as pcsv
 
         # empty file = zero rows in any mode (Spark CSV semantics)
-        if os.path.getsize(local) == 0:
+        if _file_size(fs, local) == 0:
             return target.empty_table()
         header = str(options.get("header", "false")).lower() == "true"
         sep = options.get("sep", options.get("delimiter", ","))
@@ -336,7 +388,7 @@ def read_file_to_table(
         # parsed exactly once end-to-end — not probe-parsed twice.
         try:
             with pcsv.open_csv(
-                local,
+                local if fs is None else _open_input(fs, local),
                 read_options=pcsv.ReadOptions(
                     autogenerate_column_names=not header, block_size=1 << 16
                 ),
@@ -347,7 +399,7 @@ def read_file_to_table(
                 column_types={name: pa.string() for name in names}
             )
             raw = pcsv.read_csv(
-                local,
+                local if fs is None else _open_input(fs, local),
                 read_options=read_opts,
                 parse_options=parse_opts,
                 convert_options=conv,
@@ -361,9 +413,9 @@ def read_file_to_table(
     if fmt == "text":
         # Spark `text` source semantics: one string column, one row per
         # line (or the whole file with wholetext=true); no field parsing
-        if os.path.getsize(local) == 0:
+        if _file_size(fs, local) == 0:
             return target.empty_table()
-        with open(local, "rb") as fh:
+        with _open_input(fs, local) as fh:
             data = fh.read().decode("utf-8", errors="replace")
         if str(options.get("wholetext", "false")).lower() == "true":
             lines = [data]

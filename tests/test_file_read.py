@@ -173,3 +173,115 @@ def test_csv_parsed_exactly_once(tmp_path, monkeypatch):
     out = read_file_to_table(str(p), "csv", BASIC, {}, [], None)
     assert out.num_rows == 1000
     assert calls["read_csv"] == 1  # the name sniff must not be a full parse
+
+
+# ---- pyarrow.fs dispatch: the same reads over file:// and an object
+# store (mock FS), per the reference's Hadoop-FS data plane
+# (S3ConnectorSource.scala:170-181) ----
+
+
+@pytest.fixture(params=["bare", "file-uri", "mock-uri"])
+def make_file(request, tmp_path, monkeypatch):
+    """Returns write(name, data: bytes) -> path-to-read. Bare/file://
+    variants hit the local fast path (fs=None); mock:// goes through a
+    pyarrow FileSystem like s3:// would."""
+    if request.param in ("bare", "file-uri"):
+        def write(name, data):
+            p = tmp_path / name
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(data)
+            return str(p) if request.param == "bare" else f"file://{p}"
+        return write
+
+    from pyarrow.fs import _MockFileSystem
+
+    import spark_streaming_sql_s3_connector_spark.sources.file_read as fr
+
+    mock = _MockFileSystem()
+    monkeypatch.setattr(fr, "_fs_from_uri", lambda uri: (mock, uri.split("://", 1)[1]))
+
+    def write(name, data):
+        rel = f"bucket/{name}"
+        d = rel.rsplit("/", 1)[0]
+        mock.create_dir(d, recursive=True)
+        with mock.open_output_stream(rel) as f:
+            f.write(data)
+        return f"mock://{rel}"
+
+    return write
+
+
+def _parquet_bytes(rows):
+    import io
+
+    buf = io.BytesIO()
+    t = pa.table(
+        {
+            "testString": [r[0] for r in rows],
+            "testBoolean": [r[1] for r in rows],
+            "testInt": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(t, buf)
+    return buf.getvalue()
+
+
+def test_fs_dispatch_parquet(make_file):
+    p = make_file("f.parquet", _parquet_bytes(ROWS))
+    t = read_file_to_table(p, "parquet", BASIC, {}, [], None)
+    assert t.column("testString").to_pylist() == ["James", "Michael", "Robert"]
+    assert t.column("testInt").to_pylist() == [3000, 5000, 5000]
+
+
+def test_fs_dispatch_csv(make_file):
+    data = "".join(f"{a},{str(b).lower()},{c}\n" for a, b, c in ROWS).encode()
+    p = make_file("f.csv", data)
+    t = read_file_to_table(p, "csv", BASIC, {}, [], None)
+    assert t.column("testInt").to_pylist() == [3000, 5000, 5000]
+
+
+def test_fs_dispatch_json(make_file):
+    data = "".join(
+        json.dumps({"testString": a, "testBoolean": b, "testInt": c}) + "\n"
+        for a, b, c in ROWS
+    ).encode()
+    p = make_file("f.json", data)
+    t = read_file_to_table(p, "json", BASIC, {}, [], None)
+    assert t.column("testBoolean").to_pylist() == [True, False, False]
+
+
+def test_fs_dispatch_text(make_file):
+    p = make_file("f.txt", b"alpha\nbeta\n")
+    schema = StructType([StructField("value", StringType())])
+    t = read_file_to_table(p, "text", schema, {}, [], None)
+    assert t.column("value").to_pylist() == ["alpha", "beta"]
+
+
+def test_fs_dispatch_empty_file(make_file):
+    p = make_file("empty.json", b"")
+    t = read_file_to_table(p, "json", BASIC, {}, [], None)
+    assert t.num_rows == 0
+
+
+def test_fs_dispatch_missing_raises_filenotfound(make_file):
+    # checkFilesExist=false contract: iter_record_batches skips missing
+    # files by catching FileNotFoundError — both FS impls must raise it
+    p = make_file("exists.parquet", _parquet_bytes(ROWS))
+    ghost = p.replace("exists.parquet", "ghost.parquet")
+    with pytest.raises(FileNotFoundError):
+        read_file_to_table(ghost, "parquet", BASIC, {}, [], None)
+
+
+def test_fs_dispatch_partition_columns(make_file):
+    schema = StructType(
+        [
+            StructField("testString", StringType()),
+            StructField("testBoolean", BooleanType()),
+            StructField("testInt", IntegerType()),
+            StructField("part", StringType()),
+        ]
+    )
+    p = make_file("base/part=p1/f.parquet", _parquet_bytes(ROWS))
+    base = p.rsplit("/part=", 1)[0]
+    t = read_file_to_table(p, "parquet", schema, {}, ["part"], base)
+    assert t.column("part").to_pylist() == ["p1", "p1", "p1"]
