@@ -182,10 +182,75 @@ ORDER BY id_a, id_b
 
 
 def _dedup_cluster_docs(spark, sf):
-    """Duplicate-CLUSTER resolution: exact cosine pairs → connected
-    components → per-cluster stats. The pair graph at threshold 0.4 is the
-    oracle-checked ``dedup_embedding_pairs`` edge set; components resolve
-    via min-label propagation (one narrow (id, label) shuffle per round)."""
+    """Duplicate-CLUSTER resolution: exact n-gram-Jaccard near-dup pairs
+    → connected components → per-cluster stats. The edge generator is the
+    inverted-index operator (one bucket shuffle, document-frequency cap
+    as the skew guard) — the SCALE-SAFE pair source, unlike the labeled
+    O(n²) embedding baseline which lives on as the past-window
+    ``dedup_cluster_exact_edges`` variant. Components resolve via
+    min-label propagation (one narrow (id, label) shuffle per round)."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), "text", "doc_id", threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"), F.max("id").alias("max_id"))
+        .orderBy("component")
+    )
+
+
+# transitive closure of the deterministic exact-Jaccard edge set (same
+# shingling/arithmetic as _NGRAM_JACCARD_SQL) via recursive CTE;
+# component = min reachable id, matching the Spark min-label fixpoint
+_DEDUP_CLUSTER_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS sz FROM sh
+), pairs AS (
+  SELECT id_a, id_b
+  FROM ov
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+)
+SELECT component, COUNT(*) AS n_members, MAX(u) AS max_id
+FROM (SELECT u, MIN(lbl) AS component FROM reach GROUP BY u) c
+GROUP BY component
+ORDER BY component
+"""
+
+
+def _dedup_cluster_exact_edges(spark, sf):
+    """The labeled O(n²) baseline cluster variant: exact cosine pairs →
+    connected components. Kept PAST the gate window as ground truth —
+    its edge generator (``embedding_cosine_pairs``) is the deliberate
+    quadratic baseline and would not survive 100 TB; the in-window
+    ``dedup_cluster_docs`` uses the inverted-index Jaccard edges."""
     pairs = embedding_cosine_pairs(
         load_table(spark, sf, "embeddings"), "embedding", "vec_id", 0.4
     )
@@ -197,9 +262,7 @@ def _dedup_cluster_docs(spark, sf):
     )
 
 
-# transitive closure of the same edge set via recursive CTE; component =
-# min reachable id, matching the Spark side's min-label fixpoint
-_DEDUP_CLUSTER_SQL = """
+_DEDUP_CLUSTER_EXACT_EDGES_SQL = """
 WITH RECURSIVE und AS (
   SELECT a.vec_id AS u, b.vec_id AS v
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -2179,5 +2242,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "web_clean_docs": QuerySpec(_web_clean_docs, _web_clean_sql()),
     "streaming_exact_dedup_docs": QuerySpec(
         _streaming_exact_dedup_docs, _STREAMING_EXACT_DEDUP_SQL
+    ),
+    # r6: the quadratic-edge cluster baseline, demoted from the gate
+    # window (its in-window successor clusters the inverted-index
+    # Jaccard edges — the scale-safe pair source)
+    "dedup_cluster_exact_edges": QuerySpec(
+        _dedup_cluster_exact_edges, _DEDUP_CLUSTER_EXACT_EDGES_SQL
     ),
 }

@@ -128,7 +128,11 @@ def _tpch_q12ish(spark, sf):
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        # total order on a ≤|returnflag| row result: coalesce(1) + in-
+        # partition sort skips orderBy's range-sampling job + exchange
+        # (profiled ~0.2 s of the 0.8 s r5 wall on a 6-row output)
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
     )
 
 
