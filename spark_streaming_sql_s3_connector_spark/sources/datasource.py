@@ -112,6 +112,30 @@ class S3ConnectorNoSchemaError(ValueError):
     pass
 
 
+class S3ConnectorFormatError(ValueError):
+    """Format the Arrow executor path can't read natively."""
+
+
+def _require_arrow_format(file_format: str) -> None:
+    """Fail at reader CONSTRUCTION (driver, analysis time) rather than
+    at task time for formats the Python/Arrow executor path lacks. The
+    reference hands any format string to Spark's DataSource resolution
+    (S3ConnectorSourceOptions.scala:99-100); here that passthrough lives
+    in the JVM-read orchestrator, so the error points there."""
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import ARROW_FORMATS
+
+    if file_format.lower() not in ARROW_FORMATS:
+        raise S3ConnectorFormatError(
+            f"format(\"s3-connector\") reads {sorted(ARROW_FORMATS)} natively; "
+            f"got fileFormat={file_format!r}. Any other Spark DataSource "
+            f"format (avro, delta, ...) is supported through the JVM-read "
+            f"pipeline: spark_streaming_sql_s3_connector_spark.streaming.orchestrator."
+            f"MicroBatchOrchestrator, which passes the format string to "
+            f"spark.read.format(...) unchanged with the same exactly-once "
+            f"admission."
+        )
+
+
 class S3ConnectorDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -165,6 +189,7 @@ class S3ConnectorStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._raw_options = raw_options
         self._options = S3ConnectorSourceOptions.parse(raw_options)
+        _require_arrow_format(self._options.file_format)
         self._metadata_path = _pop_metadata_path(raw_options)
         self._admission = None  # driver-only, lazily built, never pickled
         # precomputed on the driver; ships pickled so executors never touch
@@ -247,6 +272,7 @@ class S3ConnectorBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, raw_options: dict):
         self._schema = schema
         self._options = S3ConnectorSourceOptions.parse(raw_options)
+        _require_arrow_format(self._options.file_format)
         self._metadata_path = _pop_metadata_path(raw_options)
         lowered = {k.lower(): v for k, v in raw_options.items()}
         self._paths = [p for p in (lowered.get("paths") or "").split(",") if p]

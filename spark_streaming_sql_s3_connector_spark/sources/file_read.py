@@ -32,6 +32,12 @@ import pyarrow as pa
 from pyspark.sql.types import StructType
 
 
+# formats the Arrow executor path reads natively; anything else routes
+# through the JVM-read orchestrator (reference passthrough semantics:
+# S3ConnectorSourceOptions.scala:99-100 hands ANY format to DataSource)
+ARROW_FORMATS = frozenset({"csv", "json", "parquet", "orc", "text"})
+
+
 def normalize_local_path(path: str) -> str:
     if path.startswith("file://"):
         return path[len("file://"):]

@@ -139,3 +139,53 @@ def test_parquet_by_name_projection_jvm(spark, tmp_path):
     orch.run_available(proj, lambda df, bid: got.extend(sorted((r.newtestInt, r.testString) for r in df.collect())))
     assert got == [(None, "James"), (None, "Michael"), (None, "Robert")]
     orch.close()
+
+
+def test_jvm_fallback_ingests_text_format(spark, tmp_path):
+    """Format-passthrough parity (S3ConnectorSourceOptions.scala:99-100):
+    a format outside the Arrow executor set still ingests through the
+    JVM read path — the orchestrator hands the format string to
+    spark.read.format(...) unchanged, with the same exactly-once
+    admission."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    orch = make_orch(spark, tmp_path, fmt="text")
+    q = orch.controller.queue_client
+    f1 = str(tmp_path / "lines1.txt")
+    with open(f1, "w") as f:
+        f.write("alpha\nbeta\ngamma\n")
+    q.send_file_event(f1, int(time.time() * 1000))
+    schema = StructType([StructField("value", StringType())])
+    seen = []
+    orch.run_available(
+        schema, lambda df, bid: seen.append((bid, sorted(r.value for r in df.collect())))
+    )
+    assert seen == [(0, ["alpha", "beta", "gamma"])]
+    # redelivery screened — exactly-once holds on the fallback path too
+    q.send_file_event(f1, int(time.time() * 1000))
+    orch.run_available(schema, lambda df, bid: seen.append((bid, df.count())))
+    assert len(seen) == 1
+    orch.close()
+
+
+def test_python_source_rejects_unknown_format_with_pointer(spark, tmp_path):
+    """fileFormat=avro on format("s3-connector") must fail fast at
+    analysis time with a pointer to the JVM-read orchestrator, not die
+    in an executor task."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    register(spark)
+    schema = StructType([StructField("value", StringType())])
+    df = (
+        spark.read.format("s3-connector")
+        .schema(schema)
+        .option("spark.s3conn.fileFormat", "avro")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", str(tmp_path / "nothing.avro"))
+        .load()
+    )
+    with pytest.raises(Exception, match="MicroBatchOrchestrator"):
+        df.count()
