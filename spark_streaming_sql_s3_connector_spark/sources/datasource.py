@@ -360,9 +360,12 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
     def pushFilters(self, filters):
         """Accept the simple comparisons pyarrow can evaluate exactly —
         they prune parquet row groups by footer statistics AND filter rows
-        before the Arrow->JVM transfer. Everything else (nested columns,
-        non-scalar literals, partition columns whose values come from the
-        path, string prefix/suffix ops) is returned for Spark to evaluate.
+        before the Arrow->JVM transfer. Comparisons take int/float/str/
+        bool/date literals; string prefix (StringStartsWith) prunes as a
+        [prefix, upper) range. Everything else (nested columns,
+        non-scalar/timestamp literals, partition columns whose values
+        come from the path, suffix/contains ops) is returned for Spark
+        to evaluate.
 
         Contract: accepted filters are applied EXACTLY in read() — Spark
         does not re-evaluate them."""
@@ -375,8 +378,10 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
             IsNull,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
 
+        import datetime
         import math
 
         from pyspark.sql.types import DoubleType, FloatType
@@ -404,7 +409,13 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
                 return True
             if isinstance(v, float) and math.isnan(v):
                 return False
-            return isinstance(v, (int, float, str))
+            # date32 literals: pyarrow compares date columns/stats against
+            # datetime.date exactly. datetime.datetime (a date subclass!)
+            # stays rejected — timestamp pushdown would have to reason
+            # about session-timezone casts.
+            if isinstance(v, datetime.datetime):
+                return False
+            return isinstance(v, (int, float, str, datetime.date))
 
         accepted: list[tuple] = []
         rejected = []
@@ -436,6 +447,10 @@ class S3ConnectorBatchReaderWithPushdown(S3ConnectorBatchReader):
                 accepted.append(("isnull", col[0], None))
             elif isinstance(f, IsNotNull):
                 accepted.append(("notnull", col[0], None))
+            elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
+                # exact row filter via pc.starts_with; row groups prune on
+                # the [prefix, prefix-upper) range over string stats
+                accepted.append(("startswith", col[0], f.value))
             else:
                 rejected.append(f)
         self._pushed_filters = accepted

@@ -261,10 +261,24 @@ def filters_to_expression(accepted: list[tuple]):
             e = f.is_null()
         elif op == "notnull":
             e = ~f.is_null()
+        elif op == "startswith":
+            e = pc.starts_with(f, pattern=val)
         else:  # pragma: no cover - pushFilters only accepts the ops above
             raise ValueError(f"unsupported pushed filter op {op}")
         expr = e if expr is None else expr & e
     return expr
+
+
+def _prefix_upper_bound(prefix: str) -> Optional[str]:
+    """Smallest string strictly greater than EVERY string with ``prefix``
+    — turns startswith into the range [prefix, upper). None when no such
+    string exists (all-chr(0x10FFFF) prefix), callers then skip the
+    upper-bound check."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
 
 
 def _row_group_may_match(md, rg: int, col_idx: dict, accepted: list[tuple]) -> bool:
@@ -291,6 +305,17 @@ def _row_group_may_match(md, rg: int, col_idx: dict, accepted: list[tuple]) -> b
         ):
             continue
         try:
+            if op == "startswith":
+                # [prefix, upper) range on string stats: a group whose
+                # max sorts below the prefix, or whose min sorts at or
+                # above the prefix's upper bound, holds no match
+                if isinstance(lo, str) and isinstance(hi, str):
+                    if hi < val:
+                        return False
+                    upper = _prefix_upper_bound(val)
+                    if upper is not None and lo >= upper:
+                        return False
+                continue
             if op == "eq" and not (lo <= val <= hi):
                 return False
             if op == "gt" and not (hi > val):

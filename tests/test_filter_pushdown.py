@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -93,14 +94,13 @@ def test_push_filters_partitions_accept_and_reject(pq_file):
                 GreaterThan(("k",), 80),  # accepted
                 In(("s",), ("row001", "row002")),  # accepted
                 IsNotNull(("v",)),  # accepted
-                StringStartsWith(("s",), "row"),  # not a simple comparison
+                StringStartsWith(("s",), "row0"),  # accepted (r6): prefix range
                 Not(EqualTo(("k",), 5)),  # wrapped -> rejected
                 EqualTo(("nope",), 1),  # unknown column
             ]
         )
     )
     assert [type(f).__name__ for f in rejected] == [
-        "StringStartsWith",
         "Not",
         "EqualTo",
     ]
@@ -108,6 +108,7 @@ def test_push_filters_partitions_accept_and_reject(pq_file):
         ("gt", "k", 80),
         ("in", "s", ("row001", "row002")),
         ("notnull", "v", None),
+        ("startswith", "s", "row0"),
     ]
 
 
@@ -222,7 +223,8 @@ def test_e2e_rejected_filters_still_applied_by_spark(pushdown_spark, pq_file):
         .option("paths", pq_file)
         .load()
     )
-    # startswith is rejected by pushFilters -> Spark must evaluate it
+    # startswith is pushed since r6 (applied exactly by the reader);
+    # Not(...) stays rejected -> Spark must evaluate it post-scan
     got = df.where(F.col("s").startswith("row09")).count()
     assert got == 10
 
@@ -268,3 +270,162 @@ def test_nan_stats_do_not_prune_row_groups():
     ok = _MD(_Stats(10.0, 20.0))
     assert not _row_group_may_match(ok, 0, col_idx, [("lt", "v", 5.0)])
     assert _row_group_may_match(ok, 0, col_idx, [("lt", "v", 15.0)])
+
+
+# ---- r6: string-prefix and date32 pushdown ----
+
+
+def test_string_prefix_prunes_row_groups(pq_file):
+    # s is 'row000'..'row099' across 4 groups of 25; prefix 'row09' only
+    # intersects the last group's ['row075','row099'] stats range
+    t = read_file_to_table(
+        pq_file, "parquet", SCHEMA, {}, [], None,
+        pushed_filters=[("startswith", "s", "row09")],
+    )
+    assert t.num_rows == 25  # 3 of 4 groups pruned by footer stats
+    assert min(t.column("s").to_pylist()) == "row075"
+    # a prefix beyond every group's range prunes everything
+    t2 = read_file_to_table(
+        pq_file, "parquet", SCHEMA, {}, [], None,
+        pushed_filters=[("startswith", "s", "zzz")],
+    )
+    assert t2.num_rows == 0
+    # prefix below every group: 'aaa' < all stats -> also everything
+    t3 = read_file_to_table(
+        pq_file, "parquet", SCHEMA, {}, [], None,
+        pushed_filters=[("startswith", "s", "aaa")],
+    )
+    assert t3.num_rows == 0
+
+
+def test_string_prefix_exact_rows_through_reader(pq_file):
+    r = _reader(pq_file)
+    assert list(r.pushFilters([StringStartsWith(("s",), "row09")])) == []
+    rows = []
+    for part in r.partitions():
+        for rb in r.read(part):
+            rows.extend(rb.to_pylist())
+    # exact: only row090..row099, not the surviving group's 75..99
+    assert sorted(x["s"] for x in rows) == [f"row{i:03d}" for i in range(90, 100)]
+
+
+def test_prefix_upper_bound_edge_cases():
+    from spark_streaming_sql_s3_connector_spark.sources.file_read import (
+        _prefix_upper_bound,
+    )
+
+    assert _prefix_upper_bound("abc") == "abd"
+    assert _prefix_upper_bound("ab" + chr(0x10FFFF)) == "ac"
+    assert _prefix_upper_bound(chr(0x10FFFF)) is None  # no upper bound
+
+
+DATE_SCHEMA = StructType(
+    [StructField("k", LongType()), StructField("d", DateType())]
+)
+
+
+@pytest.fixture()
+def date_pq_file(tmp_path):
+    import datetime
+
+    path = str(tmp_path / "dates.parquet")
+    base = datetime.date(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "k": pa.array(range(100), pa.int64()),
+            "d": pa.array(
+                [base + datetime.timedelta(days=i) for i in range(100)],
+                pa.date32(),
+            ),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=25)
+    return path
+
+
+def test_date_pushdown_accept_and_prune(date_pq_file):
+    import datetime
+
+    r = S3ConnectorBatchReaderWithPushdown(
+        DATE_SCHEMA,
+        {
+            "spark.s3conn.fileFormat": "parquet",
+            "spark.s3conn.queueUrl": "unused",
+            "spark.s3conn.queueType": "local",
+            "paths": date_pq_file,
+        },
+    )
+    cut = datetime.date(2024, 1, 1) + datetime.timedelta(days=80)
+    assert list(r.pushFilters([GreaterThan(("d",), cut)])) == []
+    assert r._pushed_filters == [("gt", "d", cut)]
+    # row-group pruning on date32 stats: first 3 of 4 groups excluded
+    t = read_file_to_table(
+        date_pq_file, "parquet", DATE_SCHEMA, {}, [], None,
+        pushed_filters=[("gt", "d", cut)],
+    )
+    assert t.num_rows == 25
+    # exact rows through the reader
+    rows = []
+    for part in r.partitions():
+        for rb in r.read(part):
+            rows.extend(rb.to_pylist())
+    assert sorted(x["k"] for x in rows) == list(range(81, 100))
+    # timestamp literals stay rejected (datetime is a date subclass —
+    # must not slip through the date acceptance)
+    r2 = S3ConnectorBatchReaderWithPushdown(
+        DATE_SCHEMA,
+        {
+            "spark.s3conn.fileFormat": "parquet",
+            "spark.s3conn.queueUrl": "unused",
+            "spark.s3conn.queueType": "local",
+            "paths": date_pq_file,
+        },
+    )
+    rej = list(r2.pushFilters([GreaterThan(("d",), datetime.datetime(2024, 3, 1))]))
+    assert len(rej) == 1 and r2._pushed_filters == []
+
+
+def test_e2e_prefix_and_date_match_jvm(pushdown_spark, date_pq_file, pq_file):
+    import datetime
+
+    spark = pushdown_spark
+    register(spark)
+    # prefix predicate
+    df = (
+        spark.read.format("s3-connector")
+        .schema(SCHEMA)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", pq_file)
+        .load()
+    )
+    got = df.where(F.col("s").startswith("row04")).select("k").orderBy("k").collect()
+    expect = (
+        spark.read.parquet(pq_file)
+        .where(F.col("s").startswith("row04"))
+        .select("k")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in got] == [r.k for r in expect] and len(got) == 10
+    # date predicate
+    dfd = (
+        spark.read.format("s3-connector")
+        .schema(DATE_SCHEMA)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", "unused")
+        .option("spark.s3conn.queueType", "local")
+        .option("paths", date_pq_file)
+        .load()
+    )
+    cut = datetime.date(2024, 2, 15)
+    gotd = dfd.where(F.col("d") >= F.lit(cut)).select("k").orderBy("k").collect()
+    expectd = (
+        spark.read.parquet(date_pq_file)
+        .where(F.col("d") >= F.lit(cut))
+        .select("k")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in gotd] == [r.k for r in expectd] and len(gotd) > 0
