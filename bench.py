@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "tpch_q20ish",
     "sequence_manifest_docs",
     "materialize_sequences_docs",
+    # added in round 6: keep-first line dedup (standalone view of the
+    # behavior fused into web_clean_docs)
+    "dedup_lines_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

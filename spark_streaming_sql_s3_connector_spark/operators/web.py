@@ -97,6 +97,64 @@ def boilerplate_profile(
     )
 
 
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """Corpus-global keep-FIRST line/paragraph dedup: every repeated
+    trimmed line keeps only its first occurrence in (doc id, position)
+    order; all later copies — in other documents AND later in the same
+    document — are dropped, and each document is rebuilt from its
+    surviving lines.
+
+    This is the keep-one counterpart to :func:`strip_boilerplate` (which
+    removes ALL copies of cross-doc lines): the dedup used when repeated
+    paragraphs carry signal once but must not be trained on thousands of
+    times.
+
+    Scale shape: the global first per line is ``min(struct(id, pos))`` —
+    a map-side partial aggregate, so a line repeated 10⁸ times costs one
+    row per map task in the line-keyed shuffle, never a window over a
+    skewed partition. One line-keyed shuffle (+ join back) and one
+    doc-keyed rebuild.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    pos = df.select(
+        F.col(id_col).alias("_id"), F.posexplode_outer(lines)
+    ).withColumnRenamed("col", "line")
+    firsts = (
+        pos.where(F.col("line").isNotNull())
+        .groupBy("line")
+        .agg(F.min(F.struct("_id", "pos")).alias("_first"))
+    )
+    kept = (
+        pos.join(firsts, "line")
+        .where((F.col("_id") == F.col("_first._id")) & (F.col("pos") == F.col("_first.pos")))
+        .select("_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count("*").alias("n_kept_lines"),
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     text_col: str,

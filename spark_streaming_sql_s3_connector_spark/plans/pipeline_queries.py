@@ -1287,15 +1287,27 @@ def _web_clean_docs(spark, sf):
         strip_boilerplate,
     )
 
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+    )
+
     urls = docs.select("doc_id", canonical_url(raw_url).alias("canon_url"))
     lined = docs.select("doc_id", lined_text(F.col("text")).alias("text"))
     bp = boilerplate_profile(lined, "text", "doc_id", min_doc_freq=2)
     stripped = strip_boilerplate(lined, "text", "doc_id", min_doc_freq=2).select(
         "doc_id", F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_md5")
     )
+    # r6 fused behavior: corpus-global keep-FIRST line dedup (the keep-one
+    # counterpart of boilerplate strip's remove-all)
+    kf = dedup_lines_keep_first(lined, "text", "doc_id").select(
+        "doc_id",
+        F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("keepfirst_md5"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+    )
     return (
         urls.join(bp, "doc_id")
         .join(stripped, "doc_id")
+        .join(kf, "doc_id")
         .where(F.col("n_distinct_lines") > 0)  # mirror the oracle's inner join
         .select(
             "doc_id",
@@ -1304,6 +1316,8 @@ def _web_clean_docs(spark, sf):
             "n_boilerplate_lines",
             F.round("boilerplate_frac", 6).alias("boilerplate_frac"),
             "clean_md5",
+            "keepfirst_md5",
+            "n_kept_lines",
         )
         .orderBy("doc_id")
     )
@@ -1314,6 +1328,68 @@ _RAW_URL_SQL = (
     " || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref='"
     " || CAST(doc_id AS VARCHAR) || '#sec'"
 )
+
+
+def _dedup_lines_docs(spark, sf):
+    """Corpus-global keep-FIRST line/paragraph dedup over sentence-lined
+    documents: later copies of a repeated line (cross-doc AND in-doc)
+    drop; each doc rebuilds from its survivors. The skew story is the
+    min(struct(id, pos)) partial aggregate — see
+    operators/web.dedup_lines_keep_first."""
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+        lined_text,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    lined = docs.select("doc_id", lined_text(F.col("text")).alias("text"))
+    kf = dedup_lines_keep_first(lined, "text", "doc_id")
+    n_lines = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    return kf.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+        F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("keepfirst_md5"),
+    ).orderBy("doc_id")
+
+
+_DEDUP_LINES_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), ltab AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+), posl AS (
+  SELECT doc_id, l[i] AS line, i AS pos
+  FROM ltab, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) > 0
+), kf AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id, line, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM posl) t
+  WHERE rn = 1
+), kfagg AS (
+  SELECT doc_id,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS keepfirst_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kf GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.l) AS BIGINT) AS n_lines,
+       COALESCE(kfagg.n_kept_lines, 0) AS n_kept_lines,
+       COALESCE(kfagg.keepfirst_md5, md5('')) AS keepfirst_md5
+FROM ltab l
+LEFT JOIN kfagg ON l.doc_id = kfagg.doc_id
+ORDER BY l.doc_id
+"""
 
 
 def _web_clean_sql() -> str:
@@ -1354,6 +1430,17 @@ WITH lined AS (
 ), clean AS (
   SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
   FROM kept GROUP BY doc_id
+), kf AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id, line, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM posl) t
+  WHERE rn = 1
+), kfagg AS (
+  SELECT doc_id,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS keepfirst_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kf GROUP BY doc_id
 )
 SELECT doc_id,
        """ + canonical_url_duckdb_sql(raw) + r""" AS canon_url,
@@ -1361,10 +1448,13 @@ SELECT doc_id,
        bp.n_boilerplate_lines,
        ROUND(bp.n_boilerplate_lines / bp.n_distinct_lines::DOUBLE, 6)
          AS boilerplate_frac,
-       COALESCE(clean.clean_md5, md5('')) AS clean_md5
+       COALESCE(clean.clean_md5, md5('')) AS clean_md5,
+       COALESCE(kfagg.keepfirst_md5, md5('')) AS keepfirst_md5,
+       COALESCE(kfagg.n_kept_lines, 0) AS n_kept_lines
 FROM documents d
 JOIN bp USING (doc_id)
 LEFT JOIN clean USING (doc_id)
+LEFT JOIN kfagg USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -1445,7 +1535,9 @@ def _text_transform_profile(spark, sf):
     red = _redact_docs(spark, sf)
     pk = _pack_concat_docs(spark, sf)
     wc = _web_clean_docs(spark, sf).select(
-        "doc_id", "canon_url", "n_boilerplate_lines"
+        "doc_id", "canon_url", "n_boilerplate_lines",
+        # r6 fused behavior: corpus-global keep-first line dedup
+        "keepfirst_md5", "n_kept_lines",
     )
     return (
         rep.join(ch, "doc_id")
@@ -1530,19 +1622,37 @@ WITH lined AS (
   GROUP BY doc_id
 ), curl AS (
   SELECT doc_id, __CANON_URL__ AS canon_url FROM documents
+), posl2 AS (
+  SELECT doc_id, l[i] AS line, i AS pos
+  FROM lines, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) > 0
+), kf2 AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id, line, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM posl2) t
+  WHERE rn = 1
+), kfagg2 AS (
+  SELECT doc_id,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS keepfirst_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kf2 GROUP BY doc_id
 )
 SELECT rep.doc_id, rep.n_lines, rep.n_distinct_lines, rep.dup_line_frac,
        chunk.n_chunks, chunk.total_chunk_tokens, chunk.max_chunk_tokens,
        chunk.min_chunk_tokens,
        red.n_urls, red.n_emails, red.n_ips, red.redacted_md5,
        pk.shard, pk.start_offset, pk.n_tokens, pk.seq_first, pk.seq_last,
-       curl.canon_url, wc.n_boilerplate_lines
+       curl.canon_url, wc.n_boilerplate_lines,
+       COALESCE(kfagg2.keepfirst_md5, md5('')) AS keepfirst_md5,
+       COALESCE(kfagg2.n_kept_lines, 0) AS n_kept_lines
 FROM rep
 JOIN chunk USING (doc_id)
 JOIN red USING (doc_id)
 JOIN pk USING (doc_id)
 JOIN wc USING (doc_id)
 JOIN curl USING (doc_id)
+LEFT JOIN kfagg2 USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -2249,4 +2359,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_exact_edges": QuerySpec(
         _dedup_cluster_exact_edges, _DEDUP_CLUSTER_EXACT_EDGES_SQL
     ),
+    # r6: standalone view of the keep-first line dedup fused into
+    # web_clean_docs (finer-grained local-gate diagnosis, bench key)
+    "dedup_lines_docs": QuerySpec(_dedup_lines_docs, _DEDUP_LINES_SQL),
 }

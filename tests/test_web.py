@@ -153,3 +153,53 @@ def test_canonical_url_randomized_cross_engine_parity(spark):
             f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
         ).fetchone()
         assert got[i] == duck, (raw, got[i], duck)
+
+
+def test_dedup_lines_keep_first_semantics(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),      # in-doc repeat: later copy drops
+            (2, "beta\ngamma"),             # 'beta' already seen in doc 1
+            (3, "  beta  \ndelta"),         # trims before matching
+            (4, ""),                        # no lines at all
+            (5, "gamma"),                   # seen in doc 2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.deduped_text, r.n_kept_lines)
+        for r in dedup_lines_keep_first(df, "text", "doc_id").collect()
+    }
+    assert out[1] == ("alpha\nbeta", 2)   # global firsts live here
+    assert out[2] == ("gamma", 1)         # beta dropped, gamma first
+    assert out[3] == ("delta", 1)
+    assert out[4] == ("", 0)
+    assert out[5] == ("", 0)              # entire doc was already seen
+
+
+def test_dedup_lines_keep_first_vs_strip_boilerplate(spark):
+    """keep-first keeps ONE copy of a cross-doc line; boilerplate strip
+    removes them ALL — the two operators must disagree exactly there."""
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+        strip_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared\nuniq1"), (2, "shared\nuniq2")],
+        "doc_id bigint, text string",
+    )
+    kf = {
+        r.doc_id: r.deduped_text
+        for r in dedup_lines_keep_first(df, "text", "doc_id").collect()
+    }
+    sb = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate(df, "text", "doc_id").collect()
+    }
+    assert kf == {1: "shared\nuniq1", 2: "uniq2"}
+    assert sb == {1: "uniq1", 2: "uniq2"}
