@@ -118,8 +118,9 @@ BENCH_QUERIES = [
     "sequence_manifest_docs",
     "materialize_sequences_docs",
     # added in round 6: keep-first line dedup (standalone view of the
-    # behavior fused into web_clean_docs)
+    # behavior fused into web_clean_docs) and near-dup keep-best curation
     "dedup_lines_docs",
+    "near_dup_keep_best_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

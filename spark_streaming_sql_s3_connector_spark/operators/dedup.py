@@ -808,3 +808,54 @@ def embedding_cosine_pairs(
                 )
 
     return block_pairs.mapInPandas(compute, out_schema).select("id_a", "id_b")
+
+
+def near_dup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate curation: cluster near-dups (exact inverted-index
+    n-gram Jaccard pairs → connected components) and keep ONE best
+    representative per cluster — highest ``score_col``, id ascending as
+    the tie-break; documents with no near-dup partner pass through
+    untouched.
+
+    The near-dup counterpart of :func:`dedup_keep_best` (whose clusters
+    are exact-text groups): the shape an LLM curation pipeline runs over
+    a crawled corpus where copies differ by boilerplate or light edits.
+
+    Scale shape: pair generation is the DF-capped inverted index (never
+    all-pairs), components are the gated min-label propagation, and the
+    per-cluster argmax is ``min(struct(-score, id))`` — a map-side
+    partial aggregate, no window over a skewed cluster partition.
+    Returns the kept rows: (id, component, score); a singleton (no
+    near-dup partner) is its own keeper with ``component = id``.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    scored = df.select(
+        F.col(id_col).alias("_nid"), F.col(score_col).alias("_score")
+    )
+    m = comp.join(scored, comp["id"] == F.col("_nid"))
+    keepers = (
+        m.groupBy("component")
+        .agg(F.min(F.struct((-F.col("_score")).alias("ns"), F.col("id").alias("i"))).alias("_k"))
+        .select(F.col("component"), F.col("_k.i").alias("_kid"))
+    )
+    clustered_ids = comp.select(F.col("id").alias("_cid"))
+    kept_clustered = keepers.select(
+        F.col("_kid").alias(id_col), F.col("component")
+    )
+    singletons = df.select(F.col(id_col)).join(
+        clustered_ids, F.col(id_col) == F.col("_cid"), "left_anti"
+    ).withColumn("component", F.col(id_col).cast("bigint"))
+    kept = kept_clustered.unionByName(singletons)
+    return kept.join(
+        df.select(F.col(id_col), F.col(score_col)), id_col
+    ).select(id_col, "component", score_col)

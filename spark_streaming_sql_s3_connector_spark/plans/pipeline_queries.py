@@ -189,13 +189,30 @@ def _dedup_cluster_docs(spark, sf):
     O(n²) embedding baseline which lives on as the past-window
     ``dedup_cluster_exact_edges`` variant. Components resolve via
     min-label propagation (one narrow (id, label) shuffle per round)."""
-    pairs = ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), "text", "doc_id", threshold=0.5
-    ).select("id_a", "id_b")
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
     comp = connected_components(pairs)
+    # r6 fused behavior: best-quality keeper per cluster (longest text,
+    # id tie-break) via min(struct) — map-side partial agg, skew-safe
+    scored = comp.join(
+        docs.select(F.col("doc_id"), F.length("text").alias("_nc")),
+        comp["id"] == F.col("doc_id"),
+    )
     return (
-        comp.groupBy("component")
-        .agg(F.count("*").alias("n_members"), F.max("id").alias("max_id"))
+        scored.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("id").alias("max_id"),
+            F.min(F.struct((-F.col("_nc")).alias("ns"), F.col("id").alias("i"))).alias("_k"),
+        )
+        .select(
+            "component",
+            "n_members",
+            "max_id",
+            F.col("_k.i").alias("keeper_id"),
+        )
         .orderBy("component")
     )
 
@@ -237,11 +254,102 @@ WITH RECURSIVE toks AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM und) t
   UNION
   SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+), memb AS (
+  SELECT u, MIN(lbl) AS component FROM reach GROUP BY u
+), scored AS (
+  SELECT m.u, m.component, length(d.text) AS n_chars
+  FROM memb m JOIN documents d ON d.doc_id = m.u
+), keep AS (
+  SELECT component, u AS keeper_id FROM (
+    SELECT component, u,
+           row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, u) AS rn
+    FROM scored) t
+  WHERE rn = 1
 )
-SELECT component, COUNT(*) AS n_members, MAX(u) AS max_id
-FROM (SELECT u, MIN(lbl) AS component FROM reach GROUP BY u) c
-GROUP BY component
+SELECT a.component, a.n_members, a.max_id, keep.keeper_id
+FROM (
+  SELECT component, COUNT(*) AS n_members, MAX(u) AS max_id
+  FROM memb GROUP BY component
+) a
+JOIN keep USING (component)
 ORDER BY component
+"""
+
+
+def _near_dup_keep_best_docs(spark, sf):
+    """Near-dup curation end to end: cluster the exact-Jaccard near-dup
+    graph and keep ONE best doc per cluster (longest text, id tie-break);
+    singletons pass through with a NULL component. The per-cluster argmax
+    is min(struct(-score, id)) — partial-agg, skew-safe (see
+    operators/dedup.near_dup_keep_best)."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        near_dup_keep_best,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_chars", F.length("text"))
+    )
+    return (
+        near_dup_keep_best(docs, "text", "doc_id", "n_chars", threshold=0.5)
+        .select("doc_id", F.col("component").cast("bigint").alias("component"), "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_NEAR_DUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS sz FROM sh
+), pairs AS (
+  SELECT id_a, id_b
+  FROM ov
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+), memb AS (
+  SELECT u, MIN(lbl) AS component FROM reach GROUP BY u
+), scored AS (
+  SELECT m.u, m.component, length(d.text) AS n_chars
+  FROM memb m JOIN documents d ON d.doc_id = m.u
+), keep AS (
+  SELECT component, u AS doc_id, n_chars FROM (
+    SELECT component, u, n_chars,
+           row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, u) AS rn
+    FROM scored) t
+  WHERE rn = 1
+)
+SELECT doc_id, component, n_chars FROM keep
+UNION ALL
+SELECT d.doc_id, d.doc_id AS component, length(d.text) AS n_chars
+FROM documents d
+ANTI JOIN memb ON d.doc_id = memb.u
+ORDER BY doc_id
 """
 
 
@@ -2362,4 +2470,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r6: standalone view of the keep-first line dedup fused into
     # web_clean_docs (finer-grained local-gate diagnosis, bench key)
     "dedup_lines_docs": QuerySpec(_dedup_lines_docs, _DEDUP_LINES_SQL),
+    # r6: near-dup curation (cluster → keep best per cluster, singletons
+    # pass through); keeper_id is also fused into dedup_cluster_docs
+    "near_dup_keep_best_docs": QuerySpec(
+        _near_dup_keep_best_docs, _NEAR_DUP_KEEP_BEST_SQL
+    ),
 }

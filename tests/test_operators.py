@@ -355,3 +355,31 @@ def test_spread_for_compute_policy(spark, tmp_path):
     # in-memory frame (no file provenance) -> untouched plan object
     mem = spark.range(10).toDF("id")
     assert spread_for_compute(mem) is mem
+
+
+def test_near_dup_keep_best(spark):
+    """Near-dup clusters keep the highest-score doc (id tie-break);
+    singletons are their own one-doc cluster."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        near_dup_keep_best,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base + " one"),                 # near-dups of each other
+            (2, base + " one two"),             # longer -> keeper
+            (3, base + " one"),                 # exact dup of 1
+            (7, "completely different text with no overlap whatsoever here"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("n_chars", F.length("text"))
+    kept = {
+        r.doc_id: r.component
+        for r in near_dup_keep_best(df, "text", "doc_id", "n_chars").collect()
+    }
+    assert set(kept) == {2, 7}          # 2 wins its cluster; 7 is singleton
+    assert kept[2] == 1                 # component labeled by min member id
+    assert kept[7] == 7                 # singleton self-cluster
