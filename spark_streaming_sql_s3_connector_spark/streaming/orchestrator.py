@@ -21,7 +21,6 @@ contract Spark's foreachBatch has).
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Callable, Optional
 
@@ -46,21 +45,26 @@ class MicroBatchOrchestrator:
             else S3ConnectorSourceOptions.parse(options)
         )
         self.controller = AdmissionController(self.options, metadata_path, queue_client)
-        self._processed_path = os.path.join(metadata_path, "processed-offset.json")
+        # processed-offset marker goes through the same FS layer as the
+        # metadata log, so the orchestrator checkpoint is DFS-capable too
+        self._meta_fs = self.controller._meta_fs
+        self._processed_path = self._meta_fs.join(
+            self.controller._meta_root, "processed-offset.json"
+        )
         self._last_processed = self._read_processed()
 
     def _read_processed(self) -> int:
         try:
-            with open(self._processed_path) as f:
-                return int(json.load(f)["logOffset"])
+            return int(
+                json.loads(self._meta_fs.read_text(self._processed_path))["logOffset"]
+            )
         except (FileNotFoundError, ValueError, KeyError):
             return -1
 
     def _write_processed(self, offset: int) -> None:
-        tmp = self._processed_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"logOffset": offset}, f)
-        os.replace(tmp, self._processed_path)
+        self._meta_fs.write_atomic(
+            self._processed_path, json.dumps({"logOffset": offset}), overwrite=True
+        )
 
     def run_once(
         self,
