@@ -1638,15 +1638,44 @@ def _text_transform_profile(spark, sf):
     shard-window cumsum, each joined back on doc_id. Inner join matches
     the chunker's contract (zero-token docs emit no chunks, and the
     oracle mirrors that)."""
+    from spark_streaming_sql_s3_connector_spark.functions.web import canonical_url
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        boilerplate_profile,
+        dedup_lines_keep_first,
+        lined_text,
+    )
+
     rep = _repetition_docs(spark, sf)
     ch = _chunk_docs(spark, sf)
     red = _redact_docs(spark, sf)
     pk = _pack_concat_docs(spark, sf)
-    wc = _web_clean_docs(spark, sf).select(
-        "doc_id", "canon_url", "n_boilerplate_lines",
-        # r6 fused behavior: corpus-global keep-first line dedup
-        "keepfirst_md5", "n_kept_lines",
+    # web columns built directly rather than via _web_clean_docs: that
+    # query also computes strip_boilerplate's clean_md5, and Catalyst
+    # cannot prune an inner join's unused aggregate subtree — this slot
+    # would pay a whole boilerplate-strip rebuild for a dropped column
+    docs = load_table(spark, sf, "documents")
+    raw_url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("#sec"),
     )
+    urls = docs.select("doc_id", canonical_url(raw_url).alias("canon_url"))
+    lined = docs.select("doc_id", lined_text(F.col("text")).alias("text"))
+    bp = boilerplate_profile(lined, "text", "doc_id", min_doc_freq=2).where(
+        F.col("n_distinct_lines") > 0
+    ).select("doc_id", "n_boilerplate_lines")
+    kf = dedup_lines_keep_first(lined, "text", "doc_id").select(
+        "doc_id",
+        F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("keepfirst_md5"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+    )
+    wc = urls.join(bp, "doc_id").join(kf, "doc_id")
     return (
         rep.join(ch, "doc_id")
         .join(red, "doc_id")
