@@ -301,3 +301,24 @@ def test_web_clean_line_ops_stay_jvm_side(spark):
     plan = formatted_plan(spark, "web_clean_docs")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_keep_first_dedup_uses_partial_agg_not_window(spark):
+    """dedup_lines_docs' global first-occurrence is min(struct(id, pos))
+    — a partial aggregate with map-side combine. A window row_number
+    over the line partition would sort a skewed giant partition; the
+    plan must show aggregation and NO window over the line key."""
+    plan = formatted_plan(spark, "dedup_lines_docs")
+    assert "min(struct" in plan or "partial_min" in plan
+    # the ONLY window allowed is none: no row_number-over-line path
+    assert "row_number" not in plan
+    assert "Window" not in plan
+
+
+def test_near_dup_keep_best_no_cartesian_no_window(spark):
+    """Pair generation stays the inverted-index equi-join (no cartesian)
+    and the per-cluster argmax is the min(struct) partial agg, not a
+    window over the component partition."""
+    plan = formatted_plan(spark, "near_dup_keep_best_docs")
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan
