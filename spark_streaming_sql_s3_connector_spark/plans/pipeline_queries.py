@@ -1628,6 +1628,88 @@ ORDER BY doc_id
 """
 
 
+def _streaming_line_dedup_docs(spark, sf):
+    """Drive streaming/line_dedup.py batch-by-batch over documents split
+    into 3 RANGE-ordered 'micro-batches' (doc_id thirds) and return each
+    doc's keep-first dedup result. Range ordering makes 'first in
+    (batch, doc, pos)' coincide with 'first in (doc, pos)', so the
+    incremental path oracle-checks against the plain batch keep-first
+    SQL (same oracle family as dedup_lines_docs)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.operators.web import lined_text
+    from spark_streaming_sql_s3_connector_spark.streaming.line_dedup import (
+        process_batch,
+        read_deduped_docs,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", lined_text(F.col("text")).alias("text")
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    tag = hashlib.md5(("lines" + str(sf)).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"s3conn-linededup-{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    for b in range(3):
+        process_batch(
+            docs.where(
+                (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+            ),
+            b,
+            idx,
+            expected_total_items=100_000,
+        )
+    return (
+        read_deduped_docs(spark, idx)
+        .select(
+            "doc_id",
+            F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+            F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("keepfirst_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STREAMING_LINE_DEDUP_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), ltab AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+), posl AS (
+  SELECT doc_id, l[i] AS line, i AS pos
+  FROM ltab, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) > 0
+), kf AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id, line, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM posl) t
+  WHERE rn = 1
+), kfagg AS (
+  SELECT doc_id,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS keepfirst_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+  FROM kf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(kfagg.n_kept_lines, 0) AS n_kept_lines,
+       COALESCE(kfagg.keepfirst_md5, md5('')) AS keepfirst_md5
+FROM documents d
+LEFT JOIN kfagg ON d.doc_id = kfagg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _text_transform_profile(spark, sf):
     """Repetition screen + training-window chunk stats + PII redaction +
     (r5) concat-and-split sequence packing fused into ONE driver-verified
@@ -2503,5 +2585,12 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # pass through); keeper_id is also fused into dedup_cluster_docs
     "near_dup_keep_best_docs": QuerySpec(
         _near_dup_keep_best_docs, _NEAR_DUP_KEEP_BEST_SQL
+    ),
+    # r6: streaming keep-first line dedup driven batch-by-batch (range-
+    # ordered batches ⇒ the batch keep-first SQL is a valid oracle);
+    # multi-job orchestration like streaming_exact_dedup_docs, so it
+    # stays a gate/local-gate key, out of bench.py
+    "streaming_line_dedup_docs": QuerySpec(
+        _streaming_line_dedup_docs, _STREAMING_LINE_DEDUP_SQL
     ),
 }

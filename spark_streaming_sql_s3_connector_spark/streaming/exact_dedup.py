@@ -114,19 +114,29 @@ def _delta_ids(index_dir: str) -> list[int]:
     return sorted(out)
 
 
+# explicit schema: a batch with zero new keys writes a delta dir holding
+# only _SUCCESS, and schema INFERENCE on such a dir throws — a fixed
+# schema reads it as an empty frame instead
+_INDEX_SCHEMA = "_id bigint, key string, _shard int"
+
+
 def _index_frames(
     spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
 ) -> list[DataFrame]:
     ptr = _read_pointer(index_dir)
     frames = []
     if ptr is not None:
-        frames.append(spark.read.parquet(os.path.join(index_dir, "base", f"v={ptr}")))
+        frames.append(
+            spark.read.schema(_INDEX_SCHEMA).parquet(
+                os.path.join(index_dir, "base", f"v={ptr}")
+            )
+        )
     for i in _delta_ids(index_dir):
         if ptr is not None and i <= ptr:
             continue
         if before_batch is not None and i >= before_batch:
             continue
-        frames.append(spark.read.parquet(_new_dir(index_dir, i)))
+        frames.append(spark.read.schema(_INDEX_SCHEMA).parquet(_new_dir(index_dir, i)))
     return frames
 
 
