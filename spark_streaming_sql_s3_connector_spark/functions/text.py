@@ -7,6 +7,7 @@ whole-stage codegen, vectorized, with zero Python-worker round-trips.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -179,3 +180,51 @@ def language_id(col: Column, default: str = "und") -> Column:
     )
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def normalize_text(col: Column) -> Column:
+    """Unicode text normalization for corpus hygiene: NFC → lowercase →
+    final-sigma fold (``ς`` → ``σ``) → accent strip (NFD, drop Mn marks).
+    The canonical pre-dedup normalizer: visually-identical strings with
+    different codepoint sequences (composed vs decomposed accents,
+    fullwidth forms, case, Greek final sigma) collapse to one key.
+
+    Implementation note — why Python appears here: Spark has NO built-in
+    UAX#15 normalization expression (`lower`/`translate` cannot express
+    NFC/NFD), so this is an Arrow-batched pandas UDF over
+    ``unicodedata`` — the sanctioned slow path, one str pass per row,
+    no JVM↔Python chatter beyond the Arrow batches. The sigma fold is
+    what keeps the chain engine-portable: Python ``str.lower`` applies
+    the Unicode Final_Sigma context rule and DuckDB's ``lower`` does
+    not; folding both to ``σ`` makes the DuckDB oracle
+    (``strip_accents(replace(lower(nfc_normalize(x)), 'ς', 'σ'))``)
+    byte-identical. Parity is pinned by a randomized cross-engine test.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # note: `from __future__ import annotations` stringifies hints and
+    # pyspark resolves them against module globals — so the UDF uses the
+    # module-level `pd` import rather than a local one
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def f(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t).lower().replace("ς", "σ")
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if unicodedata.category(c) != "Mn"
+            )
+
+        return s.map(f)
+
+    return _norm(col)
+
+
+def normalize_text_duckdb_sql(expr: str) -> str:
+    """The same chain as :func:`normalize_text` in DuckDB SQL — kept
+    adjacent so the two stay in lockstep."""
+    return f"strip_accents(replace(lower(nfc_normalize({expr})), 'ς', 'σ'))"

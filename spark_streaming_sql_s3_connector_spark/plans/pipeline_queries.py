@@ -1710,6 +1710,50 @@ ORDER BY d.doc_id
 """
 
 
+_UNI_SALT = " Café №{} ĆañÓn ﬁle ＡＢＣ İstanbul ΣΟΦΟΣ naïve é́"
+
+
+def _normalize_docs(spark, sf):
+    """Unicode normalization over salted documents (functions/text
+    .normalize_text): each doc's text gets a deterministic unicode
+    decoration (composed+decomposed accents, fullwidth forms, dotted
+    capital I, Greek final sigma, ligature) so the chain is exercised
+    end to end despite the ASCII-ish synthetic corpus."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    pre, post = _UNI_SALT.split("{}")
+    salted = F.concat(
+        F.col("text"), F.lit(pre), F.col("doc_id").cast("string"), F.lit(post)
+    )
+    norm = normalize_text(salted)
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def _normalize_docs_sql() -> str:
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        normalize_text_duckdb_sql,
+    )
+
+    pre, post = _UNI_SALT.split("{}")
+    salted = f"(text || '{pre}' || CAST(doc_id AS VARCHAR) || '{post}')"
+    n = normalize_text_duckdb_sql(salted)
+    return f"""
+SELECT doc_id,
+       md5({n}) AS norm_md5,
+       CAST(length({n}) AS BIGINT) AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+_NORMALIZE_DOCS_SQL = _normalize_docs_sql()
+
+
 def _text_transform_profile(spark, sf):
     """Repetition screen + training-window chunk stats + PII redaction +
     (r5) concat-and-split sequence packing fused into ONE driver-verified
@@ -2593,4 +2637,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "streaming_line_dedup_docs": QuerySpec(
         _streaming_line_dedup_docs, _STREAMING_LINE_DEDUP_SQL
     ),
+    # r6: unicode normalization (NFC → lower → sigma fold → accent
+    # strip). Past-cap because the in-window text slots pin no-Python
+    # plans and this is the one sanctioned pandas-UDF text op (no JVM
+    # UAX#15 expression exists). Salted with unicode decorations so the
+    # oracle exercises composed/decomposed/fullwidth/case/sigma paths
+    # on the ASCII-ish synthetic corpus.
+    "normalize_docs": QuerySpec(_normalize_docs, _NORMALIZE_DOCS_SQL),
 }

@@ -203,3 +203,38 @@ def test_dedup_lines_keep_first_vs_strip_boilerplate(spark):
     }
     assert kf == {1: "shared\nuniq1", 2: "uniq2"}
     assert sb == {1: "uniq1", 2: "uniq2"}
+
+
+def test_normalize_text_cross_engine_parity(spark):
+    """Randomized unicode parity: the Spark chain (NFC → lower → sigma
+    fold → accent strip) must be byte-identical to the DuckDB oracle
+    chain across composed/decomposed accents, fullwidth forms, dotted
+    capital I, final sigma, ligatures, and random combining marks."""
+    import random
+
+    import duckdb
+
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        normalize_text,
+        normalize_text_duckdb_sql,
+    )
+
+    rng = random.Random(6)
+    atoms = [
+        "Café", "café", "café", "№5", "ﬁle", "ĆañÓn", "naïve",
+        "İstanbul", "ΑΣ", "ΣΟΦΟΣ.", "ΑΎΡΙΟ", "ß", "ẞ", "ＡＢＣ１２３",
+        "Ĳssel", "ǅungla", "é́", "é́", "ȺB", "Hello WORLD Ω",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 6))))
+        for i in range(60)
+    ] + [(60, None), (61, "")]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        r.id: r.n for r in df.select("id", normalize_text(F.col("t")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    expr = normalize_text_duckdb_sql("t")
+    for i, t in rows:
+        want = con.execute(f"SELECT {expr} FROM (SELECT ?::VARCHAR AS t)", [t]).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)
