@@ -173,3 +173,63 @@ def mix_corpus(
         .withColumn("keep_fraction", frac)
         .drop("_grp_tokens", "_grp_key")
     )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified quality gate: keep the TOP ``ceil(n · frac)`` rows per
+    group by ``(value desc, id asc)`` — "best 40% of each language", the
+    per-group-adaptive form of a fixed quality threshold (a fixed cut
+    over-prunes low-resource strata).
+
+    Rank-based on purpose: an interpolated quantile threshold
+    (percentile/quantile_cont) is float arithmetic whose ULPs differ
+    between engines, flipping boundary rows; ``row_number <= ceil(n·frac)``
+    is integer-exact everywhere. Cost is one shuffle on the group key and
+    a per-group sort; at 100 TB with huge strata, compute an
+    approx_percentile threshold instead and broadcast-filter (no sort) —
+    the rank form is the exact, oracle-checkable reference.
+    """
+    if not 0 < frac <= 1:
+        raise ValueError("frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(n))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .drop("_rn", "_n")
+    )
+
+
+def quantile_gate_approx(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    frac: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The scale path of :func:`keep_top_fraction`: per-group
+    approx_percentile(1-frac) thresholds, broadcast back, filter — no
+    per-group sort, one tiny agg shuffle plus a map-side filter. Keeps
+    rows with ``value >= threshold``; the kept fraction is approximate
+    (sketch accuracy), which is the right trade at 100 TB."""
+    if not 0 < frac <= 1:
+        raise ValueError("frac must be in (0, 1]")
+    thresholds = df.groupBy(*group_cols).agg(
+        F.percentile_approx(value_col, 1.0 - frac, accuracy).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_cols)
+        .where(F.col(value_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1710,6 +1710,61 @@ ORDER BY d.doc_id
 """
 
 
+def _quality_gate_docs(spark, sf):
+    """Stratified quality gate (operators/sampling.keep_top_fraction):
+    keep each language's best 40% by the composite quality score
+    (rounded to 6 dp first — the rank then depends only on exact
+    decimals, so the oracle's window reproduces it bit-for-bit)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import quality_score
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        keep_top_fraction,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("qscore")
+    )
+    return (
+        keep_top_fraction(docs, "qscore", ["lang"], 0.4, id_col="doc_id")
+        .select("doc_id", "lang", "qscore")
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_GATE_SQL = r"""
+WITH m AS (
+  SELECT doc_id, lang,
+         length(text)::DOUBLE AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END)::DOUBLE
+           AS n_distinct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND(
+           LEAST(n_tokens / 20.0, 1.0) * 0.3
+           + (CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0 END) * 0.3
+           + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.2
+           + (CASE WHEN n_chars > 0
+                   THEN 1.0 - LEAST(n_punct / n_chars * 4, 1.0) ELSE 1.0 END) * 0.2,
+           6) AS qscore
+  FROM m
+), ranked AS (
+  SELECT doc_id, lang, qscore,
+         row_number() OVER (PARTITION BY lang ORDER BY qscore DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, qscore
+FROM ranked
+WHERE rn <= CEIL(n * 0.4)
+ORDER BY doc_id
+"""
+
+
 _UNI_SALT = " Café №{} ĆañÓn ﬁle ＡＢＣ İstanbul ΣΟΦΟΣ naïve é́"
 
 
@@ -2644,4 +2699,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # oracle exercises composed/decomposed/fullwidth/case/sigma paths
     # on the ASCII-ish synthetic corpus.
     "normalize_docs": QuerySpec(_normalize_docs, _NORMALIZE_DOCS_SQL),
+    # r6: per-language adaptive quality gate (top 40% by rounded score;
+    # rank-based so no interpolated-quantile float boundary can flip
+    # rows cross-engine)
+    "quality_gate_docs": QuerySpec(_quality_gate_docs, _QUALITY_GATE_SQL),
 }

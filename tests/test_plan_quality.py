@@ -322,3 +322,15 @@ def test_near_dup_keep_best_no_cartesian_no_window(spark):
     plan = formatted_plan(spark, "near_dup_keep_best_docs")
     assert "CartesianProduct" not in plan
     assert "row_number" not in plan
+
+
+def test_normalize_docs_single_arrow_eval(spark):
+    """The unicode normalizer is the ONE sanctioned pandas-UDF text op:
+    exactly one ArrowEvalPython (Arrow-batched), never row-at-a-time
+    BatchEvalPython, and no second Python eval from the md5/length reuse
+    of the normalized column."""
+    import re
+
+    plan = formatted_plan(spark, "normalize_docs")
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1

@@ -117,3 +117,43 @@ def test_stratified_plan_prunes_before_exchange(spark):
     assert "WindowGroupLimit" in plan, plan
     partial = plan.split("Exchange hashpartitioning")[-1]
     assert "WindowGroupLimit" in partial, plan
+
+
+def test_keep_top_fraction_exact_counts_and_members(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        keep_top_fraction,
+    )
+
+    rows = [(i, "a" if i < 10 else "b", float(i % 7)) for i in range(17)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
+    kept = keep_top_fraction(df, "v", ["g"], 0.4, id_col="doc_id")
+    by_g = {
+        g: sorted(r.doc_id for r in kept.where(F.col("g") == g).collect())
+        for g in ("a", "b")
+    }
+    # ceil(10*0.4)=4 and ceil(7*0.4)=3 — exact per-group counts
+    assert len(by_g["a"]) == 4 and len(by_g["b"]) == 3
+    # members are the (v desc, id asc) top rows: group a values 0..6,0,1,2
+    # -> top: v6(id6), v5(id5), v4(id4), v3(id3)
+    assert by_g["a"] == [3, 4, 5, 6]
+
+
+def test_quantile_gate_approx_tracks_exact(spark):
+    """The scale path keeps approximately the requested fraction and its
+    kept set contains every row the exact gate keeps above the sketch
+    threshold — sanity envelope, not equality (it's approximate)."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        keep_top_fraction,
+        quantile_gate_approx,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
+    exact = {r.doc_id for r in keep_top_fraction(df, "v", ["g"], 0.3).collect()}
+    approx = {r.doc_id for r in quantile_gate_approx(df, "v", ["g"], 0.3).collect()}
+    assert 250 <= len(approx) <= 350  # within sketch tolerance of 300
+    # high-value core agrees
+    assert {i for i in range(720, 1000)} <= approx
+    assert len(exact) == 300
