@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "near_dup_keep_best_docs",
     "normalize_docs",
     "quality_gate_docs",
+    "ann_pq_topk",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -524,7 +524,10 @@ def _similarity_recall_profile(spark, sf):
     bucketing/banding path that craters recall to ~0 flips the bit and
     reddens the row). The three top-k collects are k=10 rows each —
     bounded driver traffic by construction."""
-    from spark_streaming_sql_s3_connector_spark.operators.similarity import ivf_topk
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_topk,
+        pq_topk,
+    )
 
     emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
     q = _query_vector(spark, sf)
@@ -538,12 +541,22 @@ def _similarity_recall_profile(spark, sf):
         r.neighbor_id
         for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=6).collect()
     }
+    # r6: PQ-ADC joins the recall gate (m=16 subspaces of the d=64
+    # embeddings; measured 8-9/10 at sf0.001-0.01, floor set at 5)
+    pq_ids = {
+        r.neighbor_id
+        for r in pq_topk(
+            emb, "embedding", "vec_id", q, k=10, m_subspaces=16, n_centroids=256
+        ).collect()
+    }
     lsh_ok = len(lsh_ids & brute_ids) >= 3
     ivf_ok = len(ivf_ids & brute_ids) >= 5
+    pq_ok = len(pq_ids & brute_ids) >= 5
     return brute.select(
         "neighbor_id",
         F.lit(bool(lsh_ok)).alias("lsh_recall_ge_30"),
         F.lit(bool(ivf_ok)).alias("ivf_recall_ge_50"),
+        F.lit(bool(pq_ok)).alias("pq_recall_ge_50"),
     ).orderBy("neighbor_id")
 
 
@@ -552,7 +565,8 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT * FROM (
   SELECT b.vec_id AS neighbor_id,
          TRUE AS lsh_recall_ge_30,
-         TRUE AS ivf_recall_ge_50
+         TRUE AS ivf_recall_ge_50,
+         TRUE AS pq_recall_ge_50
   FROM embeddings b, q
   WHERE b.vec_id != 0
   ORDER BY list_dot_product(b.embedding::DOUBLE[], q.qv)
@@ -1765,6 +1779,23 @@ ORDER BY doc_id
 """
 
 
+def _ann_pq_topk(spark, sf):
+    """PQ-ADC approximate top-k (operators/similarity.pq_train/encode/
+    pq_topk): the compressed-scan ANN path — 8 B of codes per vector
+    instead of 256 B of floats, table lookups instead of dot products."""
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    q = _query_vector(spark, sf)
+    return (
+        pq_topk(
+            emb, "embedding", "vec_id", q, k=10, m_subspaces=16, n_centroids=256
+        )
+        .select("neighbor_id", F.round("adc_score", 6).alias("adc_score"))
+        .orderBy("neighbor_id")
+    )
+
+
 _UNI_SALT = " Café №{} ĆañÓn ﬁle ＡＢＣ İstanbul ΣΟΦΟΣ naïve é́"
 
 
@@ -2703,4 +2734,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # rank-based so no interpolated-quantile float boundary can flip
     # rows cross-engine)
     "quality_gate_docs": QuerySpec(_quality_gate_docs, _QUALITY_GATE_SQL),
+    # r6: PQ-ADC top-k (rows-only: seeded-deterministic but not
+    # SQL-expressible; the recall floor is driver-checked in-window
+    # inside similarity_recall_profile)
+    "ann_pq_topk": QuerySpec(_ann_pq_topk, None),
 }

@@ -383,3 +383,55 @@ def test_near_dup_keep_best(spark):
     assert set(kept) == {2, 7}          # 2 wins its cluster; 7 is singleton
     assert kept[2] == 1                 # component labeled by min member id
     assert kept[7] == 7                 # singleton self-cluster
+
+
+def test_pq_encode_and_topk_recall(spark):
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(13)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train(df, "embedding", m_subspaces=4, n_centroids=32, seed=3)
+    assert len(books) == 4 and all(len(b[0]) == 4 for b in books)
+    # training is seeded-deterministic
+    books2 = pq_train(df, "embedding", m_subspaces=4, n_centroids=32, seed=3)
+    assert books == books2
+    enc = pq_encode(df, "embedding", books)
+    codes = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 32 for x in c) for c in codes.values())
+    q = rows[9][1]
+    exact = [
+        r.neighbor_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+    ]
+    approx = [
+        r.neighbor_id
+        for r in pq_topk(df, "embedding", "vec_id", q, k=5, codebooks=books).collect()
+    ]
+    assert 9 in approx  # the query's own row quantizes to the max-ADC code
+    assert len(set(exact) & set(approx)) / 5 >= 0.4
+    # pre-encoded scan path (no vector column touched) agrees with
+    # the encode-on-the-fly path
+    pre = [
+        r.neighbor_id
+        for r in pq_topk(
+            enc, "embedding", "vec_id", q, k=5, codebooks=books, code_col="pq_code"
+        ).collect()
+    ]
+    assert pre == approx
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    import pytest as _pytest
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, "embedding", m_subspaces=2)
