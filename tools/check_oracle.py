@@ -20,15 +20,18 @@ import __spark_entry__ as entrymod
 
 
 def norm(v):
+    # every value normalizes to a (tag, payload) tuple so mixed
+    # None/str/bool/number columns SORT without TypeError (raw None or
+    # str beside a tuple raises in sorted()); equality is unchanged
     if v is None:
-        return None
+        return ("_null",)
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "nan")
+            return ("fnan",)  # own tag: ("f", "nan") vs ("f", 0.5) raises
         return ("f", round(v, 9))
     if hasattr(v, "isoformat"):
         iso = v.isoformat().replace("+00:00", "")
@@ -37,7 +40,11 @@ def norm(v):
         if iso.endswith("T00:00:00"):
             iso = iso[:-9]
         return ("t", iso)
-    return v
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm(x) for x in v))
+    return ("o", repr(v))
 
 
 def compare(name, spark_df, con) -> tuple[bool, str]:
