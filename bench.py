@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "normalize_docs",
     "quality_gate_docs",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -590,3 +590,44 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    centroids: Optional[list[list[float]]] = None,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    pq_centroids: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape (the faiss IVFPQ recipe) —
+    coarse-quantize to prune ~(1 − n_probe/n_centroids) of the corpus at
+    the partition/file level, then rank ONLY the probed buckets by the
+    compressed PQ-ADC scan. With assignments and codes persisted
+    (``ivf_assign`` + ``pq_encode``, write partitioned by bucket), a
+    query touches n_probe file groups and reads 8-16 B per candidate
+    vector — the scan shape that serves top-k out of 10^10 vectors."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+    if codebooks is None:
+        codebooks = pq_train(
+            df, vec_col, m_subspaces=m_subspaces, n_centroids=pq_centroids, seed=seed
+        )
+    q = [float(x) for x in query_vec]
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for _, i in sorted(dists)[:n_probe]]
+    assigned = ivf_assign(df, vec_col, centroids).where(
+        F.col("ivf_bucket").isin(probes)
+    )
+    return pq_topk(
+        assigned, vec_col, id_col, q, k=k, codebooks=codebooks
+    )

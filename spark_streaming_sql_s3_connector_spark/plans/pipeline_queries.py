@@ -1796,6 +1796,25 @@ def _ann_pq_topk(spark, sf):
     )
 
 
+def _ann_ivf_pq_topk(spark, sf):
+    """IVF-PQ (operators/similarity.ivf_pq_topk): coarse bucket pruning
+    + compressed ADC scan — the production 10^10-vector serving shape."""
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    q = _query_vector(spark, sf)
+    return (
+        ivf_pq_topk(
+            emb, "embedding", "vec_id", q, k=10,
+            n_centroids=16, n_probe=6, m_subspaces=16, pq_centroids=256,
+        )
+        .select("neighbor_id", F.round("adc_score", 6).alias("adc_score"))
+        .orderBy("neighbor_id")
+    )
+
+
 _UNI_SALT = " Café №{} ĆañÓn ﬁle ＡＢＣ İstanbul ΣΟΦΟΣ naïve é́"
 
 
@@ -2738,4 +2757,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # SQL-expressible; the recall floor is driver-checked in-window
     # inside similarity_recall_profile)
     "ann_pq_topk": QuerySpec(_ann_pq_topk, None),
+    "ann_ivf_pq_topk": QuerySpec(_ann_ivf_pq_topk, None),
 }

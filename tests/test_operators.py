@@ -435,3 +435,29 @@ def test_pq_dim_not_divisible_raises(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "embedding", m_subspaces=2)
+
+
+def test_ivf_pq_topk_recall(spark):
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = random.Random(17)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[21][1]
+    exact = [
+        r.neighbor_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+    ]
+    approx = [
+        r.neighbor_id
+        for r in ivf_pq_topk(
+            df, "embedding", "vec_id", q, k=5,
+            n_centroids=8, n_probe=5, m_subspaces=4, pq_centroids=32,
+        ).collect()
+    ]
+    assert 21 in approx
+    assert len(set(exact) & set(approx)) / 5 >= 0.4
