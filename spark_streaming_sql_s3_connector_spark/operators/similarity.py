@@ -448,7 +448,10 @@ def pq_train(
     import numpy as np
 
     sample = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    n_parts = max(1, sample.rdd.getNumPartitions())
+    # defaultParallelism, not sample.rdd.getNumPartitions(): the
+    # DataFrame→RDD conversion runs an analysis job (~0.5 s) just to
+    # size the quota, and an estimate is all the quota needs
+    n_parts = max(1, sample.sparkSession.sparkContext.defaultParallelism)
     quota = max(256, _math.ceil(2 * sample_rows / n_parts))
 
     def head_quota(batches):
@@ -460,8 +463,10 @@ def pq_train(
             taken += len(pdf)
             yield pdf
 
-    collected = sample.mapInPandas(head_quota, schema=sample.schema).collect()
-    X = np.array([r._v for r in collected], dtype=np.float64)
+    # toPandas = Arrow batch transfer; .collect()'s Row objects cost
+    # seconds of per-row conversion at 10^5 vectors
+    pdf = sample.mapInPandas(head_quota, schema=sample.schema).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     rng = np.random.RandomState(seed)
     if len(X) > sample_rows:
         X = X[rng.choice(len(X), sample_rows, replace=False)]
@@ -475,19 +480,37 @@ def pq_train(
     for m in range(m_subspaces):
         Xs = X[:, m * dsub : (m + 1) * dsub]
         centers = [Xs[rng.randint(len(Xs))]]
+        # incremental min-distance kmeans++ (O(k·n·d) — recomputing every
+        # center's distances per step is O(k²·n·d), minutes at k=256)
+        # with a cumsum+searchsorted draw per step instead of
+        # rng.choice's per-call validation overhead
+        d2 = ((Xs - centers[0]) ** 2).sum(axis=1)
         for _ in range(1, k):
-            d2 = np.min([((Xs - c) ** 2).sum(axis=1) for c in centers], axis=0)
-            probs = d2 / d2.sum() if d2.sum() > 0 else None
-            centers.append(Xs[rng.choice(len(Xs), p=probs)])
+            tot = d2.sum()
+            if tot > 0:
+                idx = int(np.searchsorted(np.cumsum(d2), rng.random_sample() * tot))
+                idx = min(idx, len(Xs) - 1)
+            else:
+                idx = rng.randint(len(Xs))
+            nxt = Xs[idx]
+            centers.append(nxt)
+            d2 = np.minimum(d2, ((Xs - nxt) ** 2).sum(axis=1))
         C = np.array(centers)
         for _ in range(max_iter):
             assign = (Xs @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
-            newC = np.array(
+            # scatter means via bincount — per-centroid boolean masks are
+            # k passes over the sample per iteration, the training hotspot
+            counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+            sums = np.stack(
                 [
-                    Xs[assign == j].mean(axis=0) if (assign == j).any() else C[j]
-                    for j in range(len(C))
-                ]
+                    np.bincount(assign, weights=Xs[:, j], minlength=len(C))
+                    for j in range(Xs.shape[1])
+                ],
+                axis=1,
             )
+            newC = C.copy()
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz, None]
             if np.allclose(newC, C):
                 break
             C = newC
