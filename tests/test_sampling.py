@@ -157,3 +157,31 @@ def test_quantile_gate_approx_tracks_exact(spark):
     # high-value core agrees
     assert {i for i in range(720, 1000)} <= approx
     assert len(exact) == 300
+
+
+def test_keep_top_fraction_randomized_vs_reference(spark):
+    """Seeded randomized inputs vs a python reference: ceil(n*frac)
+    rows per group, chosen by (value desc, id asc), ties included by
+    id order."""
+    import math
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        keep_top_fraction,
+    )
+
+    for seed, frac in ((5, 0.25), (6, 0.5), (7, 0.9)):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.choice("xyz"), float(rng.randint(0, 5)))  # many ties
+            for i in range(40)
+        ]
+        want = set()
+        for g in "xyz":
+            members = sorted(
+                (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+            )
+            want |= {r[0] for r in members[: math.ceil(len(members) * frac)]}
+        df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
+        got = {r.doc_id for r in keep_top_fraction(df, "v", ["g"], frac).collect()}
+        assert got == want, (seed, frac)

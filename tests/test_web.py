@@ -238,3 +238,41 @@ def test_normalize_text_cross_engine_parity(spark):
     for i, t in rows:
         want = con.execute(f"SELECT {expr} FROM (SELECT ?::VARCHAR AS t)", [t]).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_dedup_lines_keep_first_randomized_vs_reference(spark):
+    """Seeded randomized corpora vs a pure-python reference: global
+    keep-first over (doc_id, pos) order, blanks dropped, trims applied —
+    the full operator contract on inputs the examples don't cover
+    (heavy cross-doc repetition, whitespace-only lines, dup-in-same-doc
+    tails)."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"line{j}" for j in range(8)] + ["  ", "", " padded "]
+        rows = [
+            (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+            for i in range(25)
+        ]
+        # python reference
+        seen, want = set(), {}
+        for i, text in sorted(rows):
+            kept = []
+            for line in text.split("\n"):
+                t = line.strip()
+                if not t or t in seen:
+                    continue
+                seen.add(t)
+                kept.append(t)
+            want[i] = ("\n".join(kept), len(kept))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.deduped_text, r.n_kept_lines)
+            for r in dedup_lines_keep_first(df, "text", "doc_id").collect()
+        }
+        assert got == want, f"seed {seed}"
