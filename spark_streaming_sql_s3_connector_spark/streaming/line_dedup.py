@@ -226,3 +226,15 @@ def streaming_line_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str, upto_batch=None):
+    """Fold the line-key deltas into a versioned base. The index layout
+    is exactly exact_dedup's (same (_id, key, _shard) schema, same
+    ``_new``/``base``/pointer discipline), so its compactor — including
+    the ``upto_batch`` replay guard — applies verbatim."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        compact_index as _compact,
+    )
+
+    return _compact(spark, index_dir, upto_batch=upto_batch)

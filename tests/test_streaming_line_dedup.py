@@ -100,3 +100,31 @@ def test_bloom_is_acceleration_only(spark, tmp_path):
         (r.doc_id, r.deduped_text) for r in read_deduped_docs(spark, idx_b).collect()
     )
     assert a == b
+
+
+def test_compaction_preserves_and_continues(spark, tmp_path):
+    from spark_streaming_sql_s3_connector_spark.streaming.line_dedup import (
+        compact_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    process_batch(batches[0], 0, idx, expected_total_items=1000)
+    process_batch(batches[1], 1, idx, expected_total_items=1000)
+    assert compact_index(spark, idx) == 1
+    # dedup continues against the compacted base: batch 2 is fully
+    # historical and must come back empty
+    process_batch(batches[2], 2, idx, expected_total_items=1000)
+    got = {
+        r.doc_id: (r.deduped_text, r.n_kept_lines)
+        for r in read_deduped_docs(spark, idx).collect()
+    }
+    want = {
+        r.doc_id: (r.deduped_text, r.n_kept_lines)
+        for r in dedup_lines_keep_first(
+            _union(batches), "text", "doc_id"
+        ).collect()
+    }
+    assert got == want
+    assert compact_index(spark, idx) == 2
+    assert compact_index(spark, idx) is None
