@@ -118,7 +118,10 @@ def dedup_lines_keep_first(
     a map-side partial aggregate, so a line repeated 10⁸ times costs one
     row per map task in the line-keyed shuffle, never a window over a
     skewed partition. One line-keyed shuffle (+ join back) and one
-    doc-keyed rebuild.
+    doc-keyed rebuild. Honest caveat: the join BACK is also line-keyed,
+    so a mega-hot line's copies do land in one shuffle partition there
+    (1:1 fan-out, no blow-up); that is the standard AQE skew-join split
+    case, not a pair explosion.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
