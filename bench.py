@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "quality_gate_docs",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "bpe_tokenize_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

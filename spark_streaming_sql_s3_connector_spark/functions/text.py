@@ -228,3 +228,122 @@ def normalize_text_duckdb_sql(expr: str) -> str:
     """The same chain as :func:`normalize_text` in DuckDB SQL — kept
     adjacent so the two stay in lockstep."""
     return f"strip_accents(replace(lower(nfc_normalize({expr})), 'ς', 'σ'))"
+
+
+# ---- BPE-ish subword tokenizer: train on a bounded sample, apply
+# distributed (the same train-small/apply-everywhere recipe as the IVF
+# and PQ quantizers) ----
+
+
+def bpe_train(
+    df,
+    text_col: str,
+    n_merges: int = 100,
+    sample_rows: int = 50_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` byte-pair merges from a BOUNDED single-scan
+    sample of the corpus (head-quota per partition, like
+    ``similarity.ivf_centroids``): whitespace pre-tokenize, count word
+    frequencies, then the classic greedy loop — merge the most frequent
+    adjacent symbol pair (count desc, pair lexicographic as the
+    deterministic tie-break). Training is driver-side over the word-
+    frequency DICT (O(n_merges × distinct words)), never the corpus;
+    ``bpe_tokenize`` applies the merges distributed.
+    """
+    import math as _math
+
+    from pyspark.sql import functions as FF
+
+    sample = df.select(FF.col(text_col).alias("_t")).where(FF.col("_t").isNotNull())
+    n_parts = max(1, sample.sparkSession.sparkContext.defaultParallelism)
+    quota = max(256, _math.ceil(2 * sample_rows / n_parts))
+
+    def head_quota(batches):
+        taken = 0
+        for pdf_ in batches:
+            if taken + len(pdf_) >= quota:
+                yield pdf_.iloc[: quota - taken]
+                break
+            taken += len(pdf_)
+            yield pdf_
+
+    pdf_s = sample.mapInPandas(head_quota, schema=sample.schema).toPandas()
+    texts = pdf_s["_t"].iloc[:sample_rows]
+    freqs: dict[tuple, int] = {}
+    for t in texts:
+        if lowercase:
+            t = t.lower()
+        for w in t.split():
+            key = tuple(w)
+            freqs[key] = freqs.get(key, 0) + 1
+    return _bpe_learn(freqs, n_merges)
+
+
+def _bpe_learn(freqs: dict, n_merges: int) -> list[tuple[str, str]]:
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for w, f in freqs.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        freqs = {_bpe_merge_word(w, best): f for w, f in freqs.items()}
+    return merges
+
+
+def _bpe_merge_word(w: tuple, pair: tuple) -> tuple:
+    out = []
+    i = 0
+    while i < len(w):
+        if i + 1 < len(w) and (w[i], w[i + 1]) == pair:
+            out.append(w[i] + w[i + 1])
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_encode_word(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the learned merges in training order to one word."""
+    sym = tuple(w)
+    for pair in merges:
+        if len(sym) < 2:
+            break
+        sym = _bpe_merge_word(sym, pair)
+    return list(sym)
+
+
+def bpe_tokenize(col: Column, merges: list[tuple[str, str]], lowercase: bool = True) -> Column:
+    """Distributed BPE application: array<string> of subword tokens.
+    Arrow-batched pandas UDF with a per-batch word cache (natural-text
+    batches repeat most words, so the merge loop runs once per DISTINCT
+    word per batch). The merges list broadcasts with the serialized UDF
+    — a few KB."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return None
+            if lowercase:
+                t = t.lower()
+            out = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = bpe_encode_word(w, merges)
+                    cache[w] = got
+                out.extend(got)
+            return out
+
+        return s.map(enc)
+
+    return _tok(col)

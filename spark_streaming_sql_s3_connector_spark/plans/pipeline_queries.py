@@ -1815,6 +1815,26 @@ def _ann_ivf_pq_topk(spark, sf):
     )
 
 
+def _bpe_tokenize_docs(spark, sf):
+    """Train 50 BPE merges on documents (bounded sample, driver-side
+    greedy loop) and tokenize the corpus distributed; per-doc subword
+    counts alongside whitespace word counts show the compression."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        bpe_tokenize,
+        bpe_train,
+        token_count,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, "text", n_merges=50)
+    toks = bpe_tokenize(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.size(toks), F.lit(-1)).cast("bigint").alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id")
+
+
 _UNI_SALT = " Café №{} ĆañÓn ﬁle ＡＢＣ İstanbul ΣΟΦΟΣ naïve é́"
 
 
@@ -2758,4 +2778,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # inside similarity_recall_profile)
     "ann_pq_topk": QuerySpec(_ann_pq_topk, None),
     "ann_ivf_pq_topk": QuerySpec(_ann_ivf_pq_topk, None),
+    # r6: BPE-ish tokenizer — train on a bounded sample driver-side,
+    # apply distributed. Deterministic given the corpus but the greedy
+    # merge loop is not SQL-expressible → rows-only (apply/reconstruction
+    # laws + python-reference equality in pytest).
+    "bpe_tokenize_docs": QuerySpec(_bpe_tokenize_docs, None),
 }

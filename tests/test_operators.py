@@ -461,3 +461,43 @@ def test_ivf_pq_topk_recall(spark):
     ]
     assert 21 in approx
     assert len(set(exact) & set(approx)) / 5 >= 0.4
+
+
+def test_bpe_train_and_tokenize(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        bpe_encode_word,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    rows = [
+        (0, "low low low lower newest newest newest widest"),
+        (1, "the newest widest lowest"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = bpe_train(df, "text", n_merges=6)
+    assert merges == bpe_train(df, "text", n_merges=6)  # deterministic
+    got = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", bpe_tokenize(F.col("text"), merges).alias("toks")
+        ).collect()
+    }
+    # distributed apply == per-word reference
+    for i, t in rows:
+        if t is None:
+            assert got[i] is None
+            continue
+        want = []
+        for w in t.lower().split():
+            want.extend(bpe_encode_word(w, merges))
+        assert got[i] == want, i
+    # reconstruction law: concatenating a word's subwords gives the word
+    for w in ["newest", "lowest", "unseen", "xyzzy"]:
+        assert "".join(bpe_encode_word(w, merges)) == w
+    # merges actually compress frequent words
+    assert len(bpe_encode_word("newest", merges)) < len("newest")
