@@ -186,8 +186,13 @@ def normalize_text(col: Column) -> Column:
     """Unicode text normalization for corpus hygiene: NFC → lowercase →
     final-sigma fold (``ς`` → ``σ``) → accent strip (NFD, drop Mn marks).
     The canonical pre-dedup normalizer: visually-identical strings with
-    different codepoint sequences (composed vs decomposed accents,
-    fullwidth forms, case, Greek final sigma) collapse to one key.
+    different codepoint sequences (composed vs decomposed accents, case,
+    Greek final sigma) collapse to one key. Compatibility folding is
+    deliberately OUT of scope: the chain is NFC (canonical), so
+    fullwidth forms like ``Ａ`` survive as fullwidth ``ａ`` — NFKC would
+    fold them but DuckDB has no ``nfkc_normalize``, and cross-engine
+    oracle parity wins over wider folding (pinned by a fullwidth
+    preservation case in the parity test).
 
     Implementation note — why Python appears here: Spark has NO built-in
     UAX#15 normalization expression (`lower`/`translate` cannot express

@@ -279,7 +279,8 @@ ORDER BY component
 def _near_dup_keep_best_docs(spark, sf):
     """Near-dup curation end to end: cluster the exact-Jaccard near-dup
     graph and keep ONE best doc per cluster (longest text, id tie-break);
-    singletons pass through with a NULL component. The per-cluster argmax
+    singletons pass through with component = their own doc_id (both the
+    operator and the DuckDB oracle agree). The per-cluster argmax
     is min(struct(-score, id)) — partial-agg, skew-safe (see
     operators/dedup.near_dup_keep_best)."""
     from spark_streaming_sql_s3_connector_spark.operators.dedup import (

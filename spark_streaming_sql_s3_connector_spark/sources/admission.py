@@ -21,6 +21,7 @@ All of this is driver-side and O(in-flight files); the data plane
 from __future__ import annotations
 
 import threading
+import uuid
 from typing import Optional
 
 from spark_streaming_sql_s3_connector_spark.models import FileEntry, FileMetadata, QueueMessageDesc
@@ -88,6 +89,18 @@ class AdmissionController:
         if options.reprocess_state != ReprocessState.NO_REPROCESS:
             self._handle_reprocessing(options.reprocess_start_batch_id, options.reprocess_end_batch_id)
 
+    @property
+    def meta_fs(self):
+        """The LogFileSystem the metadata plane lives on — public so
+        collaborators (orchestrator's processed-offset doc) share one
+        scheme-dispatched filesystem instead of reaching into internals."""
+        return self._meta_fs
+
+    @property
+    def meta_root(self) -> str:
+        """Root path of the metadata plane on :attr:`meta_fs`."""
+        return self._meta_root
+
     # ---------- consumer (queue → cache) ----------
 
     def consumer(self, msg: FileMetadata) -> bool:
@@ -137,9 +150,12 @@ class AdmissionController:
             )
         if self.options.reprocess_state == ReprocessState.IN_ACTION:
             lock_path = self._meta_fs.join(self._meta_root, REPROCESS_LOCK_FILE)
-            # exclusive create through the same FS layer as the log (POSIX
-            # O_EXCL / object-store check-then-put under the driver lock)
-            if not self._meta_fs.write_atomic(lock_path, "", overwrite=False):
+            # lease-token exclusive create: POSIX gets true O_EXCL; object
+            # stores write a unique token and validate-after-read, so two
+            # drivers racing on the same metadataPath resolve to one winner
+            # (the one place the single-writer contract doesn't already hold)
+            token = uuid.uuid4().hex
+            if not self._meta_fs.acquire_lease(lock_path, token):
                 raise ReprocessLockExistsError(
                     f"{lock_path} already exists. Remove it and rerun the reprocessing."
                 )

@@ -51,21 +51,44 @@ def _fs_from_uri(path: str):
     return FileSystem.from_uri(path)
 
 
+# FileSystem client cache, keyed by "scheme://authority". Planning passes
+# call resolve_read_path once per FILE; without this, every object-store
+# file costs a fresh S3 client construction (O(files) client setups per
+# micro-batch plan). Entries pin the _fs_from_uri seam they were built
+# with so a test monkeypatching the seam never sees a stale filesystem.
+_FS_CACHE: dict = {}
+
+
 def resolve_read_path(path: str):
     """Dispatch a path to its filesystem: returns ``(fs, resolved)``
     where ``fs`` is None for local paths (readers take the bare path —
     the mmap-capable fast path) or a ``pyarrow.fs.FileSystem`` for
     object-store URIs (``s3://…``, ``hdfs://…``, …). The data-plane
     analog of the reference reading S3 objects through Hadoop FS
-    (S3ConnectorSource.scala:170-181)."""
+    (S3ConnectorSource.scala:170-181). Filesystems are memoized per
+    ``scheme://authority`` so a many-file listing builds ONE client."""
     if path.startswith("file://"):
         return None, path[len("file://"):]
     if "://" in path:
         from pyarrow.fs import LocalFileSystem
 
+        scheme, rest = path.split("://", 1)
+        authority, _, tail = rest.partition("/")
+        prefix = scheme + "://" + authority
+        cached = _FS_CACHE.get(prefix)
+        if cached is not None and cached[0] is _fs_from_uri:
+            _, fs, base = cached
+            return fs, (base + "/" + tail) if tail else base
         fs, p = _fs_from_uri(path)
         if isinstance(fs, LocalFileSystem):
-            return None, p
+            fs = None
+        # Resolved paths end with the URI's path component for every
+        # pyarrow FS (s3://b/k → "b/k", hdfs://h/k → "/k"), so the
+        # prefix's resolved base is derivable — cache (seam, fs, base);
+        # a mapping that doesn't fit this shape just stays uncached.
+        suffix = "/" + tail if tail else ""
+        if suffix and p.endswith(suffix):
+            _FS_CACHE[prefix] = (_fs_from_uri, fs, p[: len(p) - len(suffix)])
         return fs, p
     return None, path
 

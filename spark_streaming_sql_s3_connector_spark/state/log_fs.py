@@ -60,6 +60,14 @@ class LogFileSystem(Protocol):
         """Remove a file; missing is not an error."""
         ...
 
+    def acquire_lease(self, path: str, token: str) -> bool:
+        """Exclusive-create ``path`` holding ``token`` and return whether
+        THIS caller won. Unlike ``write_atomic(overwrite=False)``, losing
+        a race is detected even on rename-less object stores: the token
+        is read back after the put and the caller wins only if its own
+        token survived (validate-after-write lease)."""
+        ...
+
 
 class PosixLogFileSystem:
     """Local-POSIX implementation — the original log semantics."""
@@ -115,6 +123,10 @@ class PosixLogFileSystem:
         except FileNotFoundError:
             pass
 
+    def acquire_lease(self, path: str, token: str) -> bool:
+        # os.link-based exclusive create is already a true CAS on POSIX.
+        return self.write_atomic(path, token, overwrite=False)
+
 
 class ArrowLogFileSystem:
     """Any ``pyarrow.fs.FileSystem`` — S3/GCS/HDFS/mock.
@@ -141,22 +153,24 @@ class ArrowLogFileSystem:
     def listdir(self, path: str) -> list[str]:
         from pyarrow.fs import FileSelector
 
+        # Only a genuine not-found means "no entries". Transient store
+        # errors (throttle/5xx surface as generic OSError from pyarrow)
+        # MUST propagate: during _recover an empty listing would silently
+        # restart admission state from scratch and re-admit seen files.
         try:
             infos = self._fs.get_file_info(
                 FileSelector(path, allow_not_found=True, recursive=False)
             )
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             return []
         return [i.base_name for i in infos]
 
     def read_text(self, path: str) -> str:
-        try:
-            with self._fs.open_input_stream(path) as f:
-                return f.read().decode("utf-8")
-        except OSError as e:
-            if isinstance(e, FileNotFoundError):
-                raise
-            raise FileNotFoundError(path) from e
+        # pyarrow raises FileNotFoundError for missing objects; any other
+        # OSError is a real I/O failure and must fail loudly rather than
+        # masquerade as missing state (see listdir note).
+        with self._fs.open_input_stream(path) as f:
+            return f.read().decode("utf-8")
 
     def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
         if not overwrite and self.exists(path):
@@ -165,10 +179,30 @@ class ArrowLogFileSystem:
             f.write(data.encode("utf-8"))
         return True
 
+    def acquire_lease(self, path: str, token: str) -> bool:
+        """Check-then-put hardened with validate-after-write: two racing
+        writers both pass the exists check, both PUT their unique token,
+        then each reads the object back — last-writer-wins on the store
+        means at most the final writer sees its own token, so at most one
+        caller proceeds. (A writer whose read lands before the rival's
+        PUT can still false-win — the residual window of a store without
+        conditional PUTs — but it is the read-back RTT, not the whole
+        check..put span as before.)"""
+        if self.exists(path):
+            return False
+        with self._fs.open_output_stream(path) as f:
+            f.write(token.encode("utf-8"))
+        try:
+            return self.read_text(path) == token
+        except FileNotFoundError:
+            return False
+
     def delete(self, path: str) -> None:
+        # Swallow only not-found; a failed delete on a live object must
+        # surface (a silently-undeleted lock/batch doc breaks replay).
         try:
             self._fs.delete_file(path)
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             pass
 
 

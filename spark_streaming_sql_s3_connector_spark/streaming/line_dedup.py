@@ -231,10 +231,26 @@ def streaming_line_dedup(
 def compact_index(spark: SparkSession, index_dir: str, upto_batch=None):
     """Fold the line-key deltas into a versioned base. The index layout
     is exactly exact_dedup's (same (_id, key, _shard) schema, same
-    ``_new``/``base``/pointer discipline), so its compactor — including
-    the ``upto_batch`` replay guard — applies verbatim."""
+    ``_new``/``base``/pointer discipline), so its compactor applies
+    verbatim — but the replay-guard stakes are HIGHER here than there:
+    for exact_dedup, folding a not-yet-committed batch only skews
+    dup-verdict labels; for line dedup, replaying batch N after its
+    delta was folded makes N see its own keys as history and rewrite
+    ``_docs/batch=N`` with every line dropped (empty ``deduped_text``)
+    — corrupted doc OUTPUT, not just labels.
+
+    Because Structured Streaming replays at most the LAST (uncommitted)
+    batch, ``upto_batch=None`` derives the always-safe default: fold
+    only deltas STRICTLY below the newest delta id. After a clean stop
+    (no replay possible) pass ``upto_batch=<newest id> + 1`` to fold
+    everything."""
     from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _delta_ids,
         compact_index as _compact,
     )
 
+    if upto_batch is None:
+        ids = _delta_ids(index_dir)
+        if ids:
+            upto_batch = max(ids)
     return _compact(spark, index_dir, upto_batch=upto_batch)

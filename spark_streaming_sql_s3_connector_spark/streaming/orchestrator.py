@@ -47,9 +47,9 @@ class MicroBatchOrchestrator:
         self.controller = AdmissionController(self.options, metadata_path, queue_client)
         # processed-offset marker goes through the same FS layer as the
         # metadata log, so the orchestrator checkpoint is DFS-capable too
-        self._meta_fs = self.controller._meta_fs
+        self._meta_fs = self.controller.meta_fs
         self._processed_path = self._meta_fs.join(
-            self.controller._meta_root, "processed-offset.json"
+            self.controller.meta_root, "processed-offset.json"
         )
         self._last_processed = self._read_processed()
 

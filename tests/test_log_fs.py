@@ -90,6 +90,80 @@ def test_read_missing_raises_delete_missing_ok(fsroot):
     fs.delete(fs.join(root, "ghost.json"))  # no raise
 
 
+def test_acquire_lease_sequential(fsroot):
+    fs, root = fsroot
+    fs.mkdirs(root)
+    p = fs.join(root, "reprocess.lock")
+    assert fs.acquire_lease(p, "tok-a")
+    assert fs.acquire_lease(p, "tok-b") is False
+    assert fs.read_text(p) == "tok-a"
+
+
+def test_acquire_lease_race_exactly_one_winner():
+    """Two lockers interleaved so BOTH pass the exists check and BOTH
+    complete their PUT before either validates — the precise window
+    where check-then-put hands out two locks. The lease token read-back
+    must resolve it to exactly one winner."""
+    import threading
+
+    both_checked = threading.Barrier(2)
+    both_put = threading.Barrier(2)
+
+    class RacingFS(ArrowLogFileSystem):
+        def exists(self, path):
+            r = super().exists(path)
+            both_checked.wait(timeout=10)  # stale check for both
+            return r
+
+        def read_text(self, path):
+            # reaching here means OUR put finished; barrier ⇒ both did
+            both_put.wait(timeout=10)
+            return super().read_text(path)
+
+    fs = RacingFS(_MockFileSystem())
+    fs.mkdirs("base")
+    lock = "base/reprocess.lock"
+    results = {}
+
+    def locker(name):
+        results[name] = fs.acquire_lease(lock, f"tok-{name}")
+
+    ts = [threading.Thread(target=locker, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert sorted(results.values()) == [False, True]
+
+
+class _ThrottlingFS:
+    """Object-store stand-in that is UP but erroring (throttle/5xx) —
+    the advisor's scenario where masking errors as missing state would
+    silently restart admission from scratch."""
+
+    def get_file_info(self, sel):
+        raise OSError("SlowDown: please reduce your request rate")
+
+    def open_input_stream(self, path):
+        raise OSError("503 service unavailable")
+
+    def delete_file(self, path):
+        raise OSError("503 service unavailable")
+
+
+def test_transient_store_errors_propagate():
+    fs = ArrowLogFileSystem(_ThrottlingFS())
+    with pytest.raises(OSError) as ei:
+        fs.listdir("base/seen-shards")
+    assert not isinstance(ei.value, FileNotFoundError)
+    with pytest.raises(OSError) as ei:
+        fs.read_text("base/batches/7.json")
+    assert not isinstance(ei.value, FileNotFoundError)
+    with pytest.raises(OSError) as ei:
+        fs.delete("base/reprocess.lock")
+    assert not isinstance(ei.value, FileNotFoundError)
+
+
 # ---------- scheme dispatch ----------
 
 

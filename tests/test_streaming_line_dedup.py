@@ -111,7 +111,9 @@ def test_compaction_preserves_and_continues(spark, tmp_path):
     batches = _mk_batches(spark)
     process_batch(batches[0], 0, idx, expected_total_items=1000)
     process_batch(batches[1], 1, idx, expected_total_items=1000)
-    assert compact_index(spark, idx) == 1
+    # default derives the safe guard: the newest delta (batch 1 — the
+    # only one a restart could replay) is NOT folded
+    assert compact_index(spark, idx) == 0
     # dedup continues against the compacted base: batch 2 is fully
     # historical and must come back empty
     process_batch(batches[2], 2, idx, expected_total_items=1000)
@@ -126,5 +128,6 @@ def test_compaction_preserves_and_continues(spark, tmp_path):
         ).collect()
     }
     assert got == want
-    assert compact_index(spark, idx) == 2
+    # explicit upto_batch after a clean stop folds everything
+    assert compact_index(spark, idx, upto_batch=3) == 2
     assert compact_index(spark, idx) is None

@@ -240,6 +240,30 @@ def test_normalize_text_cross_engine_parity(spark):
         assert got[i] == want, (i, t, got[i], want)
 
 
+def test_normalize_text_preserves_fullwidth(spark):
+    """Compatibility folding is documented OUT of scope (the chain is
+    NFC, canonical-only; DuckDB has no nfkc_normalize so oracle parity
+    wins): both engines must PRESERVE fullwidth forms, merely
+    lowercasing them. Pins the agreed behavior so a future NFKC switch
+    can't land without an engine-parity plan."""
+    import duckdb
+
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        normalize_text,
+        normalize_text_duckdb_sql,
+    )
+
+    df = spark.createDataFrame([(1, "ＡＢＣ１２３ x")], "id bigint, t string")
+    (got,) = df.select(normalize_text(F.col("t")).alias("n")).collect()
+    assert got.n == "ａｂｃ１２３ x"  # fullwidth survives, lowercased
+    con = duckdb.connect()
+    expr = normalize_text_duckdb_sql("t")
+    want = con.execute(
+        f"SELECT {expr} FROM (SELECT 'ＡＢＣ１２３ x'::VARCHAR AS t)"
+    ).fetchone()[0]
+    assert got.n == want
+
+
 def test_dedup_lines_keep_first_randomized_vs_reference(spark):
     """Seeded randomized corpora vs a pure-python reference: global
     keep-first over (doc_id, pos) order, blanks dropped, trims applied —
