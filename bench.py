@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "bpe_tokenize_docs",
+    # added in round 7: the persisted-index ANN serving shape (first rep
+    # builds the disk-cached index; the median therefore measures SERVE
+    # time — the number to compare against ann_ivf_pq_topk's
+    # train-per-call wall)
+    "ann_index_topk",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

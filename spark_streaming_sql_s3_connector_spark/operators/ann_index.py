@@ -1,0 +1,182 @@
+"""Persisted ANN index lifecycle: build once, serve many.
+
+`operators/similarity.py` provides the quantizer family (IVF coarse
+centroids, PQ codebooks, distributed assign/encode) and in-memory top-k
+paths; every one of those query shapes re-trains and RE-ENCODES the
+corpus per call, which is fine as a correctness gate but is not how
+10^10 vectors are served. This module is the serving shape those
+docstrings promise (similarity.py ivf_pq_topk):
+
+- :func:`build_ann_index` — one-time (or per-refresh) job: train the
+  coarse + PQ quantizers on a bounded sample, assign + encode the full
+  corpus distributed, and write ``(id, pq_code)`` parquet PARTITIONED BY
+  ``ivf_bucket`` under ``<index_dir>/corpus``, plus the quantizer
+  artifacts as JSON under ``<index_dir>/quantizers.json`` (tmp+rename).
+  Cost: one corpus scan. The float vectors are never needed again for
+  ranking.
+- :func:`ann_index_topk` — the per-query path: load the (tiny) quantizer
+  JSON, pick the ``n_probe`` buckets nearest the query ON THE DRIVER,
+  and scan ONLY those buckets' files (``ivf_bucket`` is a partition
+  column, so Spark prunes at the FILE level — a query touches
+  n_probe/n_centroids of the index, ~8-32 B per candidate) with the
+  broadcast ADC lookup table. No training, no encode, no vector reads.
+
+At 100 TB: the index build is a linear batch job you run once per corpus
+refresh; serving reads ``n_probe`` partition directories of compressed
+codes. With n_centroids=1024 and n_probe=8, a top-k over 10^10 vectors
+scans ~10^8 codes ≈ 1-2 GB spread over the cluster — interactive.
+
+Laws (tested): ``ann_index_topk`` equals the in-memory
+``similarity.ivf_pq_topk`` given the same artifacts; the scan's plan
+prunes to exactly the probed partitions; recall vs brute clears the same
+floor as the train-per-call paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+_META_NAME = "quantizers.json"
+_CORPUS_NAME = "corpus"
+_FORMAT_VERSION = 1
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META_NAME)
+
+
+def corpus_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _CORPUS_NAME)
+
+
+def index_exists(index_dir: str) -> bool:
+    """True iff a completed build is present (the meta JSON is written
+    LAST, after the corpus parquet commit, so its presence implies a
+    complete index)."""
+    return os.path.exists(_meta_path(index_dir))
+
+
+def load_index_meta(index_dir: str) -> dict:
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"ANN index at {index_dir} has format_version "
+            f"{meta.get('format_version')}, expected {_FORMAT_VERSION}"
+        )
+    return meta
+
+
+def build_ann_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    pq_centroids: int = 256,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+) -> dict:
+    """Build the persisted IVF-PQ index for ``df`` under ``index_dir``.
+
+    One corpus scan: quantizers train on a bounded single-scan sample
+    (the faiss recipe — see ivf_centroids/pq_train), then the full
+    corpus is assigned + encoded DISTRIBUTED and written as
+    ``(id, pq_code)`` parquet partitioned by ``ivf_bucket``. The meta
+    JSON (centroids + codebooks + column names) is written last via
+    tmp+rename, so a crashed build never looks complete. Returns the
+    meta dict."""
+    centroids = ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, seed=seed, sample_rows=sample_rows
+    )
+    codebooks = pq_train(
+        df,
+        vec_col,
+        m_subspaces=m_subspaces,
+        n_centroids=pq_centroids,
+        seed=seed,
+        sample_rows=sample_rows,
+    )
+    encoded = pq_encode(ivf_assign(df, vec_col, centroids), vec_col, codebooks)
+    (
+        encoded.select(
+            F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_bucket")
+        .parquet(corpus_path(index_dir))
+    )
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "n_centroids": len(centroids),
+        "m_subspaces": len(codebooks),
+        "pq_centroids": len(codebooks[0]),
+        "seed": seed,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_dir))
+    return meta
+
+
+def _probe_buckets(centroids: list[list[float]], query_vec: Sequence[float], n_probe: int) -> list[int]:
+    q = [float(x) for x in query_vec]
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dists)[:n_probe]]
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    meta: Optional[dict] = None,
+) -> DataFrame:
+    """Serve top-k from a persisted index: NO training, NO encoding, NO
+    vector reads. The driver picks the ``n_probe`` nearest coarse
+    buckets (n_centroids tiny dot products), and the scan reads only
+    those buckets' parquet files — ``ivf_bucket`` is a partition column,
+    so the ``isin`` filter is a PartitionFilter and pruning happens at
+    file granularity before any IO. Rows are ranked by the broadcast
+    ADC lookup table (same scoring as ``similarity.pq_topk``);
+    TakeOrderedAndProject merges per-partition top-k."""
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    probes = _probe_buckets(meta["centroids"], query_vec, n_probe)
+    corpus = spark.read.parquet(corpus_path(index_dir)).where(
+        F.col("ivf_bucket").isin(probes)
+    )
+    return pq_topk(
+        corpus,
+        vec_col="",  # unused: ranking is lookup-only over pre-encoded codes
+        id_col="id",
+        query_vec=query_vec,
+        k=k,
+        codebooks=meta["codebooks"],
+        code_col="pq_code",
+    )

@@ -11,6 +11,8 @@ against pure-Python reimplementations.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -1816,6 +1818,74 @@ def _ann_ivf_pq_topk(spark, sf):
     )
 
 
+def _ann_index_dir_for(sf: str) -> str:
+    """Deterministic on-disk cache location for the persisted ANN index
+    of one corpus: keyed by the embeddings source's identity (path +
+    size + mtime) and the index geometry, so a regenerated corpus or a
+    geometry change rebuilds instead of serving stale codes."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = os.path.abspath(src)
+    fp = hashlib.md5(f"{ident}:v1:c16-m16-k256".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_ann_index", fp)
+
+
+def _ann_index_topk_q(spark, sf):
+    """The SERVING shape (operators/ann_index.py): top-k from a
+    PERSISTED IVF-PQ index — no per-query training, no corpus
+    re-encode, no vector reads. The index builds once per corpus
+    (cached on disk, keyed by source identity) and every query after
+    that reads only the n_probe probed buckets' parquet files (file-
+    level partition pruning) and ADC-ranks 16 B codes. This is the
+    query shape that holds at 10^10 vectors, vs the labeled
+    train-per-call gate shapes ann_pq_topk / ann_ivf_pq_topk.
+
+    Rows-only key with a SELF-CHECKING recall floor (the
+    similarity_recall_profile pattern): the returned boolean column
+    compares the served top-10 against brute-force on the same corpus
+    and must stay True (floor 5/10, measured 8-9)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        index_exists,
+    )
+
+    index_dir = _ann_index_dir_for(sf)
+    if not index_exists(index_dir):
+        emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+        build_ann_index(
+            emb, "embedding", "vec_id", index_dir,
+            n_centroids=16, m_subspaces=16, pq_centroids=256, seed=42,
+        )
+    q = _query_vector(spark, sf)
+    served = ann_index_topk(spark, index_dir, q, k=10, n_probe=6)
+    served_rows = served.collect()  # k=10 — bounded driver traffic
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    brute_ids = {
+        r.neighbor_id
+        for r in brute_force_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    }
+    ok = len({r.neighbor_id for r in served_rows} & brute_ids) >= 5
+    return (
+        spark.createDataFrame(
+            [(int(r.neighbor_id), float(r.adc_score)) for r in served_rows],
+            "neighbor_id bigint, adc_score double",
+        )
+        .select(
+            "neighbor_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            F.lit(bool(ok)).alias("recall_ge_50"),
+        )
+        .orderBy("neighbor_id")
+    )
+
+
 def _bpe_tokenize_docs(spark, sf):
     """Train 50 BPE merges on documents (bounded sample, driver-side
     greedy loop) and tokenize the corpus distributed; per-doc subword
@@ -2784,4 +2854,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # merge loop is not SQL-expressible → rows-only (apply/reconstruction
     # laws + python-reference equality in pytest).
     "bpe_tokenize_docs": QuerySpec(_bpe_tokenize_docs, None),
+    # r7: the persisted-index SERVING shape — build once per corpus
+    # (disk-cached), serve top-k by file-pruned ADC scan; rows-only with
+    # a self-checking recall-floor column (brute comparison in-slot)
+    "ann_index_topk": QuerySpec(_ann_index_topk_q, None),
 }
