@@ -14,7 +14,16 @@ per-batch recipe:
    the (shard-pruned, still tiny) history index;
 4. append the new keys under ``_new/batch=<id>``, the duplicate verdicts
    under ``_dups/batch=<id>``;
-5. OR the batch's bits into the bitmap (atomic tmp+rename).
+5. OR the batch's bits into the touched shards' bitmaps (atomic
+   tmp+rename per shard).
+
+The bitmap is SHARDED (r7): one file per key shard
+(``_bloom/shard=<s>.bin``), each sized for expected/_N_SHARDS keys —
+so ``expected_total_items`` can honestly be 10⁹ without a multi-GB
+driver/broadcast object; a trigger loads and updates only the shards
+its candidates hash into. A pre-r7 monolithic ``bitmap.bin`` is still
+probed until the first update migrates it (one full-index scan →
+64 shard files, legacy deleted).
 
 **The bloom is pure acceleration, never a correctness input.** Every
 bloom-positive goes through the exact anti-join, and a missing/corrupt/
@@ -54,13 +63,13 @@ import shutil
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.operators.bloom import (
     BloomFilter,
     bloom_params,
-    build_bloom,
     might_contain_column,
 )
 from spark_streaming_sql_s3_connector_spark.operators.dedup import normalized_text
@@ -77,8 +86,14 @@ def _dups_dir(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, "_dups", f"batch={batch_id}")
 
 
-def _bitmap_path(index_dir: str) -> str:
+def _legacy_bitmap_path(index_dir: str) -> str:
+    """Pre-r7 monolithic bitmap — read-compatible; migrated to the
+    sharded layout on the first post-upgrade batch."""
     return os.path.join(index_dir, "_bloom", "bitmap.bin")
+
+
+def _shard_bitmap_path(index_dir: str, shard: int) -> str:
+    return os.path.join(index_dir, "_bloom", f"shard={shard}.bin")
 
 
 def _pointer_path(index_dir: str) -> str:
@@ -140,9 +155,22 @@ def _index_frames(
     return frames
 
 
-def _load_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
+def _shard_params(expected_total_items: int, fpp: float) -> tuple[int, int]:
+    """Per-shard bloom geometry: keys hash uniformly across _N_SHARDS,
+    so each shard's bitmap is sized for expected/_N_SHARDS keys. The
+    point of sharding: at 10⁹-10¹⁰ distinct keys the honest monolithic
+    bitmap is gigabytes — unbroadcastable exactly when acceleration
+    matters. Per-shard files mean the driver loads/updates ONLY the
+    shards a batch's candidates touch (steady-state triggers touch few)
+    and never materializes the whole key space's bits at once."""
+    import math as _math
+
+    return bloom_params(max(64, _math.ceil(expected_total_items / _N_SHARDS)), fpp)
+
+
+def _load_legacy_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
     try:
-        raw = open(_bitmap_path(index_dir), "rb").read()
+        raw = open(_legacy_bitmap_path(index_dir), "rb").read()
     except FileNotFoundError:
         return None
     if len(raw) != (m_bits + 7) // 8:
@@ -150,8 +178,36 @@ def _load_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
     return BloomFilter(m_bits, k, _BLOOM_SEED, np.frombuffer(raw, dtype=np.uint8))
 
 
-def _write_bitmap(index_dir: str, bits: np.ndarray) -> None:
-    path = _bitmap_path(index_dir)
+def _any_shard_bitmap(index_dir: str) -> bool:
+    root = os.path.join(index_dir, "_bloom")
+    try:
+        return any(e.startswith("shard=") for e in os.listdir(root))
+    except FileNotFoundError:
+        return False
+
+
+def _load_shard_blooms(
+    index_dir: str, sm_bits: int, sk: int, shards: list[int]
+) -> dict[int, BloomFilter]:
+    """Per-shard bitmaps for exactly the probed shards. A missing or
+    geometry-drifted file simply isn't in the dict — its rows probe as
+    maybe=True and take the exact join (correctness never depends on a
+    bitmap existing)."""
+    n_bytes = (sm_bits + 7) // 8
+    out: dict[int, BloomFilter] = {}
+    for s in shards:
+        try:
+            raw = open(_shard_bitmap_path(index_dir, s), "rb").read()
+        except FileNotFoundError:
+            continue
+        if len(raw) != n_bytes:
+            continue
+        out[s] = BloomFilter(sm_bits, sk, _BLOOM_SEED, np.frombuffer(raw, dtype=np.uint8))
+    return out
+
+
+def _write_shard_bitmap(index_dir: str, shard: int, bits: np.ndarray) -> None:
+    path = _shard_bitmap_path(index_dir, shard)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -159,40 +215,174 @@ def _write_bitmap(index_dir: str, bits: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
-def _update_bitmap(
+def _shard_bits(df: DataFrame, sm_bits: int, sk: int) -> dict[int, np.ndarray]:
+    """Per-shard bloom bitmaps of ``df``'s (key, _shard) rows in ONE
+    distributed pass: executors hash and set bits into per-shard partial
+    bitmaps, the driver ORs partials by shard. Driver memory is bounded
+    by shards-touched × per-shard bytes — never the full key space."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
+
+    hashed = df.where(F.col("key").isNotNull()).select(
+        *_hash_pair("key", _BLOOM_SEED), F.col("_shard")
+    )
+    n_bytes = (sm_bits + 7) // 8
+
+    def bitmapper(batches):
+        acc: dict[int, np.ndarray] = {}
+        mask = np.int64(sm_bits - 1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["_h1"].to_numpy(np.int64)
+            h2 = pdf["_h2"].to_numpy(np.int64)
+            sh = pdf["_shard"].to_numpy()
+            for s in np.unique(sh):
+                m = sh == s
+                bits = acc.setdefault(int(s), np.zeros(n_bytes, dtype=np.uint8))
+                a = h1[m] & mask
+                b = h2[m] & mask
+                for i in range(sk):
+                    idx = (a + np.int64(i) * b) & mask
+                    np.bitwise_or.at(
+                        bits,
+                        idx >> np.int64(3),
+                        (np.uint8(1) << (idx & np.int64(7)).astype(np.uint8)),
+                    )
+        for s, bits in acc.items():
+            yield pd.DataFrame({"_s": [s], "bits": [bits.tobytes()]})
+
+    out: dict[int, np.ndarray] = {}
+    for row in hashed.mapInPandas(bitmapper, "_s int, bits binary").collect():
+        arr = np.frombuffer(row.bits, dtype=np.uint8)
+        if row._s in out:
+            out[row._s] = out[row._s] | arr
+        else:
+            out[row._s] = arr.copy()
+    return out
+
+
+def _might_contain_sharded(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    blooms: dict[int, BloomFilter],
+    sm_bits: int,
+    sk: int,
+):
+    """Boolean Column probing each row against ITS shard's bitmap.
+    Rows of shards with no loaded bitmap are maybe=True (routed to the
+    exact join — the no-false-negative invariant never rests on a file
+    existing). NULL keys are False (a NULL is never a duplicate)."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
+
+    sc = df.sparkSession.sparkContext
+    packed = {s: b.bits for s, b in blooms.items()}
+    bc = sc.broadcast(packed)
+
+    @F.pandas_udf("boolean")
+    def _mc(h1s: pd.Series, h2s: pd.Series, shards: pd.Series) -> pd.Series:
+        bitmaps = bc.value
+        h1 = h1s.to_numpy(np.int64)
+        h2 = h2s.to_numpy(np.int64)
+        sh = shards.to_numpy()
+        out = np.ones(len(h1), dtype=bool)  # default: maybe
+        for s in np.unique(sh):
+            bits = bitmaps.get(int(s))
+            if bits is None:
+                continue
+            m = sh == s
+            probe = BloomFilter(sm_bits, sk, _BLOOM_SEED, bits)
+            out[m] = probe.might_contain_np(h1[m], h2[m])
+        return pd.Series(out)
+
+    h1, h2 = _hash_pair(key_col, _BLOOM_SEED)
+    return F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+        _mc(h1, h2, F.col(shard_col))
+    )
+
+
+def _batch_probe_column(
+    index_dir: str,
+    keyed: DataFrame,
+    sm_bits: int,
+    sk: int,
+    expected_total_items: int,
+    fpp: float,
+):
+    """The bloom-screen Column for one batch's candidate rows, or None
+    when no bitmap exists (all rows then take the exact join). Sharded
+    layout preferred — ONLY the shards this batch's keys hash into are
+    read/broadcast; a pre-r7 monolithic bitmap still probes until the
+    first update migrates it to shards."""
+    if _any_shard_bitmap(index_dir):
+        shard_list = [
+            r["_shard"] for r in keyed.select("_shard").distinct().collect()
+        ]
+        blooms = _load_shard_blooms(index_dir, sm_bits, sk, shard_list)
+        if not blooms:
+            return None
+        return _might_contain_sharded(keyed, "key", "_shard", blooms, sm_bits, sk)
+    legacy = _load_legacy_bitmap(index_dir, *bloom_params(expected_total_items, fpp))
+    if legacy is None:
+        return None
+    return might_contain_column(keyed, "key", legacy)
+
+
+def _update_shard_bitmaps(
     spark: SparkSession,
     index_dir: str,
-    batch_bits: np.ndarray,
-    m_bits: int,
-    k: int,
+    keyed: DataFrame,
+    sm_bits: int,
+    sk: int,
 ) -> None:
-    """OR the batch's bits into the persisted bitmap — but if the bitmap
-    is missing or its geometry drifted, REBUILD it from the full key
-    index instead. Writing batch-only bits over a lost bitmap would make
-    every pre-loss key bloom-NEGATIVE, and negatives skip the exact
-    join: the one way this design could silently drop the
-    no-false-negative guarantee. The rebuild is one scan of the (tiny,
-    keys-only) index, which at this point already includes the current
-    batch's delta."""
-    path = _bitmap_path(index_dir)
-    try:
-        current = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
-    except FileNotFoundError:
-        current = None
-    if current is not None and len(current) == len(batch_bits):
-        _write_bitmap(index_dir, current | batch_bits)
+    """OR the batch's keys into the touched shards' bitmaps. Per shard,
+    if the existing file is missing or geometry-drifted the shard is
+    REBUILT from the key index (which already includes this batch's
+    delta) — writing batch-only bits over a lost shard would turn every
+    pre-loss key bloom-NEGATIVE, the one way to break the
+    no-false-negative guarantee. All rebuilds happen in ONE scan pruned
+    to the affected shards. A pre-r7 monolithic ``bitmap.bin`` triggers
+    a one-time full rebuild into the sharded layout, then is deleted."""
+    batch_bits = _shard_bits(keyed, sm_bits, sk)
+    if not batch_bits:
         return
-    frames = _index_frames(spark, index_dir)
-    if not frames:  # first batch: the index IS this batch
-        _write_bitmap(index_dir, batch_bits)
-        return
-    allkeys = frames[0]
-    for fr in frames[1:]:
-        allkeys = allkeys.unionByName(fr)
-    full = build_bloom(
-        allkeys, "key", params=(m_bits, k), seed=_BLOOM_SEED
-    )
-    _write_bitmap(index_dir, full.bits | batch_bits)
+    legacy = os.path.exists(_legacy_bitmap_path(index_dir))
+    need_rebuild: list[int] = []
+    current: dict[int, np.ndarray] = {}
+    n_bytes = (sm_bits + 7) // 8
+    for s in batch_bits:
+        try:
+            raw = open(_shard_bitmap_path(index_dir, s), "rb").read()
+        except FileNotFoundError:
+            raw = None
+        if raw is not None and len(raw) == n_bytes:
+            current[s] = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            need_rebuild.append(s)
+    rebuilt: dict[int, np.ndarray] = {}
+    rebuild_shards = sorted(set(need_rebuild) | (set(range(_N_SHARDS)) if legacy else set()))
+    if rebuild_shards:
+        frames = _index_frames(spark, index_dir)
+        if frames:
+            allkeys = frames[0]
+            for fr in frames[1:]:
+                allkeys = allkeys.unionByName(fr)
+            rebuilt = _shard_bits(
+                allkeys.where(F.col("_shard").isin(rebuild_shards)), sm_bits, sk
+            )
+    zeros = np.zeros(n_bytes, dtype=np.uint8)
+    for s in sorted(set(batch_bits) | set(rebuilt)):
+        base = current.get(s, rebuilt.get(s, zeros))
+        add = batch_bits.get(s)
+        merged = base if add is None else (base | add)
+        if s in rebuilt and s in current:
+            merged = merged | rebuilt[s]
+        _write_shard_bitmap(index_dir, s, merged)
+    if legacy:
+        try:
+            os.remove(_legacy_bitmap_path(index_dir))
+        except FileNotFoundError:
+            pass
 
 
 def _keyed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -216,7 +406,7 @@ def process_batch(
     """One micro-batch of the incremental exact dedup (see module doc).
     Overwrites ``batch=<id>``-keyed outputs — replay converges."""
     spark = batch.sparkSession
-    m_bits, k = bloom_params(expected_total_items, fpp)
+    sm_bits, sk = _shard_params(expected_total_items, fpp)
 
     flagged = None  # assigned in the bloom branch; finally unpersists it
     keyed = _keyed(batch, text_col, id_col)
@@ -243,11 +433,11 @@ def process_batch(
             hist = frames[0]
             for fr in frames[1:]:
                 hist = hist.unionByName(fr)
-            bloom = _load_bitmap(index_dir, m_bits, k)
-            if bloom is not None:
-                flagged = keepers.withColumn(
-                    "_maybe", might_contain_column(keepers, "key", bloom)
-                ).persist()
+            probe = _batch_probe_column(
+                index_dir, keepers, sm_bits, sk, expected_total_items, fpp
+            )
+            if probe is not None:
+                flagged = keepers.withColumn("_maybe", probe).persist()
                 negatives = flagged.where(~F.col("_maybe")).drop("_maybe")
                 cand = flagged.where(F.col("_maybe")).drop("_maybe")
             else:
@@ -285,11 +475,11 @@ def process_batch(
         )
 
         # bitmap update: OR in ALL batch keys (supersets of the new ones
-        # are harmless and make the update idempotent under replay)
-        batch_bloom = build_bloom(
-            keepers, "key", params=(m_bits, k), seed=_BLOOM_SEED
+        # are harmless and make the update idempotent under replay);
+        # touches only the shards this batch's keys hash into
+        _update_shard_bitmaps(
+            spark, index_dir, keepers.select("key", "_shard"), sm_bits, sk
         )
-        _update_bitmap(spark, index_dir, batch_bloom.bits, m_bits, k)
     finally:
         keepers.unpersist()
         if flagged is not None:

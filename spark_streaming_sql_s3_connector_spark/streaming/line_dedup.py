@@ -47,18 +47,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_streaming_sql_s3_connector_spark.operators.bloom import (
-    bloom_params,
-    build_bloom,
-    might_contain_column,
-)
 from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
-    _BLOOM_SEED,
     _N_SHARDS,
+    _batch_probe_column,
     _index_frames,
-    _load_bitmap,
     _new_dir,
-    _update_bitmap,
+    _shard_params,
+    _update_shard_bitmaps,
 )
 
 
@@ -97,7 +92,7 @@ def process_batch(
     """One micro-batch of the incremental keep-first line dedup.
     Overwrites its ``batch=<id>`` outputs — replay converges."""
     spark = batch.sparkSession
-    m_bits, k = bloom_params(expected_total_items, fpp)
+    sm_bits, sk = _shard_params(expected_total_items, fpp)
 
     lines = _lines(batch, text_col, id_col).persist()
     flagged = None
@@ -119,11 +114,11 @@ def process_batch(
             hist = frames[0]
             for fr in frames[1:]:
                 hist = hist.unionByName(fr)
-            bloom = _load_bitmap(index_dir, m_bits, k)
-            if bloom is not None:
-                flagged = firsts.withColumn(
-                    "_maybe", might_contain_column(firsts, "key", bloom)
-                ).persist()
+            probe = _batch_probe_column(
+                index_dir, firsts, sm_bits, sk, expected_total_items, fpp
+            )
+            if probe is not None:
+                flagged = firsts.withColumn("_maybe", probe).persist()
                 negatives = flagged.where(~F.col("_maybe")).drop("_maybe")
                 cand = flagged.where(F.col("_maybe")).drop("_maybe")
             else:
@@ -181,10 +176,9 @@ def process_batch(
             "overwrite"
         ).partitionBy("_shard").parquet(_new_dir(index_dir, batch_id))
 
-        batch_bloom = build_bloom(
-            firsts, "key", params=(m_bits, k), seed=_BLOOM_SEED
+        _update_shard_bitmaps(
+            spark, index_dir, firsts.select("key", "_shard"), sm_bits, sk
         )
-        _update_bitmap(spark, index_dir, batch_bloom.bits, m_bits, k)
     finally:
         lines.unpersist()
         firsts.unpersist()

@@ -79,6 +79,12 @@ def test_replay_converges(spark, tmp_path):
     assert dups.count() == dups.dropDuplicates(["doc_id"]).count()
 
 
+def _rm_bloom_dir(idx):
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "_bloom"), ignore_errors=True)
+
+
 def test_bloom_is_acceleration_only(spark, tmp_path):
     idx_a = str(tmp_path / "with_bloom")
     idx_b = str(tmp_path / "no_bloom")
@@ -87,25 +93,24 @@ def test_bloom_is_acceleration_only(spark, tmp_path):
         process_batch(b, i, idx_a, expected_total_items=1000)
     for i, b in enumerate(batches):
         process_batch(b, i, idx_b, expected_total_items=1000)
-        # sabotage: remove the bitmap after every batch
-        bp = os.path.join(idx_b, "_bloom", "bitmap.bin")
-        if os.path.exists(bp):
-            os.remove(bp)
+        # sabotage: remove every shard bitmap after every batch
+        _rm_bloom_dir(idx_b)
     a = sorted(r.doc_id for r in read_unique_ids(spark, idx_a).collect())
     b = sorted(r.doc_id for r in read_unique_ids(spark, idx_b).collect())
     assert a == b
 
 
 def test_bitmap_loss_mid_stream_rebuilds_not_resets(spark, tmp_path):
-    """The reviewer-found failure mode: lose the bitmap after batch 0,
-    process batch 1 (which must NOT write a batch-1-only bitmap), then
-    batch 2 containing a duplicate of a batch-0 text. A reset bitmap
-    would make that key bloom-negative and skip the exact join —
-    silently emitting the duplicate as unique."""
+    """The reviewer-found failure mode: lose the bitmaps after batch 0,
+    process batch 1 (which must NOT write batch-1-only bitmaps for the
+    shards batch-0 keys occupied), then batch 2 containing a duplicate
+    of a batch-0 text. A reset shard bitmap would make that key
+    bloom-negative and skip the exact join — silently emitting the
+    duplicate as unique."""
     idx = str(tmp_path / "idx")
     batches = _mk_batches(spark)
     process_batch(batches[0], 0, idx, expected_total_items=1000)
-    os.remove(os.path.join(idx, "_bloom", "bitmap.bin"))
+    _rm_bloom_dir(idx)
     process_batch(batches[1], 1, idx, expected_total_items=1000)
     # batch 2's id 32 duplicates batch-0's "text number 0"
     process_batch(batches[2], 2, idx, expected_total_items=1000)
@@ -116,23 +121,129 @@ def test_bitmap_loss_mid_stream_rebuilds_not_resets(spark, tmp_path):
     )
     assert got == want
     assert 32 not in got  # the cross-batch duplicate was caught
-    # and the rebuilt bitmap holds the no-false-negative invariant for
-    # EVERY indexed key, not just post-loss ones
-    import numpy as np
-
-    from spark_streaming_sql_s3_connector_spark.operators.bloom import bloom_params
+    # and the rebuilt shard bitmaps hold the no-false-negative invariant
+    # for EVERY indexed key, not just post-loss ones
     from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
-        _load_bitmap,
-        might_contain_column,
+        _N_SHARDS,
+        _load_shard_blooms,
+        _might_contain_sharded,
+        _shard_params,
         read_unique_ids as _rui,
     )
 
-    m, k = bloom_params(1000, 0.01)
-    bloom = _load_bitmap(idx, m, k)
-    assert bloom is not None
-    keys = _rui(spark, idx).where(F.col("key").isNotNull())
-    probed = keys.withColumn("_mc", might_contain_column(keys, "key", bloom))
+    sm, sk = _shard_params(1000, 0.01)
+    keys = (
+        _rui(spark, idx)
+        .where(F.col("key").isNotNull())
+        .withColumn(
+            "_shard", F.pmod(F.xxhash64("key"), F.lit(_N_SHARDS)).cast("int")
+        )
+    )
+    blooms = _load_shard_blooms(idx, sm, sk, list(range(_N_SHARDS)))
+    assert blooms  # at least the touched shards exist
+    # every indexed key whose shard HAS a bitmap must probe positive;
+    # keys of shards without a bitmap default to maybe=True anyway
+    probed = keys.withColumn(
+        "_mc", _might_contain_sharded(keys, "key", "_shard", blooms, sm, sk)
+    )
     assert probed.where(~F.col("_mc")).count() == 0
+
+
+def test_legacy_monolithic_bitmap_migrates_to_shards(spark, tmp_path):
+    """A pre-r7 index carries one ``bitmap.bin``: it must still probe
+    (no correctness change), and the first post-upgrade batch must
+    migrate it to per-shard files — with the no-false-negative invariant
+    intact across the migration."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import (
+        bloom_params,
+        build_bloom,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _BLOOM_SEED,
+        _N_SHARDS,
+        _legacy_bitmap_path,
+        _load_shard_blooms,
+        _might_contain_sharded,
+        _shard_params,
+        read_unique_ids as _rui,
+    )
+
+    idx = str(tmp_path / "idx")
+    batches = _mk_batches(spark)
+    process_batch(batches[0], 0, idx, expected_total_items=1000)
+    # forge the pre-r7 layout: monolithic bitmap over batch-0 keys,
+    # shard files removed
+    keys0 = read_unique_ids(spark, idx).where(F.col("key").isNotNull())
+    m, k = bloom_params(1000, 0.01)
+    full = build_bloom(keys0, "key", params=(m, k), seed=_BLOOM_SEED)
+    _rm_bloom_dir(idx)
+    os.makedirs(os.path.join(idx, "_bloom"))
+    with open(_legacy_bitmap_path(idx), "wb") as f:
+        f.write(full.bits.tobytes())
+    # next batches: legacy probes, then migration happens on update
+    process_batch(batches[1], 1, idx, expected_total_items=1000)
+    assert not os.path.exists(_legacy_bitmap_path(idx))  # migrated
+    shard_files = [
+        e for e in os.listdir(os.path.join(idx, "_bloom")) if e.startswith("shard=")
+    ]
+    assert shard_files
+    process_batch(batches[2], 2, idx, expected_total_items=1000)
+    got = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    want = sorted(
+        r.keeper_id
+        for r in dedup_exact(_union(spark, batches), "text", "doc_id").collect()
+    )
+    assert got == want
+    # no-false-negative across ALL keys post-migration
+    sm, sk = _shard_params(1000, 0.01)
+    blooms = _load_shard_blooms(idx, sm, sk, list(range(_N_SHARDS)))
+    keys = (
+        _rui(spark, idx)
+        .where(F.col("key").isNotNull())
+        .withColumn(
+            "_shard", F.pmod(F.xxhash64("key"), F.lit(_N_SHARDS)).cast("int")
+        )
+    )
+    probed = keys.withColumn(
+        "_mc", _might_contain_sharded(keys, "key", "_shard", blooms, sm, sk)
+    )
+    assert probed.where(~F.col("_mc")).count() == 0
+
+
+def test_sharded_bitmap_bounds_driver_memory(spark, tmp_path):
+    """The 100 TB sizing story: with expected_total_items=10⁷ the honest
+    MONOLITHIC bitmap is ~12 MB; the sharded layout writes only the
+    shards a batch touches, each a 64th of the size — the driver never
+    materializes the full key space's bits. (10⁷ keeps the test fast;
+    the sizing argument is linear from here to 10⁹-10¹⁰.)"""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import bloom_params
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _shard_params,
+    )
+
+    idx = str(tmp_path / "idx")
+    b = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    process_batch(b, 0, idx, expected_total_items=10_000_000)
+    bloom_dir = os.path.join(idx, "_bloom")
+    files = [e for e in os.listdir(bloom_dir) if e.startswith("shard=")]
+    assert files
+    sm, sk = _shard_params(10_000_000, 0.01)
+    per_shard = (sm + 7) // 8
+    full_m, _ = bloom_params(10_000_000, 0.01)
+    full_bytes = (full_m + 7) // 8
+    for e in files:
+        assert os.path.getsize(os.path.join(bloom_dir, e)) == per_shard
+    # total on-disk footprint of the touched shards ≪ the monolithic bitmap
+    assert len(files) * per_shard < full_bytes
+    # a second batch still dedups correctly against shard bitmaps
+    b2 = spark.createDataFrame(
+        [(500, "text 7"), (501, "brand new")], "doc_id bigint, text string"
+    )
+    process_batch(b2, 1, idx, expected_total_items=10_000_000)
+    got = sorted(r.doc_id for r in read_unique_ids(spark, idx).collect())
+    assert 500 not in got and 501 in got
 
 
 def test_dup_kinds_and_nulls(spark, tmp_path):

@@ -90,9 +90,9 @@ def test_bloom_is_acceleration_only(spark, tmp_path):
         process_batch(b, i, idx_a, expected_total_items=1000)
     for i, b in enumerate(batches):
         process_batch(b, i, idx_b, expected_total_items=1000)
-        bp = os.path.join(idx_b, "_bloom", "bitmap.bin")
-        if os.path.exists(bp):
-            os.remove(bp)
+        import shutil
+
+        shutil.rmtree(os.path.join(idx_b, "_bloom"), ignore_errors=True)
     a = sorted(
         (r.doc_id, r.deduped_text) for r in read_deduped_docs(spark, idx_a).collect()
     )
