@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     # time — the number to compare against ann_ivf_pq_topk's
     # train-per-call wall)
     "ann_index_topk",
+    # r7: the composed curation pipeline's batch twin (line dedup →
+    # exact dedup → gate → pack, one job)
+    "curation_pipeline_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

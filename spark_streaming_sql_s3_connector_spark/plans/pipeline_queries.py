@@ -1818,6 +1818,106 @@ def _ann_ivf_pq_topk(spark, sf):
     )
 
 
+def _curation_pipeline_docs(spark, sf):
+    """The flagship composition's batch twin (streaming/curation.py
+    batch_curation): keep-first line dedup → exact dedup of the deduped
+    text → per-language top-40% quality gate → concat-and-split packing,
+    one job end to end. The streaming law (pytest, incl. connector
+    kill/restart) pins incremental == this; this key pins THIS against
+    the composed DuckDB oracle."""
+    from spark_streaming_sql_s3_connector_spark.operators.web import lined_text
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        batch_curation,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", lined_text(F.col("text")).alias("text")
+    )
+    return batch_curation(docs, frac=0.4, capacity=128, num_shards=8)
+
+
+_CURATION_PIPELINE_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, lang, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+  FROM documents
+), ltab AS (
+  SELECT doc_id, lang,
+         list_filter([trim(x) for x in str_split(t, chr(10))], x -> x != '') AS l
+  FROM lined
+), posl AS (
+  SELECT doc_id, l[i] AS line, i AS pos
+  FROM ltab, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE len(l) > 0
+), kf AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id, line, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM posl) x
+  WHERE rn = 1
+), dedup AS (
+  SELECT lt.doc_id, lt.lang, COALESCE(k.txt, '') AS dtext
+  FROM ltab lt LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+    FROM kf GROUP BY doc_id) k ON lt.doc_id = k.doc_id
+), keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY regexp_replace(lower(trim(dtext)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM dedup) x WHERE rn = 1
+), surv AS (
+  SELECT d.doc_id, d.lang, d.dtext FROM dedup d JOIN keepers USING (doc_id)
+), m AS (
+  SELECT doc_id, lang, dtext,
+         length(dtext)::DOUBLE AS n_chars,
+         (CASE WHEN trim(dtext) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(dtext), '\s+')) END)::DOUBLE
+           AS n_tokens,
+         (CASE WHEN trim(dtext) = '' THEN 0
+               ELSE len(list_distinct(regexp_split_to_array(trim(dtext), '\s+'))) END)::DOUBLE
+           AS n_distinct,
+         length(regexp_replace(dtext, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(dtext, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS n_punct
+  FROM surv
+), scored AS (
+  SELECT doc_id, lang, dtext,
+         ROUND(
+           LEAST(n_tokens / 20.0, 1.0) * 0.3
+           + (CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0 END) * 0.3
+           + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.2
+           + (CASE WHEN n_chars > 0
+                   THEN 1.0 - LEAST(n_punct / n_chars * 4, 1.0) ELSE 1.0 END) * 0.2,
+           6) AS qscore
+  FROM m
+), ranked AS (
+  SELECT doc_id, lang, dtext, qscore,
+         row_number() OVER (PARTITION BY lang ORDER BY qscore DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+), gated AS (
+  SELECT doc_id, lang, dtext, qscore FROM ranked WHERE rn <= CEIL(n * 0.4)
+), toks AS (
+  SELECT doc_id, lang, qscore,
+         CASE WHEN trim(dtext) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(dtext), '\s+') END AS tk
+  FROM gated
+), pk AS (
+  SELECT doc_id, lang, qscore, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(COALESCE(SUM(len(tk)) OVER (
+           PARTITION BY doc_id % 8 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM toks
+)
+SELECT doc_id, lang, qscore, shard, start_offset, n_tokens,
+       start_offset // 128 AS seq_first,
+       greatest(start_offset + n_tokens - 1, start_offset) // 128 AS seq_last
+FROM pk
+ORDER BY doc_id
+"""
+
+
 def _ann_index_dir_for(sf: str) -> str:
     """Deterministic on-disk cache location for the persisted ANN index
     of one corpus: keyed by the embeddings source's identity (path +
@@ -2858,4 +2958,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # (disk-cached), serve top-k by file-pruned ADC scan; rows-only with
     # a self-checking recall-floor column (brute comparison in-slot)
     "ann_index_topk": QuerySpec(_ann_index_topk_q, None),
+    # r7: the flagship composition's batch twin (line dedup → exact
+    # dedup → quality gate → packing end to end) — the streaming side is
+    # law-tested incl. connector kill/restart; this pins the batch side
+    # against the composed DuckDB oracle
+    "curation_pipeline_docs": QuerySpec(
+        _curation_pipeline_docs, _CURATION_PIPELINE_SQL
+    ),
 }

@@ -1,0 +1,217 @@
+"""Flagship composed pipeline: connector stream → keep-first line dedup
+→ exact dedup → per-language quality gate → sequence packing, under
+exactly-once.
+
+The two halves of this repo — the S3-event connector plane (sources/,
+queueing/, state/) and the LLM-curation operators (operators/,
+functions/) — compose here into ONE streaming pipeline with a single
+checkpoint story, the composition analog of the reference's restore
+contract (S3ConnectorSourceItSuite.scala:640-724: kill the query
+mid-corpus, restart on the same checkpoint, results equal the
+uninterrupted run):
+
+- per micro-batch (:func:`process_curation_batch`): corpus-global
+  keep-first line dedup (``streaming/line_dedup``), then exact dedup of
+  the line-deduped text vs everything seen (``streaming/exact_dedup``)
+  — both incremental, bloom-screened, overwrite-by-batch-dir replay
+  convergent; plus a tiny ``(doc_id, lang)`` side table per batch for
+  the finalization gate.
+- at corpus end (:func:`finalize_curation`): join the surviving docs,
+  score the DEDUPED text, keep the top fraction per language
+  (``keep_top_fraction`` — rank-exact), and concat-and-split pack the
+  survivors (``pack_concat``).
+
+Law (tested, including kill/restart mid-corpus): finalize over
+range-ordered streamed batches equals :func:`batch_curation` on the
+union corpus — because each incremental stage's "first in (batch, doc)
+order" coincides with "first in doc order" when batches partition the
+id space in order, and the finalization stages are pure functions of
+the (identical) surviving set.
+
+Scale shape: the streaming stages inherit their components' stories
+(line-keyed partial aggs, shard-pruned history joins, per-shard bloom
+bitmaps); the finalization is one gate shuffle on ``lang`` plus the
+pack's one shard-window shuffle. Nothing in the composition adds a new
+scan of the raw corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.text import quality_score
+from spark_streaming_sql_s3_connector_spark.operators.packing import pack_concat
+from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+    keep_top_fraction,
+)
+from spark_streaming_sql_s3_connector_spark.streaming import exact_dedup, line_dedup
+
+
+def _line_index(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "line_index")
+
+
+def _exact_index(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "exact_index")
+
+
+def _meta_dir(pipeline_dir: str, batch_id: int) -> str:
+    return os.path.join(pipeline_dir, "_meta", f"batch={batch_id}")
+
+
+def process_curation_batch(
+    batch: DataFrame,
+    batch_id: int,
+    pipeline_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    expected_total_items: int = 1_000_000,
+) -> None:
+    """One micro-batch of the composed pipeline. Every write is keyed by
+    ``batch=<id>`` and overwritten on replay — the same convergence
+    argument as each component stage."""
+    spark = batch.sparkSession
+    # (doc_id, lang) side table for the finalization gate
+    batch.select(F.col(id_col), F.col(lang_col)).write.mode("overwrite").parquet(
+        _meta_dir(pipeline_dir, batch_id)
+    )
+    line_dedup.process_batch(
+        batch.select(F.col(id_col), F.col(text_col)),
+        batch_id,
+        _line_index(pipeline_dir),
+        text_col=text_col,
+        id_col=id_col,
+        expected_total_items=expected_total_items,
+    )
+    # chain: this batch's line-deduped docs (committed state) feed the
+    # exact-dedup stage within the same trigger
+    deduped = spark.read.parquet(
+        line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+    )
+    exact_dedup.process_batch(
+        deduped,
+        batch_id,
+        _exact_index(pipeline_dir),
+        text_col="deduped_text",
+        id_col=id_col,
+        expected_total_items=expected_total_items,
+    )
+
+
+def streaming_curation(
+    stream: DataFrame,
+    pipeline_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    expected_total_items: int = 1_000_000,
+):
+    """Run the composed pipeline as a foreachBatch stream; returns the
+    StreamingQuery. Restart-safe: the checkpoint replays at most the
+    last uncommitted batch, whose stage outputs all overwrite."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_curation_batch(
+            batch,
+            batch_id,
+            pipeline_dir,
+            text_col=text_col,
+            id_col=id_col,
+            lang_col=lang_col,
+            expected_total_items=expected_total_items,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def finalize_curation(
+    spark: SparkSession,
+    pipeline_dir: str,
+    id_col: str = "doc_id",
+    frac: float = 0.4,
+    capacity: int = 128,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Corpus-end finalization: gate + pack the streamed survivors.
+    Returns one row per packed doc: (doc_id, lang, qscore, shard,
+    start_offset, n_tokens, seq_first, seq_last)."""
+    docs = line_dedup.read_deduped_docs(spark, _line_index(pipeline_dir))
+    uniq = (
+        exact_dedup.read_unique_ids(spark, _exact_index(pipeline_dir))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    meta = (
+        spark.read.parquet(os.path.join(pipeline_dir, "_meta"))
+        .select(id_col, "lang")
+    )
+    survivors = docs.join(uniq, id_col).join(meta, id_col)
+    scored = survivors.withColumn(
+        "qscore", F.round(quality_score(F.col("deduped_text")), 6)
+    )
+    gated = keep_top_fraction(scored, "qscore", ["lang"], frac, id_col=id_col)
+    packed = pack_concat(
+        gated, id_col, capacity, text_col="deduped_text", num_shards=num_shards
+    )
+    return (
+        gated.select(id_col, "lang", "qscore")
+        .join(packed, id_col)
+        .orderBy(id_col)
+    )
+
+
+def batch_curation(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    frac: float = 0.4,
+    capacity: int = 128,
+    num_shards: int = 8,
+) -> DataFrame:
+    """The batch twin: identical semantics in one job over the full
+    corpus — line dedup (keep first in (doc, pos) order), exact dedup of
+    the deduped text (keep min id per normalized text), per-language
+    top-fraction gate on the deduped text's quality score, pack. The
+    streaming law asserts finalize == this on the union corpus."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        normalized_text,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        dedup_lines_keep_first,
+    )
+
+    kf = dedup_lines_keep_first(
+        docs.select(F.col(id_col), F.col(lang_col), F.col(text_col)),
+        text_col,
+        id_col,
+    )
+    # exact dedup on the DEDUPED text: keeper = min id per normalized text
+    keepers = (
+        kf.groupBy(normalized_text(F.col("deduped_text")).alias("_norm"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = kf.join(keepers, id_col).select(
+        id_col, F.col(lang_col).alias("lang"), "deduped_text"
+    )
+    scored = survivors.withColumn(
+        "qscore", F.round(quality_score(F.col("deduped_text")), 6)
+    )
+    gated = keep_top_fraction(scored, "qscore", ["lang"], frac, id_col=id_col)
+    packed = pack_concat(
+        gated, id_col, capacity, text_col="deduped_text", num_shards=num_shards
+    )
+    return (
+        gated.select(id_col, "lang", "qscore")
+        .join(packed, id_col)
+        .orderBy(id_col)
+    )

@@ -1,0 +1,177 @@
+"""The composed flagship pipeline (streaming/curation.py): connector
+source → keep-first line dedup → exact dedup → per-language quality
+gate → concat-and-split packing, under one checkpoint.
+
+The law under test is the composition analog of the reference's restore
+contract (S3ConnectorSourceItSuite.scala:640-724): kill the query
+mid-corpus, restart on the same checkpoint, and the finalized packed
+output equals the batch pipeline over the full corpus.
+"""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.queueing.local import LocalFileQueueClient
+from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+    batch_curation,
+    finalize_curation,
+    process_curation_batch,
+    streaming_curation,
+)
+
+DOC_SCHEMA = "doc_id bigint, lang string, text string"
+
+
+def _corpus():
+    """30 docs across 3 languages with repeated lines (cross-doc and
+    in-doc), exact duplicates after line dedup, and a couple of
+    degenerate rows (empty text)."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for i in range(30):
+        lang = ["en", "de", "fr"][i % 3]
+        lines = [f"unique sentence number {i} with some extra words here"]
+        if i % 2 == 0:
+            lines.append(shared)  # repeated line: only doc 0 keeps it
+        if i % 5 == 0:
+            lines.append(boiler)
+        if i % 7 == 0:
+            lines.append(lines[0])  # in-doc repeat: dropped
+        if i in (13, 27):
+            lines = [shared, boiler]  # fully-historical → empty after dedup
+        text = "\n".join(lines) if i != 29 else ""
+        rows.append((i, lang, text))
+    return rows
+
+
+def _write_files(tmp_path, rows, n_files):
+    """Range-ordered JSON-lines files (range order makes the incremental
+    'first in (batch, doc, pos)' coincide with 'first in (doc, pos)')."""
+    per = (len(rows) + n_files - 1) // n_files
+    paths = []
+    for f in range(n_files):
+        chunk = rows[f * per : (f + 1) * per]
+        if not chunk:
+            continue
+        p = tmp_path / f"docs_{f}.json"
+        with open(p, "w") as fh:
+            for doc_id, lang, text in chunk:
+                fh.write(json.dumps({"doc_id": doc_id, "lang": lang, "text": text}) + "\n")
+        paths.append(str(p))
+    return paths
+
+
+def _options(tmp_path):
+    return {
+        "spark.s3conn.fileFormat": "json",
+        "spark.s3conn.queueUrl": f"local://{tmp_path}/queue",
+        "spark.s3conn.queueType": "local",
+        "spark.s3conn.queueFetchWaitTimeoutSeconds": "1",
+        "spark.s3conn.metadataPath": str(tmp_path / "meta"),
+        "spark.s3conn.maxFilesPerTrigger": "1",
+    }
+
+
+def _start(spark, tmp_path, pipeline_dir):
+    reader = spark.readStream.format("s3-connector").schema(DOC_SCHEMA)
+    for k, v in _options(tmp_path).items():
+        reader = reader.option(k, v)
+    return streaming_curation(
+        reader.load(),
+        str(pipeline_dir),
+        str(tmp_path / "ckpt"),
+        expected_total_items=10_000,
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_curation_restart_equals_batch(spark, tmp_path):
+    """Kill/restart mid-corpus: stream half the files, stop the query,
+    restart on the same checkpoint, stream the rest — the finalized
+    packed output equals the batch pipeline on the union corpus."""
+    register(spark)
+    rows = _corpus()
+    paths = _write_files(tmp_path, rows, 6)
+    queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
+    pipeline_dir = tmp_path / "pipeline"
+
+    for p in paths[:3]:
+        queue.send_file_event(p, int(time.time() * 1000))
+    q = _start(spark, tmp_path, pipeline_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # the mid-corpus kill
+
+    for p in paths[3:]:
+        queue.send_file_event(p, int(time.time() * 1000))
+    q2 = _start(spark, tmp_path, pipeline_dir)
+    try:
+        q2.processAllAvailable()
+        # duplicate re-delivery mid-run: exactly-once must screen it
+        queue.send_file_event(paths[0], int(time.time() * 1000))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = _rows(finalize_curation(spark, str(pipeline_dir)))
+    want = _rows(
+        batch_curation(spark.createDataFrame(rows, DOC_SCHEMA))
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_driver_style_batches_equal_batch(spark, tmp_path):
+    """The same law without the connector: range-ordered micro-batches
+    driven directly through process_curation_batch (the shape the
+    registry key uses), including a replay of the last batch."""
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    # replay the last batch (crash-before-commit): state must converge
+    process_curation_batch(
+        df.where((F.col("doc_id") >= cuts[2]) & (F.col("doc_id") < cuts[3])),
+        2,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    got = _rows(finalize_curation(spark, pipeline_dir))
+    want = _rows(batch_curation(df))
+    assert got == want
+
+
+def test_gate_and_pack_shapes(spark, tmp_path):
+    """Sanity of the finalized schema and the gate fraction: ~40% of
+    survivors per language, packed offsets contiguous per shard."""
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = batch_curation(df)
+    assert out.columns == [
+        "doc_id", "lang", "qscore", "shard", "start_offset",
+        "n_tokens", "seq_first", "seq_last",
+    ]
+    pdf = out.toPandas()
+    # per-shard offsets: sorted by doc_id, each start = prev start + prev n
+    for s, g in pdf.groupby("shard"):
+        g = g.sort_values("doc_id")
+        expect = 0
+        for _, r in g.iterrows():
+            assert r.start_offset == expect
+            expect += r.n_tokens
