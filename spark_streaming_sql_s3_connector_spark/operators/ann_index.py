@@ -140,6 +140,37 @@ def build_ann_index(
     return meta
 
 
+def append_to_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    meta: Optional[dict] = None,
+) -> None:
+    """Grow a persisted index with new vectors WITHOUT retraining: the
+    stored quantizers assign + encode the new batch (distributed) and
+    the coded rows append into the existing bucket partitions. This is
+    how a streaming corpus keeps its index current — quantizers are
+    trained once on a representative sample and reused; periodic full
+    rebuilds (when drift accumulates) are just build_ann_index again.
+
+    Law (tested): serve-after-append == in-memory ivf_pq_topk over the
+    UNION corpus with the same artifacts — appending is encode-only, so
+    the index state is exactly what a full encode would produce."""
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    encoded = pq_encode(
+        ivf_assign(df, vec_col, meta["centroids"]), vec_col, meta["codebooks"]
+    )
+    (
+        encoded.select(
+            F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
+        )
+        .write.mode("append")
+        .partitionBy("ivf_bucket")
+        .parquet(corpus_path(index_dir))
+    )
+
+
 def _probe_buckets(centroids: list[list[float]], query_vec: Sequence[float], n_probe: int) -> list[int]:
     q = [float(x) for x in query_vec]
     dists = [

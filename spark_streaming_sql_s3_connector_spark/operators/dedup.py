@@ -88,10 +88,14 @@ def bucket_pairs(
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per normalized text. Returns
-    (keeper_id, dup_count). GroupBy on the normalized text hashes/shuffles
-    once; partial aggregation handles the heavy lifting map-side."""
+    (keeper_id, dup_count). One groupBy with map-side partial agg — and
+    the group key is ``md5(normalized text)`` (128-bit, collision-free
+    at any realistic corpus size), NOT the text itself, so the shuffle
+    carries 16-byte keys instead of document bodies. NULL text stays
+    its own group (md5(NULL) = NULL), matching the un-hashed form."""
+    key = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
     return (
-        df.groupBy(normalized_text(F.col(text_col)).alias("_norm"))
+        df.groupBy(key.alias("_k"))
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
         .select("keeper_id", "dup_count")
     )

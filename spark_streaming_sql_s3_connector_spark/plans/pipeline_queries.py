@@ -1785,7 +1785,11 @@ ORDER BY doc_id
 def _ann_pq_topk(spark, sf):
     """PQ-ADC approximate top-k (operators/similarity.pq_train/encode/
     pq_topk): the compressed-scan ANN path — 8 B of codes per vector
-    instead of 256 B of floats, table lookups instead of dot products."""
+    instead of 256 B of floats, table lookups instead of dot products.
+    NOTE: this slot trains + encodes per call on purpose (it is the
+    self-contained correctness gate for the quantizer stack); the
+    100×-scale QUERY shape is `ann_index_topk`, which serves from the
+    persisted index with no per-call training or encode."""
     from spark_streaming_sql_s3_connector_spark.operators.similarity import pq_topk
 
     emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
@@ -1801,7 +1805,9 @@ def _ann_pq_topk(spark, sf):
 
 def _ann_ivf_pq_topk(spark, sf):
     """IVF-PQ (operators/similarity.ivf_pq_topk): coarse bucket pruning
-    + compressed ADC scan — the production 10^10-vector serving shape."""
+    + compressed ADC scan. Trains per call as a self-contained gate;
+    the persisted serving twin is `ann_index_topk` (no per-call
+    training/encode — compare the two keys' bench medians)."""
     from spark_streaming_sql_s3_connector_spark.operators.similarity import (
         ivf_pq_topk,
     )

@@ -133,6 +133,29 @@ def streaming_curation(
     )
 
 
+def compact_curation_state(spark: SparkSession, pipeline_dir: str) -> None:
+    """Maintenance: fold both stages' delta indexes into their versioned
+    bases. Uses each compactor's safe default (never folds the newest
+    delta — the only batch a restart could replay; see
+    line_dedup.compact_index for why that guard is stricter here than
+    label-skew)."""
+    line_dedup.compact_index(spark, _line_index(pipeline_dir))
+    exact_dedup.compact_index(
+        spark,
+        _exact_index(pipeline_dir),
+        upto_batch=_newest_delta(_exact_index(pipeline_dir)),
+    )
+
+
+def _newest_delta(index_dir: str):
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _delta_ids,
+    )
+
+    ids = _delta_ids(index_dir)
+    return max(ids) if ids else None
+
+
 def finalize_curation(
     spark: SparkSession,
     pipeline_dir: str,
@@ -194,9 +217,12 @@ def batch_curation(
         text_col,
         id_col,
     )
-    # exact dedup on the DEDUPED text: keeper = min id per normalized text
+    # exact dedup on the DEDUPED text: keeper = min id per normalized
+    # text, keyed by md5 so the shuffle carries 16-byte keys, not bodies
     keepers = (
-        kf.groupBy(normalized_text(F.col("deduped_text")).alias("_norm"))
+        kf.groupBy(
+            F.md5(F.encode(normalized_text(F.col("deduped_text")), "UTF-8")).alias("_k")
+        )
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

@@ -152,6 +152,37 @@ def test_rebuild_overwrites_cleanly(spark, built):
     assert len(got) == 3
 
 
+def test_append_equals_full_encode(spark, tmp_path):
+    """Grow-without-retrain law: build on the first half, append the
+    second half (stored quantizers, encode-only) — serving equals the
+    in-memory ivf_pq_topk over the UNION with the same artifacts."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+    )
+
+    rows = _vectors()
+    first = [r for r in rows if r[0] < 200]
+    second = [r for r in rows if r[0] >= 200]
+    df1 = spark.createDataFrame(first, ["vec_id", "embedding"])
+    df2 = spark.createDataFrame(second, ["vec_id", "embedding"])
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(
+        df1, "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    append_to_ann_index(df2, idx)
+    union = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[250][1]
+    served = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    in_mem = ivf_pq_topk(
+        union, "embedding", "vec_id", q, k=5,
+        centroids=meta["centroids"], codebooks=meta["codebooks"], n_probe=5,
+    ).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in served] == [
+        (r.neighbor_id, r.adc_score) for r in in_mem
+    ]
+
+
 def test_pq_recall_survives_held_out_training(spark, sf_dir):
     """Codebooks trained on HALF the real embeddings corpus must still
     rank the other half well (guards against codebook-overfit

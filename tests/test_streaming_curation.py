@@ -157,6 +157,40 @@ def test_driver_style_batches_equal_batch(spark, tmp_path):
     assert got == want
 
 
+def test_compaction_mid_pipeline_preserves_results(spark, tmp_path):
+    """compact_curation_state between batches (the maintenance call a
+    long-running stream would make) must not change the finalized
+    output — both compactors use the never-fold-the-newest-delta safe
+    default, so even an immediately-following replay stays correct."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        compact_curation_state,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+        compact_curation_state(spark, pipeline_dir)
+    # replay the newest batch post-compaction: its delta was NOT folded,
+    # so the rewrite still excludes its own keys from history
+    process_curation_batch(
+        df.where((F.col("doc_id") >= cuts[2]) & (F.col("doc_id") < cuts[3])),
+        2,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    got = _rows(finalize_curation(spark, pipeline_dir))
+    want = _rows(batch_curation(df))
+    assert got == want
+
+
 def test_gate_and_pack_shapes(spark, tmp_path):
     """Sanity of the finalized schema and the gate fraction: ~40% of
     survivors per language, packed offsets contiguous per shard."""
