@@ -334,3 +334,24 @@ def test_normalize_docs_single_arrow_eval(spark):
     plan = formatted_plan(spark, "normalize_docs")
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_curation_pipeline_no_cartesian_no_python(spark):
+    """The composed curation pipeline (line dedup → exact dedup → gate →
+    pack) is all JVM expressions: no Python eval anywhere, no cartesian
+    products, the exact-dedup stage a partial aggregate on the md5 key
+    (never a window over the text partition), and the only windows are
+    the gate's per-lang rank and the pack's per-shard prefix sum."""
+    plan = formatted_plan(spark, "curation_pipeline_docs")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "min(" in plan  # dedup partial agg
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark):
+    """dedup_exact's groupBy key is md5(normalized text) — the Exchange
+    must hashpartition on the md5 expression (16-byte keys), not on a
+    raw normalized-text column."""
+    plan = formatted_plan(spark, "dedup_exact_docs")
+    assert "md5" in plan
+    assert "partial_min" in plan or "partial" in plan  # map-side combine
