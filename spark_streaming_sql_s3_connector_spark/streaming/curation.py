@@ -163,10 +163,24 @@ def finalize_curation(
     frac: float = 0.4,
     capacity: int = 128,
     num_shards: int = 8,
+    approx_gate: bool = False,
 ) -> DataFrame:
     """Corpus-end finalization: gate + pack the streamed survivors.
     Returns one row per packed doc: (doc_id, lang, qscore, shard,
-    start_offset, n_tokens, seq_first, seq_last)."""
+    start_offset, n_tokens, seq_first, seq_last).
+
+    ``approx_gate``: the default rank-exact gate sorts each language
+    stratum in ONE task (partitionBy(lang) has only a handful of
+    strata) — fine up to millions of docs per language, the profiled
+    super-linear stage past that (SCALING.md audit). ``approx_gate=
+    True`` switches to ``quantile_gate_approx``: per-group
+    approx_percentile thresholds broadcast back as a map-side filter —
+    no per-stratum sort, the 100 TB path. Kept fraction then tracks
+    ``frac`` to sketch accuracy instead of exactly."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        quantile_gate_approx,
+    )
+
     docs = line_dedup.read_deduped_docs(spark, _line_index(pipeline_dir))
     uniq = (
         exact_dedup.read_unique_ids(spark, _exact_index(pipeline_dir))
@@ -180,7 +194,10 @@ def finalize_curation(
     scored = survivors.withColumn(
         "qscore", F.round(quality_score(F.col("deduped_text")), 6)
     )
-    gated = keep_top_fraction(scored, "qscore", ["lang"], frac, id_col=id_col)
+    if approx_gate:
+        gated = quantile_gate_approx(scored, "qscore", ["lang"], frac)
+    else:
+        gated = keep_top_fraction(scored, "qscore", ["lang"], frac, id_col=id_col)
     packed = pack_concat(
         gated, id_col, capacity, text_col="deduped_text", num_shards=num_shards
     )

