@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     # r7: the composed curation pipeline's batch twin (line dedup →
     # exact dedup → gate → pack, one job)
     "curation_pipeline_docs",
+    # r7: IVF-cell near-dup pairs (loose-threshold scale path, in-slot
+    # recall check vs the exact baseline)
+    "dedup_embedding_ivf_pairs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -1824,6 +1824,65 @@ def _ann_ivf_pq_topk(spark, sf):
     )
 
 
+def _ivf_near_dup_pairs_docs(spark, sf):
+    """Structure-adaptive near-dup pairs via IVF cells
+    (operators/similarity.ivf_near_dup_pairs) in the SemDeDup regime:
+    the synthetic embeddings have no natural near-dups, so — like the
+    LSH slot — the query PLANTS them (each vector unions with a
+    deterministically jittered copy, cosine ≈ 0.97) and the learned
+    cells must recover the original↔copy pairs at a geometry with REAL
+    pruning (nc=32, n_assign=2 → candidate fraction ≈ 32·(2/32)² = 1/8
+    of all pairs; see the operator docstring for why n_assign² ≪
+    n_centroids is the honesty condition). Rows-only with a
+    SELF-CHECKING column: planted-pair recall ≥ 0.8, computed
+    distributed (anti-join + counts, never a pair collect)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_near_dup_pairs,
+    )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def jitter(vec: pd.Series, vid: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        i = np.arange(X.shape[1], dtype=np.float64)
+        out = X * (1.0 + 0.3 * np.sin(1.7 * i[None, :] + vid.to_numpy()[:, None]))
+        return pd.Series(list(out))
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jittered = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        jitter(F.col("embedding"), F.col("vec_id")).alias("embedding"),
+    )
+    corpus = emb.unionByName(jittered)
+    got = (
+        ivf_near_dup_pairs(
+            corpus, "embedding", "vec_id", 0.9, n_centroids=32, n_assign=2, seed=42
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    planted = emb.select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1_000_000).alias("id_b")
+    )
+    try:
+        n_got = got.count()
+        n_planted = planted.count()
+        missed = planted.join(got, ["id_a", "id_b"], "left_anti").count()
+    finally:
+        got.unpersist()
+    recall_ok = n_planted == 0 or (n_planted - missed) / n_planted >= 0.8
+    return spark.createDataFrame(
+        [(int(n_got), bool(recall_ok))],
+        "n_pairs bigint, planted_recall_ge_80 boolean",
+    )
+
+
 def _curation_pipeline_docs(spark, sf):
     """The flagship composition's batch twin (streaming/curation.py
     batch_curation): keep-first line dedup → exact dedup of the deduped
@@ -2971,4 +3030,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "curation_pipeline_docs": QuerySpec(
         _curation_pipeline_docs, _CURATION_PIPELINE_SQL
     ),
+    # r7: IVF-cell near-dup pairs — the loose-threshold (SemDeDup) scale
+    # path sign-LSH can't serve; rows-only with an in-slot distributed
+    # recall check vs the exact blocked-gemm baseline
+    "dedup_embedding_ivf_pairs": QuerySpec(_ivf_near_dup_pairs_docs, None),
 }

@@ -501,3 +501,52 @@ def test_bpe_train_and_tokenize(spark):
         assert "".join(bpe_encode_word(w, merges)) == w
     # merges actually compress frequent words
     assert len(bpe_encode_word("newest", merges)) < len("newest")
+
+
+def test_ivf_near_dup_pairs_loose_threshold(spark):
+    """The loose-threshold scale path sign-LSH can't serve: IVF-bucketed
+    pairs at cosine 0.5 must (a) emit ONLY true pairs (rerank is exact)
+    and (b) recall most of the exact blocked-gemm baseline's pairs on
+    clustered data — multi-probe assignment catches Voronoi-boundary
+    straddlers."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_near_dup_pairs,
+    )
+
+    rng = random.Random(31)
+    dim = 16
+    centers = [[rng.gauss(0, 3) for _ in range(dim)] for _ in range(5)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.7) for c in centers[i % 5]]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(df, "embedding", "vec_id", 0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ivf_near_dup_pairs(
+            df, "embedding", "vec_id", 0.5, n_centroids=8, n_assign=3, seed=7
+        ).collect()
+    }
+    assert got, "no pairs found"
+    # exactness: every emitted pair is a true pair
+    assert set(got) <= exact
+    assert all(c >= 0.5 for c in got.values())
+    # recall on clustered data (measured 1.0 at nc=8/na=3; floor at 0.8
+    # so a broken multi-probe path fails, testdata jitter doesn't)
+    assert len(set(got) & exact) / len(exact) >= 0.8
+    # determinism
+    again = {
+        (r.id_a, r.id_b)
+        for r in ivf_near_dup_pairs(
+            df, "embedding", "vec_id", 0.5, n_centroids=8, n_assign=3, seed=7
+        ).collect()
+    }
+    assert again == set(got)
