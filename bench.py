@@ -134,9 +134,11 @@ BENCH_QUERIES = [
     # r7: the composed curation pipeline's batch twin (line dedup →
     # exact dedup → gate → pack, one job)
     "curation_pipeline_docs",
-    # r7: IVF-cell near-dup pairs (loose-threshold scale path, in-slot
-    # recall check vs the exact baseline)
+    # r7: IVF-cell near-dup pairs (structure-adaptive SemDeDup shape,
+    # in-slot planted-recall check)
     "dedup_embedding_ivf_pairs",
+    # r7: unigram-LM perplexity filter (decimal-sum oracle parity)
+    "perplexity_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -352,3 +352,96 @@ def bpe_tokenize(col: Column, merges: list[tuple[str, str]], lowercase: bool = T
         return s.map(enc)
 
     return _tok(col)
+
+
+def train_unigram_lm(
+    df,
+    text_col: str,
+    vocab_size: int = 4096,
+    alpha: float = 0.5,
+) -> dict:
+    """Corpus unigram language model for CCNet-style perplexity
+    filtering: token counts via ONE explode+groupBy shuffle (map-side
+    partial combine collapses repeated tokens, so the shuffle carries
+    distinct tokens per partition, not the corpus), vocabulary = top
+    ``vocab_size`` by (count desc, token asc) — a TakeOrdered that
+    brings V rows to the driver, nothing more. Additive smoothing:
+    p(t) = (c_t + α)/(N + α·(V+1)); all out-of-vocab tokens share the
+    α/(N + α·(V+1)) mass.
+
+    Returns ``{"vocab": [(token, logprob)...], "oov_lp": lp,
+    "total_tokens": N}`` with logprobs PRE-ROUNDED to 7 decimals — the
+    scorer sums them as exact DECIMALs so per-doc scores are
+    order-independent and engine-portable (the repo's decimal-sum FP
+    parity discipline).
+
+    At 100 TB the CCNet recipe scores a crawl with an LM trained on a
+    REFERENCE corpus (e.g. wikipedia) — train there, broadcast the tiny
+    LM here; self-training on the scored corpus (this function's demo
+    use) is the same plumbing."""
+    import math
+
+    toks = df.select(
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c")).persist()
+    try:
+        total = counts.agg(F.sum("c")).collect()[0][0] or 0
+        top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size).collect()
+    finally:
+        counts.unpersist()
+    denom = total + alpha * (len(top) + 1)
+    vocab = [
+        (r.tok, round(math.log((r.c + alpha) / denom), 7)) for r in top
+    ]
+    oov_lp = round(math.log(alpha / denom), 7)
+    return {"vocab": vocab, "oov_lp": oov_lp, "total_tokens": int(total)}
+
+
+def unigram_nll_docs(
+    df,
+    text_col: str,
+    id_col: str,
+    lm: dict,
+) -> "DataFrame":
+    """Per-document mean negative log-likelihood under a unigram LM —
+    the perplexity-filter score (low = fluent/common, high = junk or
+    OOV-heavy; filter by threshold or feed `keep_top_fraction`).
+
+    Engine-portable by construction: per-token logprobs are exact
+    DECIMAL(20,7) literals (pre-rounded by the trainer), the per-doc
+    SUM is decimal (order-independent — a double sum would hash
+    differently across engines), and only the final mean divides in
+    double and rounds to 6 dp.
+
+    Plan shape: explode → BROADCAST-join the V-row LM (the corpus never
+    shuffles for the join) → per-doc partial agg (a doc's exploded
+    tokens are co-partitioned, so the groupBy shuffle carries ~one row
+    per doc) → left-join back so empty/NULL docs keep a row with NULL
+    score and n_tokens 0."""
+    spark = df.sparkSession
+    lm_df = spark.createDataFrame(
+        [(t, str(lp)) for t, lp in lm["vocab"]], "tok string, _lp_s string"
+    ).select("tok", F.col("_lp_s").cast("decimal(20,7)").alias("_lp"))
+    oov = F.lit(str(lm["oov_lp"])).cast("decimal(20,7)")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    agg = (
+        toks.join(F.broadcast(lm_df), "tok", "left")
+        .select("_id", F.coalesce(F.col("_lp"), oov).alias("_lp"))
+        .groupBy("_id")
+        .agg(F.sum("_lp").alias("_s"), F.count("*").alias("_n"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.round(-(F.col("_s").cast("double")) / F.col("_n"), 6).alias(
+                "nll_per_token"
+            ),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1883,6 +1883,60 @@ def _ivf_near_dup_pairs_docs(spark, sf):
     )
 
 
+def _perplexity_docs(spark, sf):
+    """CCNet-style unigram-LM perplexity filter
+    (functions/text.train_unigram_lm + unigram_nll_docs): train the
+    smoothed unigram LM on the corpus (bounded: V rows to the driver),
+    score every doc's mean negative log-likelihood. Oracle-exact across
+    engines because per-token logprobs are pre-rounded DECIMAL literals
+    summed exactly (order-independent), with only the final mean in
+    double — the repo's decimal-sum FP-parity discipline."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        train_unigram_lm,
+        unigram_nll_docs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    lm = train_unigram_lm(docs, "text", vocab_size=4096, alpha=0.5)
+    return unigram_nll_docs(docs, "text", "doc_id", lm).orderBy("doc_id")
+
+
+_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS n_distinct FROM counts
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 4096
+), vsize AS (
+  SELECT COUNT(*) AS v FROM vocab
+), lm AS (
+  SELECT tok,
+         CAST(ROUND(ln((c + 0.5) / (tot.n + 0.5 * (vsize.v + 1))), 7)
+              AS DECIMAL(20,7)) AS lp
+  FROM vocab, tot, vsize
+), oov AS (
+  SELECT CAST(ROUND(ln(0.5 / (tot.n + 0.5 * (vsize.v + 1))), 7)
+              AS DECIMAL(20,7)) AS lp
+  FROM tot, vsize
+), scored AS (
+  SELECT t.doc_id, COALESCE(lm.lp, (SELECT lp FROM oov)) AS lp
+  FROM toks t LEFT JOIN lm USING (tok)
+), agg AS (
+  SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(-CAST(agg.s AS DOUBLE) / agg.n, 6) AS nll_per_token,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _curation_pipeline_docs(spark, sf):
     """The flagship composition's batch twin (streaming/curation.py
     batch_curation): keep-first line dedup → exact dedup of the deduped
@@ -3034,4 +3088,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # path sign-LSH can't serve; rows-only with an in-slot distributed
     # recall check vs the exact blocked-gemm baseline
     "dedup_embedding_ivf_pairs": QuerySpec(_ivf_near_dup_pairs_docs, None),
+    # r7: CCNet-style unigram-LM perplexity filter (oracle-exact via the
+    # decimal-sum discipline)
+    "perplexity_docs": QuerySpec(_perplexity_docs, _PERPLEXITY_SQL),
 }

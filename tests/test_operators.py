@@ -550,3 +550,37 @@ def test_ivf_near_dup_pairs_loose_threshold(spark):
         ).collect()
     }
     assert again == set(got)
+
+
+def test_unigram_lm_perplexity_filter(spark):
+    """Unigram-LM NLL scoring laws: common-token docs score lower than
+    OOV-heavy docs; empty/NULL docs keep a row with NULL score and 0
+    tokens; training is deterministic; scoring with a held-out LM works
+    (the CCNet shape: reference-corpus LM scores a different corpus)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        train_unigram_lm,
+        unigram_nll_docs,
+    )
+
+    train_rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(50)]
+    df_train = spark.createDataFrame(train_rows, "doc_id bigint, text string")
+    lm = train_unigram_lm(df_train, "text", vocab_size=100, alpha=0.5)
+    assert lm["total_tokens"] == 450
+    assert len(lm["vocab"]) == 8  # distinct tokens < vocab_size
+    lm2 = train_unigram_lm(df_train, "text", vocab_size=100, alpha=0.5)
+    assert lm == lm2  # deterministic
+
+    score_rows = [
+        (1, "the quick brown fox"),          # all in-vocab
+        (2, "zxqv wvut kjhg plmn"),          # all OOV
+        (3, ""),                             # empty
+        (4, None),                           # NULL
+    ]
+    df_score = spark.createDataFrame(score_rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.nll_per_token, r.n_tokens) for r in
+           unigram_nll_docs(df_score, "text", "doc_id", lm).collect()}
+    assert got[1][1] == 4 and got[2][1] == 4
+    assert got[1][0] < got[2][0]  # fluent < junk
+    assert got[3] == (None, 0) and got[4] == (None, 0)
+    # OOV doc's score equals -oov_lp exactly (4 identical decimal terms)
+    assert abs(got[2][0] - round(-lm["oov_lp"], 6)) < 1e-9
