@@ -105,11 +105,14 @@ def dedup_keep_best(df: DataFrame, text_col: str, id_col: str, score_col) -> Dat
     """Exact dedup keeping the BEST row per duplicate cluster (highest
     ``score_col``, id as tie-break) instead of the smallest id — the shape
     a curation pipeline wants when duplicates differ in quality metadata.
-    One window over the normalized-text partition; the partition key is
-    the dedup hash so state distributes like dedup_exact's groupBy."""
+    One window partitioned by ``md5(normalized text)`` (same grouping,
+    but the window sort compares 32-char keys instead of document
+    bodies; NULL text stays its own group since md5(NULL) is NULL) so
+    state distributes like dedup_exact's groupBy."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(normalized_text(F.col(text_col))).orderBy(
+    key = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
+    w = Window.partitionBy(key).orderBy(
         F.desc(score_col), F.asc(id_col)
     )
     return (
