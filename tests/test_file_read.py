@@ -285,3 +285,35 @@ def test_fs_dispatch_partition_columns(make_file):
     base = p.rsplit("/part=", 1)[0]
     t = read_file_to_table(p, "parquet", schema, {}, ["part"], base)
     assert t.column("part").to_pylist() == ["p1", "p1", "p1"]
+
+
+def test_resolve_read_path_caches_filesystem_per_authority(monkeypatch):
+    """Planning passes resolve per FILE: the filesystem client must be
+    built ONCE per scheme://authority (the advisor-flagged O(files)
+    client-construction cost), and a swapped _fs_from_uri seam (another
+    test's mock) must never see a stale cached filesystem."""
+    from pyarrow.fs import _MockFileSystem
+
+    import spark_streaming_sql_s3_connector_spark.sources.file_read as fr
+
+    calls = []
+    mock = _MockFileSystem()
+
+    def seam(uri):
+        calls.append(uri)
+        return mock, uri.split("://", 1)[1]
+
+    monkeypatch.setattr(fr, "_fs_from_uri", seam)
+    fs1, p1 = fr.resolve_read_path("mock://bucket/a/x.parquet")
+    fs2, p2 = fr.resolve_read_path("mock://bucket/b/y.parquet")
+    assert fs1 is mock and fs2 is mock
+    assert p1 == "bucket/a/x.parquet" and p2 == "bucket/b/y.parquet"
+    assert len(calls) == 1  # one client construction for the authority
+    # different authority → its own client construction
+    fr.resolve_read_path("mock://other/k.parquet")
+    assert len(calls) == 2
+    # seam swap invalidates: no stale filesystem leaks across tests
+    mock2 = _MockFileSystem()
+    monkeypatch.setattr(fr, "_fs_from_uri", lambda uri: (mock2, uri.split("://", 1)[1]))
+    fs3, _ = fr.resolve_read_path("mock://bucket/c/z.parquet")
+    assert fs3 is mock2
