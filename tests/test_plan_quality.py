@@ -355,3 +355,13 @@ def test_dedup_exact_shuffles_hash_not_text(spark):
     plan = formatted_plan(spark, "dedup_exact_docs")
     assert "md5" in plan
     assert "partial_min" in plan or "partial" in plan  # map-side combine
+
+
+def test_perplexity_lm_join_broadcasts(spark):
+    """The V-row LM joins the exploded corpus by BROADCAST (the corpus
+    never shuffles for the scoring join) and the per-doc aggregation
+    keeps map-side partial combine; no Python eval anywhere."""
+    plan = formatted_plan(spark, "perplexity_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "partial" in plan
