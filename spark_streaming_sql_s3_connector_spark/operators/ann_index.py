@@ -52,7 +52,14 @@ from spark_streaming_sql_s3_connector_spark.operators.similarity import (
 
 _META_NAME = "quantizers.json"
 _CORPUS_NAME = "corpus"
-_FORMAT_VERSION = 1
+# v2 (r7): coded rows live under corpus/batch=<label>/ivf_bucket=<b> —
+# the batch level makes appends REPLAY-CONVERGENT (a foreachBatch
+# retry overwrites its own batch dir instead of double-appending).
+# v1 indexes (corpus/ivf_bucket=<b>, no batch level) still load and
+# serve; they just can't take appends (mixed partition depths would
+# break discovery), which append_to_ann_index rejects loudly.
+_FORMAT_VERSION = 2
+_BASE_BATCH = "base"
 
 
 def _meta_path(index_dir: str) -> str:
@@ -61,6 +68,10 @@ def _meta_path(index_dir: str) -> str:
 
 def corpus_path(index_dir: str) -> str:
     return os.path.join(index_dir, _CORPUS_NAME)
+
+
+def _batch_path(index_dir: str, label: str) -> str:
+    return os.path.join(corpus_path(index_dir), f"batch={label}")
 
 
 def index_exists(index_dir: str) -> bool:
@@ -73,10 +84,10 @@ def index_exists(index_dir: str) -> bool:
 def load_index_meta(index_dir: str) -> dict:
     with open(_meta_path(index_dir)) as f:
         meta = json.load(f)
-    if meta.get("format_version") != _FORMAT_VERSION:
+    if meta.get("format_version") not in (1, _FORMAT_VERSION):
         raise ValueError(
             f"ANN index at {index_dir} has format_version "
-            f"{meta.get('format_version')}, expected {_FORMAT_VERSION}"
+            f"{meta.get('format_version')}, expected 1 or {_FORMAT_VERSION}"
         )
     return meta
 
@@ -113,13 +124,24 @@ def build_ann_index(
         sample_rows=sample_rows,
     )
     encoded = pq_encode(ivf_assign(df, vec_col, centroids), vec_col, codebooks)
+    # a REBUILD replaces the index wholesale: stale appended batch dirs
+    # hold codes from the OLD quantizers and must not survive under the
+    # new meta (meta is removed first so a crash mid-wipe leaves an
+    # index that reads as incomplete, never as silently mixed)
+    import shutil
+
+    try:
+        os.remove(_meta_path(index_dir))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(corpus_path(index_dir), ignore_errors=True)
     (
         encoded.select(
             F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
         )
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
-        .parquet(corpus_path(index_dir))
+        .parquet(_batch_path(index_dir, _BASE_BATCH))
     )
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -143,20 +165,33 @@ def build_ann_index(
 def append_to_ann_index(
     df: DataFrame,
     index_dir: str,
+    batch_id: int | str = 0,
     meta: Optional[dict] = None,
 ) -> None:
     """Grow a persisted index with new vectors WITHOUT retraining: the
     stored quantizers assign + encode the new batch (distributed) and
-    the coded rows append into the existing bucket partitions. This is
-    how a streaming corpus keeps its index current — quantizers are
-    trained once on a representative sample and reused; periodic full
-    rebuilds (when drift accumulates) are just build_ann_index again.
+    the coded rows land under ``corpus/batch=<batch_id>`` — an
+    OVERWRITE of that batch's own directory, so a foreachBatch replay
+    of the same batch converges instead of double-appending (the same
+    overwrite-by-batch-dir discipline as the streaming dedup indexes).
+    Quantizers are trained once on a representative sample and reused;
+    periodic full rebuilds (when drift accumulates) are just
+    build_ann_index again.
 
-    Law (tested): serve-after-append == in-memory ivf_pq_topk over the
-    UNION corpus with the same artifacts — appending is encode-only, so
-    the index state is exactly what a full encode would produce."""
+    Laws (tested): serve-after-append == in-memory ivf_pq_topk over the
+    UNION corpus with the same artifacts (appending is encode-only),
+    and re-appending the same batch changes nothing."""
     if meta is None:
         meta = load_index_meta(index_dir)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"append requires a format_version-{_FORMAT_VERSION} index "
+            f"(batch-keyed layout); rebuild {index_dir} with "
+            "build_ann_index to upgrade"
+        )
+    label = str(batch_id)
+    if label == _BASE_BATCH:
+        raise ValueError(f"batch_id {_BASE_BATCH!r} is reserved for the build")
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     encoded = pq_encode(
         ivf_assign(df, vec_col, meta["centroids"]), vec_col, meta["codebooks"]
@@ -165,9 +200,33 @@ def append_to_ann_index(
         encoded.select(
             F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
         )
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("ivf_bucket")
-        .parquet(corpus_path(index_dir))
+        .parquet(_batch_path(index_dir, label))
+    )
+
+
+def streaming_ann_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Keep a persisted ANN index current as vectors stream in: each
+    micro-batch encodes with the STORED quantizers (no training on the
+    hot path) and overwrites its own ``batch=<id>`` dir — restart-safe
+    by the append law above. The index must already exist
+    (``build_ann_index`` on a representative bootstrap corpus); serving
+    via :func:`ann_index_topk` sees each batch as soon as its write
+    commits. Returns the StreamingQuery."""
+    meta = load_index_meta(index_dir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        append_to_ann_index(batch, index_dir, batch_id=batch_id, meta=meta)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 

@@ -152,25 +152,28 @@ def test_rebuild_overwrites_cleanly(spark, built):
     assert len(got) == 3
 
 
-def test_append_equals_full_encode(spark, tmp_path):
-    """Grow-without-retrain law: build on the first half, append the
-    second half (stored quantizers, encode-only) — serving equals the
-    in-memory ivf_pq_topk over the UNION with the same artifacts."""
+def test_append_equals_full_encode_and_replay_converges(spark, tmp_path):
+    """Grow-without-retrain laws: build on the first half, append the
+    second half in two batches (stored quantizers, encode-only) —
+    serving equals the in-memory ivf_pq_topk over the UNION with the
+    same artifacts; REPLAYING a batch (foreachBatch retry) changes
+    nothing (overwrite-by-batch-dir, not blind append)."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         append_to_ann_index,
     )
 
     rows = _vectors()
     first = [r for r in rows if r[0] < 200]
-    second = [r for r in rows if r[0] >= 200]
+    b1 = [r for r in rows if 200 <= r[0] < 300]
+    b2 = [r for r in rows if r[0] >= 300]
     df1 = spark.createDataFrame(first, ["vec_id", "embedding"])
-    df2 = spark.createDataFrame(second, ["vec_id", "embedding"])
     idx = str(tmp_path / "idx")
     meta = build_ann_index(
         df1, "embedding", "vec_id", idx,
         n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
     )
-    append_to_ann_index(df2, idx)
+    append_to_ann_index(spark.createDataFrame(b1, ["vec_id", "embedding"]), idx, batch_id=0)
+    append_to_ann_index(spark.createDataFrame(b2, ["vec_id", "embedding"]), idx, batch_id=1)
     union = spark.createDataFrame(rows, ["vec_id", "embedding"])
     q = rows[250][1]
     served = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
@@ -181,6 +184,52 @@ def test_append_equals_full_encode(spark, tmp_path):
     assert [(r.neighbor_id, r.adc_score) for r in served] == [
         (r.neighbor_id, r.adc_score) for r in in_mem
     ]
+    # replay batch 1: identical serve (and identical corpus row count)
+    n_before = spark.read.parquet(corpus_path(idx)).count()
+    append_to_ann_index(spark.createDataFrame(b2, ["vec_id", "embedding"]), idx, batch_id=1)
+    assert spark.read.parquet(corpus_path(idx)).count() == n_before
+    replayed = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in replayed] == [
+        (r.neighbor_id, r.adc_score) for r in served
+    ]
+    # the reserved build label is rejected
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ann_index(union, idx, batch_id="base")
+
+
+def test_append_rejects_legacy_flat_layout(spark, tmp_path):
+    """A v1 (flat, no batch level) index still SERVES but must refuse
+    appends — mixed partition depths would corrupt discovery."""
+    import json as _json
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+    )
+
+    rows = _vectors(n=100)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(
+        df, "embedding", "vec_id", idx,
+        n_centroids=4, m_subspaces=4, pq_centroids=16, seed=3,
+    )
+    # forge the legacy layout: flatten batch=base into the corpus root
+    # and mark the meta as v1
+    legacy = str(tmp_path / "legacy")
+    _os.makedirs(legacy)
+    _os.rename(corpus_path(idx) + "/batch=base", legacy + "/corpus")
+    _os.rmdir(corpus_path(idx))
+    _os.rename(legacy + "/corpus", corpus_path(idx))
+    m = dict(meta)
+    m["format_version"] = 1
+    with open(_os.path.join(idx, "quantizers.json"), "w") as f:
+        _json.dump(m, f)
+    # serving still works on the flat layout
+    q = rows[10][1]
+    assert len(ann_index_topk(spark, idx, q, k=3, n_probe=2).collect()) == 3
+    with pytest.raises(ValueError, match="format_version"):
+        append_to_ann_index(df, idx)
 
 
 def test_pq_recall_survives_held_out_training(spark, sf_dir):
@@ -213,3 +262,71 @@ def test_pq_recall_survives_held_out_training(spark, sf_dir):
         for r in pq_topk(held, "embedding", "vec_id", q, k=10, codebooks=books).collect()
     }
     assert len(exact & approx) / 10 >= 0.5
+
+
+def test_streaming_ann_index_through_connector(spark, tmp_path):
+    """The index-maintenance composition: bootstrap-build on half the
+    corpus, stream the other half through format("s3-connector") as
+    parquet files into streaming_ann_index, and serving equals the
+    in-memory ivf_pq_topk over the union with the bootstrap artifacts —
+    including after a duplicate event re-delivery (connector
+    exactly-once) on top of the append replay law."""
+    import time
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        streaming_ann_index,
+    )
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    register(spark)
+    rows = _vectors()
+    first = [r for r in rows if r[0] < 200]
+    rest = [r for r in rows if r[0] >= 200]
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(
+        spark.createDataFrame(first, ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    # two parquet files of new vectors
+    files = []
+    for i, chunk in enumerate((rest[:100], rest[100:])):
+        p = str(tmp_path / f"vecs_{i}.parquet")
+        spark.createDataFrame(chunk, ["vec_id", "embedding"]).coalesce(1).write.parquet(p + ".dir")
+        import glob as _glob
+
+        part = _glob.glob(p + ".dir/part-*.parquet")[0]
+        files.append(part)
+    queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
+    for p in files:
+        queue.send_file_event(p, int(time.time() * 1000))
+    reader = (
+        spark.readStream.format("s3-connector")
+        .schema("vec_id bigint, embedding array<double>")
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{tmp_path}/queue")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .option("spark.s3conn.metadataPath", str(tmp_path / "meta"))
+        .option("spark.s3conn.maxFilesPerTrigger", "1")
+    )
+    q = streaming_ann_index(reader.load(), idx, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        queue.send_file_event(files[0], int(time.time() * 1000))  # dup event
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    union = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[250][1]
+    served = ann_index_topk(spark, idx, qv, k=5, n_probe=5).collect()
+    in_mem = ivf_pq_topk(
+        union, "embedding", "vec_id", qv, k=5,
+        centroids=meta["centroids"], codebooks=meta["codebooks"], n_probe=5,
+    ).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in served] == [
+        (r.neighbor_id, r.adc_score) for r in in_mem
+    ]
