@@ -98,7 +98,10 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = (
+        # no console progress: its \r overwrites PASS/FAIL lines when
+        # stdout is captured to a file (burned us in the r7 full sweep)
         SparkSession.builder.master("local[8]")
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("check-oracle")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
