@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "dedup_embedding_ivf_pairs",
     # r7: unigram-LM perplexity filter (decimal-sum oracle parity)
     "perplexity_docs",
+    # r7: subquery-decorrelation evidence
+    "tpch_q21ish",
+    "tpch_q22ish",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -686,6 +686,136 @@ ORDER BY s_suppkey
 """
 
 
+def _tpch_q21ish(spark, sf):
+    """Q21 flavor adapted to this schema (no receipt/commit dates —
+    'late' := shipped >60 days after the order date): suppliers who
+    were the ONLY late shipper on a multi-supplier order. The point is
+    the decorrelation evidence: EXISTS(other supplier on the order)
+    plans as a LEFT SEMI join and NOT EXISTS(other LATE supplier) as a
+    LEFT ANTI join, both on the order key with the non-equi
+    supplier-inequality as a join residual — no correlated re-execution
+    per outer row."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_ok"), F.col("l_suppkey").alias("o2_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_ok"), F.col("l_suppkey").alias("o3_sk")
+    )
+    l1 = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_ok"))
+            & (F.col("l_suppkey") != F.col("o2_sk")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_ok"))
+            & (F.col("l_suppkey") != F.col("o3_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    )
+
+
+_TPCH_Q21ISH_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+) AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
+def _tpch_q22ish(spark, sf):
+    """Q22 flavor adapted to this schema (no c_phone — stratify by
+    nation): above-average-balance customers with NO urgent orders, per
+    nation. Decorrelation evidence: the global-average scalar subquery
+    becomes one broadcast 1-row aggregate, NOT EXISTS(urgent orders) a
+    LEFT ANTI join with the priority predicate pushed below it. The
+    average is a DECIMAL sum/count (exact, order-independent) so the
+    filter boundary is engine-portable; the per-nation balance sum is
+    decimal for the same reason."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    thr = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            / F.count("*")
+        ).alias("_thr")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal").cast("decimal(18,6)") > F.col("_thr"))
+        .join(
+            orders.where(F.col("o_orderpriority").like("1%")).select(
+                F.col("o_custkey").alias("_ok")
+            ),
+            F.col("c_custkey") == F.col("_ok"),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+_TPCH_Q22ISH_SQL = """
+WITH thr AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_acctbal
+FROM customer, thr
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) > thr.t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%'
+  )
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
 RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "tpch_q4ish": QuerySpec(_tpch_q4ish, _TPCH_Q4ISH_SQL),
     "tpch_q6ish": QuerySpec(_tpch_q6ish, _TPCH_Q6ISH_SQL),
@@ -715,4 +845,8 @@ RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
 RELATIONAL_QUERIES_EXT_PAST_CAP: dict[str, QuerySpec] = {
     "tpch_q7ish": QuerySpec(_tpch_q7ish, _TPCH_Q7ISH_SQL),
     "tpch_q20ish": QuerySpec(_tpch_q20ish, _TPCH_Q20ISH_SQL),
+    # r7: subquery-decorrelation evidence (EXISTS/NOT EXISTS → semi/anti
+    # joins, scalar subquery → broadcast 1-row agg)
+    "tpch_q21ish": QuerySpec(_tpch_q21ish, _TPCH_Q21ISH_SQL),
+    "tpch_q22ish": QuerySpec(_tpch_q22ish, _TPCH_Q22ISH_SQL),
 }

@@ -365,3 +365,22 @@ def test_perplexity_lm_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan or "partial" in plan
+
+
+def test_q21_exists_shapes_plan_as_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS decorrelate to one LEFT SEMI and one LEFT ANTI
+    join on the order key — never a correlated re-execution per outer
+    row, never a cartesian."""
+    plan = formatted_plan(spark, "tpch_q21ish")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_subquery_broadcasts(spark):
+    """The global-average scalar subquery is one broadcast 1-row
+    aggregate joined into the filter; NOT EXISTS is a LEFT ANTI with the
+    priority predicate pushed below it."""
+    plan = formatted_plan(spark, "tpch_q22ish")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "StartsWith(o_orderpriority,1)" in plan or "o_orderpriority" in plan
