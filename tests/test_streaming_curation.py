@@ -34,7 +34,9 @@ def _corpus():
     boiler = "subscribe to our newsletter today"
     rows = []
     for i in range(30):
-        lang = ["en", "de", "fr"][i % 3]
+        # doc 17: NULL language — the gate must treat the NULL stratum
+        # as a group of its own in BOTH the streaming and batch twins
+        lang = None if i == 17 else ["en", "de", "fr"][i % 3]
         lines = [f"unique sentence number {i} with some extra words here"]
         if i % 2 == 0:
             lines.append(shared)  # repeated line: only doc 0 keeps it
