@@ -1859,7 +1859,10 @@ def _ivf_near_dup_pairs_docs(spark, sf):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         jitter(F.col("embedding"), F.col("vec_id")).alias("embedding"),
     )
-    corpus = emb.unionByName(jittered)
+    # persist: the corpus feeds the quantizer training sample, the
+    # assignment pass, and BOTH sides of the rerank vector join —
+    # without it the jitter UDF and the parquet read re-run 4×
+    corpus = emb.unionByName(jittered).persist()
     got = (
         ivf_near_dup_pairs(
             corpus, "embedding", "vec_id", 0.9, n_centroids=32, n_assign=2, seed=42
@@ -1876,6 +1879,7 @@ def _ivf_near_dup_pairs_docs(spark, sf):
         missed = planted.join(got, ["id_a", "id_b"], "left_anti").count()
     finally:
         got.unpersist()
+        corpus.unpersist()
     recall_ok = n_planted == 0 or (n_planted - missed) / n_planted >= 0.8
     return spark.createDataFrame(
         [(int(n_got), bool(recall_ok))],
