@@ -522,10 +522,15 @@ def _similarity_recall_profile(spark, sf):
     double-precision cosine, same tie order). The LSH/IVF outputs are
     seeded-deterministic but not SQL-expressible, so each contributes a
     BOOLEAN: recall@10 against the brute set must clear a floor (LSH
-    ≥0.3, IVF ≥0.5 — measured 0.5/0.7 at sf0.01, floors set below the
-    measurement so testdata regeneration can't flap them, yet a broken
-    bucketing/banding path that craters recall to ~0 flips the bit and
-    reddens the row). The three top-k collects are k=10 rows each —
+    ≥0.3, IVF ≥0.5 — floors set below the measurement so testdata
+    regeneration can't flap them, yet a broken bucketing/banding path
+    that craters recall to ~0 flips the bit and reddens the row). IVF
+    probes 8 of 16 cells: measured recall 10/7/6/8 (of 10) at
+    sf0.001/0.01/0.1/0.5 — n_probe=6 sat EXACTLY on the 5/10 floor at
+    sf0.1 and flapped 4–5 at the synthesized sf0.5 (the 5-replica noise
+    shift spreads true neighbors over more Voronoi cells), so the gate
+    pins the next-larger probe width that clears every measured scale
+    with margin. The three top-k collects are k=10 rows each —
     bounded driver traffic by construction."""
     from spark_streaming_sql_s3_connector_spark.operators.similarity import (
         ivf_topk,
@@ -542,7 +547,7 @@ def _similarity_recall_profile(spark, sf):
     }
     ivf_ids = {
         r.neighbor_id
-        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=6).collect()
+        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=8).collect()
     }
     # r6: PQ-ADC joins the recall gate (m=16 subspaces of the d=64
     # embeddings; measured 8-9/10 at sf0.001-0.01, floor set at 5)

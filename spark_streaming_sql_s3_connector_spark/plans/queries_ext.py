@@ -816,6 +816,184 @@ ORDER BY nation
 """
 
 
+def _tpch_q8ish(spark, sf):
+    """Q8 flavor (national market share): of the revenue EUROPE-region
+    customers spent on ECONOMY parts, what fraction was supplied by
+    NATION_7, per order year. Shape evidence: the nation dim broadcasts
+    twice under different roles (customer-side for the region filter,
+    supplier-side for the share predicate), the part filter broadcasts
+    into the fact chain, and the share is a conditional aggregate —
+    one shuffle on the join keys, one on the year. Sums accumulate in
+    DECIMAL(18,4) (order-independent, engine-portable); the final ratio
+    divides the two exact sums in double.
+    Reference behavior spec: classic TPC-H Q8 (adapted: no partsupp,
+    synthetic dimension values)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    part = load_table(spark, sf, "part")
+    c_nat = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    s_nat = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    )
+    nat_vol = F.sum(
+        F.when(
+            F.col("supp_nation") == "NATION_7",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            ),
+        ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    )
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(c_nat), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(s_nat), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round((nat_vol.cast("double") / vol.cast("double")), 6).alias(
+                "mkt_share"
+            ),
+            F.round(vol.cast("double"), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_TPCH_Q8ISH_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+         6) AS mkt_share,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def _tpch_q9ish(spark, sf):
+    """Q9 flavor (product-line profit by nation and year): for parts
+    whose name contains 'bolt', profit := revenue minus a carrying cost
+    derived from the part dim (no partsupp table in this schema —
+    p_retailprice stands in for ps_supplycost at a 10% rate, keeping
+    Q9's join-part-for-cost shape). Both terms accumulate in
+    DECIMAL(18,4); the 10% cost product is computed in double with the
+    SAME association on both engines, so the cast rounds identically.
+    Reference behavior spec: classic TPC-H Q9 (adapted)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    part = load_table(spark, sf, "part")
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        - (F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1)).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%bolt%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_TPCH_Q9ISH_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         - CAST(l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY n_name ASC, o_year DESC
+"""
+
+
+def _tpch_q13ish(spark, sf):
+    """Q13 flavor (customer order-count distribution): LEFT join so
+    zero-order customers survive with count 0 (the query's whole
+    point — an inner join silently drops the largest stratum), counting
+    only non-urgent orders. Two aggregations: per-customer count (one
+    shuffle on c_custkey), then the distribution (one shuffle on the
+    tiny count domain). COUNT(o_orderkey) counts non-NULL matches only,
+    mirroring SQL semantics exactly.
+    Reference behavior spec: classic TPC-H Q13 (adapted: priority
+    filter instead of comment regex)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(
+            orders.where(~F.col("o_orderpriority").like("1%")).select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_TPCH_Q13ISH_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 RELATIONAL_QUERIES_EXT: dict[str, QuerySpec] = {
     "tpch_q4ish": QuerySpec(_tpch_q4ish, _TPCH_Q4ISH_SQL),
     "tpch_q6ish": QuerySpec(_tpch_q6ish, _TPCH_Q6ISH_SQL),
@@ -849,4 +1027,9 @@ RELATIONAL_QUERIES_EXT_PAST_CAP: dict[str, QuerySpec] = {
     # joins, scalar subquery → broadcast 1-row agg)
     "tpch_q21ish": QuerySpec(_tpch_q21ish, _TPCH_Q21ISH_SQL),
     "tpch_q22ish": QuerySpec(_tpch_q22ish, _TPCH_Q22ISH_SQL),
+    # r7: remaining multi-join shapes (market share, product-line
+    # profit, left-join count distribution)
+    "tpch_q8ish": QuerySpec(_tpch_q8ish, _TPCH_Q8ISH_SQL),
+    "tpch_q9ish": QuerySpec(_tpch_q9ish, _TPCH_Q9ISH_SQL),
+    "tpch_q13ish": QuerySpec(_tpch_q13ish, _TPCH_Q13ISH_SQL),
 }

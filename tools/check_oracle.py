@@ -85,11 +85,52 @@ def compare(name, spark_df, con) -> tuple[bool, str]:
     o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
     d_norm = sorted(tuple(norm(r[i]) for i in o_order) for r in o_rows)
     if s_norm != d_norm:
+        # Secondary verdict for LOCAL diagnostics only (the driver's gate
+        # stays exact): at sf>=0.5 double SUMs diverge in the last ulp
+        # because Spark's partial-agg tree and DuckDB's accumulation sum
+        # in different orders. Report those as a distinct near-miss so a
+        # scale sweep separates "summation-order noise" from real bugs.
+        if _rows_match_fp_tol(s_norm, d_norm):
+            return True, f"match-fp-tol<=1e-9 ({len(spark_rows)} rows; exact-hash differs, float rel err <= 1e-9)"
         for a, b in zip(s_norm, d_norm):
             if a != b:
                 return False, f"value mismatch: spark {a} vs oracle {b}"
         return False, "value mismatch (row ordering)"
     return True, f"match ({len(spark_rows)} rows)"
+
+
+def _rows_match_fp_tol(s_norm, d_norm, rel=1e-9):
+    """True when every pair of normalized rows is identical except for
+    float payloads within ``rel`` relative error (summation-order ulp
+    drift). Any non-float divergence keeps the hard FAIL."""
+    # Re-sort both sides with float payloads blurred to 6 significant
+    # digits so ulp drift cannot shuffle the row alignment itself.
+    def blur(row):
+        out = []
+        for v in row:
+            if v[0] == "f" and v[1] != 0:
+                from math import floor, log10
+
+                digits = 5 - floor(log10(abs(v[1])))
+                out.append(("f", round(v[1], digits)))
+            else:
+                out.append(v)
+        return tuple(out)
+
+    s_norm = sorted(s_norm, key=blur)
+    d_norm = sorted(d_norm, key=blur)
+    for ra, rb in zip(s_norm, d_norm):
+        if len(ra) != len(rb):
+            return False
+        for a, b in zip(ra, rb):
+            if a == b:
+                continue
+            if a[0] == "f" and b[0] == "f":
+                fa, fb = a[1], b[1]
+                if abs(fa - fb) <= rel * max(abs(fa), abs(fb), 1.0):
+                    continue
+            return False
+    return True
 
 
 def main():
