@@ -384,3 +384,38 @@ def test_q22_scalar_subquery_broadcasts(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "StartsWith(o_orderpriority,1)" in plan or "o_orderpriority" in plan
+
+
+def test_q8_market_share_broadcasts_dims_no_cartesian(spark):
+    """Every dimension (part filter, region-gated nation, supplier-side
+    nation) broadcasts into the fact chain; the share is ONE aggregate
+    pass (conditional sum / total sum), not two scans."""
+    plan = formatted_plan(spark, "tpch_q8ish")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the ECONOMY part filter is pushed to the part scan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    # one aggregation over the joined fact rows: both sums appear as
+    # partial aggregates (map-side combine before the year shuffle)
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_q9_profit_pushes_name_filter_and_broadcasts_part(spark):
+    """The %bolt% part filter prunes at the part scan and the filtered
+    dim broadcasts — lineitem is never shuffled against an unfiltered
+    part table."""
+    plan = formatted_plan(spark, "tpch_q9ish")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "StringContains(p_name,bolt)" in plan
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    """The order-count distribution LEFT-joins so zero-order customers
+    survive (the largest stratum); the priority filter sits UNDER the
+    join (filter-then-join, not join-then-filter which would turn the
+    outer join inner)."""
+    plan = formatted_plan(spark, "tpch_q13ish")
+    assert "LeftOuter" in plan
+    # pushed all the way into the parquet scan, not just a post-filter
+    assert "Not(StringStartsWith(o_orderpriority,1))" in plan
