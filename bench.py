@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     # r7: subquery-decorrelation evidence
     "tpch_q21ish",
     "tpch_q22ish",
+    # r7: remaining multi-join shapes (market share / profit / left-join
+    # count distribution)
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q13ish",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring
