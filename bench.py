@@ -147,6 +147,13 @@ BENCH_QUERIES = [
     "tpch_q8ish",
     "tpch_q9ish",
     "tpch_q13ish",
+    # r7: final six — all 22 TPC-H shapes now benched
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q19ish",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

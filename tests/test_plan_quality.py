@@ -419,3 +419,70 @@ def test_q13_left_join_keeps_zero_order_customers(spark):
     assert "LeftOuter" in plan
     # pushed all the way into the parquet scan, not just a post-filter
     assert "Not(StringStartsWith(o_orderpriority,1))" in plan
+
+
+def test_q2_single_pass_winner_via_window_group_limit(spark):
+    """The min-cost-supplier winner is rank-1 per part under
+    (cost, suppkey) — WindowGroupLimit prunes to the per-part top row
+    map-side, so the supply aggregate (and lineitem under it) is
+    computed ONCE; the agg+join-back decorrelation would rescan it.
+    Part and region-gated supplier dims broadcast; filters reach the
+    part scan."""
+    plan = formatted_plan(spark, "tpch_q2ish")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "EqualTo(p_type,SMALL)" in plan and "LessThan(p_size,15)" in plan
+
+
+def test_q11_total_is_one_broadcast_row(spark):
+    """The 0.1%-of-total threshold is a broadcast 1-row aggregate over
+    the SAME part-keyed aggregate — never a per-row rescan; the nation
+    gate semi-joins the fact before any aggregation."""
+    plan = formatted_plan(spark, "tpch_q11ish")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q15_max_revenue_is_exact_decimal_equality(spark):
+    """The MAX scalar subquery joins on DECIMAL equality (exact sums —
+    a double sum would make 'equals the max' engine-dependent); the
+    quarter filter is pushed to the lineitem scan."""
+    plan = formatted_plan(spark, "tpch_q15ish")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q16_not_in_decorrelates_to_anti_join(spark):
+    """NOT IN over the non-null supplier key plans as a broadcast LEFT
+    ANTI join; the supply pairs dedup on the narrow 2-column projection
+    BEFORE the part dim join (distinct under the join, not above it)."""
+    plan = formatted_plan(spark, "tpch_q16ish")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # pairs dedup reads only the two keys
+    read = [l for l in plan.splitlines()
+            if "ReadSchema" in l and "l_partkey" in l][0]
+    assert "l_quantity" not in read and "l_extendedprice" not in read
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """The correlated per-part AVG subquery decorrelates to one
+    part-keyed aggregate joined back on the part key (no re-execution
+    per outer row); the brand filter reaches the part scan and the
+    filtered dim broadcasts into both the fact and stats sides."""
+    plan = formatted_plan(spark, "tpch_q17ish")
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_implication_pushed_to_part_scan(spark):
+    """The part-only implication of the three-branch OR (brand IN the
+    three, size in the union range) is extracted and pushed to the part
+    scan — the CNF-extraction Q19 optimization — leaving the full OR as
+    the broadcast join residual."""
+    plan = formatted_plan(spark, "tpch_q19ish")
+    assert "In(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
