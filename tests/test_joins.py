@@ -61,3 +61,46 @@ def test_salted_join_rejects_unsupported_how(spark):
     big = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(big, big, "k", how="full")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime skew evidence, complementing static salting: with AQE's
+    skew-join optimizer on (and thresholds scaled down to test size),
+    a sort-merge join whose hot key dwarfs the median partition is
+    SPLIT at runtime — the final adaptive plan marks the join
+    ``skew=true``. At 100 TB this is the no-code-change path for skew
+    the author did not predict; ``salted_join`` remains the explicit
+    path for known-hot keys."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key 1: 200k rows with a fat payload; uniform 10k-key tail
+        big = spark.range(210_000).select(
+            F.when(F.col("id") < 200_000, F.lit(1))
+            .otherwise(F.col("id") % 10_000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        out = big.join(dim, "k")
+        # execute THIS DataFrame's own query execution (count() builds a
+        # separate agg plan and would leave out's adaptive plan unfinalized)
+        assert len(out.collect()) == 210_000
+        final_plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
