@@ -11,9 +11,11 @@ docstrings promise (similarity.py ivf_pq_topk):
   coarse + PQ quantizers on a bounded sample, assign + encode the full
   corpus distributed, and write ``(id, pq_code)`` parquet PARTITIONED BY
   ``ivf_bucket`` under ``<index_dir>/corpus``, plus the quantizer
-  artifacts as JSON under ``<index_dir>/quantizers.json`` (tmp+rename).
-  Cost: one corpus scan. The float vectors are never needed again for
-  ranking.
+  artifacts as JSON under ``<index_dir>/quantizers.json``, written LAST
+  and atomically via the ``state/log_fs`` layer (tmp+rename on POSIX,
+  single PUT on object stores) — so ``index_dir`` may be local,
+  ``s3://``, or ``hdfs://``. Cost: one corpus scan. The float vectors
+  are never needed again for ranking.
 - :func:`ann_index_topk` — the per-query path: load the (tiny) quantizer
   JSON, pick the ``n_probe`` buckets nearest the query ON THE DRIVER,
   and scan ONLY those buckets' files (``ivf_bucket`` is a partition
@@ -35,8 +37,6 @@ floor as the train-per-call paths.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +49,7 @@ from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     pq_topk,
     pq_train,
 )
+from spark_streaming_sql_s3_connector_spark.state.log_fs import filesystem_for
 
 _META_NAME = "quantizers.json"
 _CORPUS_NAME = "corpus"
@@ -62,28 +63,30 @@ _FORMAT_VERSION = 2
 _BASE_BATCH = "base"
 
 
-def _meta_path(index_dir: str) -> str:
-    return os.path.join(index_dir, _META_NAME)
-
-
 def corpus_path(index_dir: str) -> str:
-    return os.path.join(index_dir, _CORPUS_NAME)
+    # the ORIGINAL (possibly URI) path: this is what Spark's reader and
+    # writer receive, so scheme handling is Spark/Hadoop's (note s3a://
+    # on the Spark side vs s3:// on the pyarrow meta side — pass the
+    # scheme your cluster's Hadoop connector expects)
+    return index_dir.rstrip("/") + "/" + _CORPUS_NAME
 
 
 def _batch_path(index_dir: str, label: str) -> str:
-    return os.path.join(corpus_path(index_dir), f"batch={label}")
+    return corpus_path(index_dir) + f"/batch={label}"
 
 
 def index_exists(index_dir: str) -> bool:
     """True iff a completed build is present (the meta JSON is written
     LAST, after the corpus parquet commit, so its presence implies a
-    complete index)."""
-    return os.path.exists(_meta_path(index_dir))
+    complete index). ``index_dir`` may be local or any
+    ``filesystem_for`` scheme (s3://, hdfs://, …)."""
+    fs, root = filesystem_for(index_dir)
+    return fs.exists(fs.join(root, _META_NAME))
 
 
 def load_index_meta(index_dir: str) -> dict:
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
+    fs, root = filesystem_for(index_dir)
+    meta = json.loads(fs.read_text(fs.join(root, _META_NAME)))
     if meta.get("format_version") not in (1, _FORMAT_VERSION):
         raise ValueError(
             f"ANN index at {index_dir} has format_version "
@@ -127,14 +130,12 @@ def build_ann_index(
     # a REBUILD replaces the index wholesale: stale appended batch dirs
     # hold codes from the OLD quantizers and must not survive under the
     # new meta (meta is removed first so a crash mid-wipe leaves an
-    # index that reads as incomplete, never as silently mixed)
-    import shutil
-
-    try:
-        os.remove(_meta_path(index_dir))
-    except FileNotFoundError:
-        pass
-    shutil.rmtree(corpus_path(index_dir), ignore_errors=True)
+    # index that reads as incomplete, never as silently mixed). All
+    # state-plane file ops go through the log FS layer so index_dir may
+    # live on an object store.
+    fs, root = filesystem_for(index_dir)
+    fs.delete(fs.join(root, _META_NAME))
+    fs.delete_dir(fs.join(root, _CORPUS_NAME))
     (
         encoded.select(
             F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
@@ -154,11 +155,8 @@ def build_ann_index(
         "centroids": centroids,
         "codebooks": codebooks,
     }
-    os.makedirs(index_dir, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".json.tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(index_dir))
+    fs.mkdirs(root)
+    fs.write_atomic(fs.join(root, _META_NAME), json.dumps(meta), overwrite=True)
     return meta
 
 

@@ -1090,12 +1090,15 @@ LIMIT 100
 
 def _tpch_q11ish(spark, sf):
     """Q11 flavor (important stock by nation) without partsupp: per-part
-    shipped quantity for NATION_7 suppliers, kept where the part's share
-    exceeds 0.1% of the nation total. Shape evidence: the global-total
-    scalar subquery is ONE broadcast 1-row aggregate over the same
-    part-keyed aggregate (computed once, reused), not a rescan per row;
-    quantities accumulate in DECIMAL(18,2) (exact) and the threshold
-    compares identical doubles on both engines.
+    shipped quantity for NATION_7 suppliers, kept where the part's
+    quantity exceeds 2.5x the per-part average. Classic Q11's
+    fraction-of-total threshold shrinks per part as the catalog grows
+    (TPC-H itself scales it by 1/SF); a multiple-of-average keeps the
+    selectivity scale-stable while preserving the same shape evidence:
+    the global-average scalar subquery is ONE broadcast 1-row aggregate
+    over the same part-keyed aggregate (computed once, reused), not a
+    rescan per row; quantities accumulate in DECIMAL(18,2) (exact) and
+    the threshold compares identical doubles on both engines.
     Reference behavior spec: classic TPC-H Q11 (adapted)."""
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
@@ -1111,11 +1114,14 @@ def _tpch_q11ish(spark, sf):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )
-    total = per_part.agg(F.sum("qty").alias("tot"))
+    total = per_part.agg(
+        F.sum("qty").alias("tot"), F.count("*").alias("nparts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.col("qty").cast("double") > F.lit(0.001) * F.col("tot").cast("double")
+            F.col("qty").cast("double")
+            > F.lit(2.5) * (F.col("tot").cast("double") / F.col("nparts"))
         )
         .select("l_partkey", F.round(F.col("qty").cast("double"), 2).alias("value"))
         .orderBy(F.desc("value"), F.asc("l_partkey"))
@@ -1135,7 +1141,7 @@ WITH per_part AS (
 SELECT l_partkey, ROUND(CAST(qty AS DOUBLE), 2) AS value
 FROM per_part
 WHERE CAST(qty AS DOUBLE) >
-      0.001 * (SELECT CAST(SUM(qty) AS DOUBLE) FROM per_part)
+      2.5 * (SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM per_part)
 ORDER BY value DESC, l_partkey
 """
 

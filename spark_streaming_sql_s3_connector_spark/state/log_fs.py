@@ -60,6 +60,12 @@ class LogFileSystem(Protocol):
         """Remove a file; missing is not an error."""
         ...
 
+    def delete_dir(self, path: str) -> None:
+        """Remove a directory tree recursively; missing is not an error.
+        Other failures propagate (a half-wiped state dir must surface,
+        not read back as partially present)."""
+        ...
+
     def acquire_lease(self, path: str, token: str) -> bool:
         """Exclusive-create ``path`` holding ``token`` and return whether
         THIS caller won. Unlike ``write_atomic(overwrite=False)``, losing
@@ -120,6 +126,14 @@ class PosixLogFileSystem:
     def delete(self, path: str) -> None:
         try:
             os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        try:
+            shutil.rmtree(path)
         except FileNotFoundError:
             pass
 
@@ -202,6 +216,12 @@ class ArrowLogFileSystem:
         # surface (a silently-undeleted lock/batch doc breaks replay).
         try:
             self._fs.delete_file(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, path: str) -> None:
+        try:
+            self._fs.delete_dir(path)
         except FileNotFoundError:
             pass
 

@@ -330,3 +330,58 @@ def test_streaming_ann_index_through_connector(spark, tmp_path):
     assert [(r.neighbor_id, r.adc_score) for r in served] == [
         (r.neighbor_id, r.adc_score) for r in in_mem
     ]
+
+
+def test_meta_lifecycle_on_mock_object_store(monkeypatch):
+    """The index's state-plane file ops (exists / meta read / meta write
+    / wipe) run through the log-FS layer, so index_dir may be an
+    object-store URI. Exercised against the in-process mock FS via the
+    filesystem_for seam — Spark's parquet write is not in play here
+    (separate executor processes can't see the mock), only the meta
+    contract: written-last meta implies complete; wipe removes meta
+    FIRST so a crashed rebuild reads as incomplete, never mixed."""
+    import json as _json
+
+    from pyarrow.fs import _MockFileSystem
+
+    from spark_streaming_sql_s3_connector_spark.operators import ann_index as mod
+    from spark_streaming_sql_s3_connector_spark.state import log_fs
+    from spark_streaming_sql_s3_connector_spark.state.log_fs import (
+        ArrowLogFileSystem,
+    )
+
+    mock = _MockFileSystem()
+    monkeypatch.setattr(
+        log_fs, "_pyarrow_from_uri", lambda p: (mock, p.split("://", 1)[1])
+    )
+
+    uri = "mock://bucket/ann_index"
+    assert not mod.index_exists(uri)
+
+    fs = ArrowLogFileSystem(mock)
+    meta = {
+        "format_version": 2, "vec_col": "v", "id_col": "id",
+        "n_centroids": 2, "m_subspaces": 2, "pq_centroids": 4, "seed": 1,
+        "centroids": [[0.0], [1.0]],
+        "codebooks": [[[0.0]], [[0.0]]],
+    }
+    fs.mkdirs("bucket/ann_index")
+    fs.write_atomic(
+        "bucket/ann_index/quantizers.json", _json.dumps(meta), overwrite=True
+    )
+    assert mod.index_exists(uri)
+    assert mod.load_index_meta(uri)["n_centroids"] == 2
+
+    # the rebuild wipe order: meta first, then the corpus tree
+    fs.mkdirs("bucket/ann_index/corpus/batch=base/ivf_bucket=0")
+    fs.write_atomic(
+        "bucket/ann_index/corpus/batch=base/ivf_bucket=0/part-0.parquet",
+        "x", overwrite=True,
+    )
+    fsr, root = log_fs.filesystem_for(uri)
+    fsr.delete(fsr.join(root, "quantizers.json"))
+    assert not mod.index_exists(uri)
+    fsr.delete_dir(fsr.join(root, "corpus"))
+    assert fsr.listdir(fsr.join(root, "corpus")) == []
+    # deleting a missing tree is not an error
+    fsr.delete_dir(fsr.join(root, "corpus"))

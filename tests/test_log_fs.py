@@ -283,3 +283,15 @@ def test_admission_restart_on_mock_fs(tmp_path):
     ac2.queue_client.send_file_event("/data/f1.csv", 1000)
     assert ac2.fetch_max_offset() == 0  # duplicate screened via store
     ac2.close()
+
+
+def test_delete_dir_recursive_and_missing_ok(fsroot):
+    fs, root = fsroot
+    d = fs.join(root, "tree")
+    sub = fs.join(d, "a", "b")
+    fs.mkdirs(sub)
+    fs.write_atomic(fs.join(sub, "f.txt"), "x", overwrite=True)
+    fs.delete_dir(d)
+    assert fs.listdir(d) == []
+    assert not fs.exists(fs.join(sub, "f.txt"))
+    fs.delete_dir(d)  # idempotent: missing tree is not an error
