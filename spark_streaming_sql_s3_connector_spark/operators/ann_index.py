@@ -61,6 +61,13 @@ _CORPUS_NAME = "corpus"
 # break discovery), which append_to_ann_index rejects loudly.
 _FORMAT_VERSION = 2
 _BASE_BATCH = "base"
+# r8: compaction folds committed integer batch dirs into a fresh base
+# labeled "base-<upto>"; the pointer JSON below names the live base and
+# the fold horizon, and every reader filters the corpus to LIVE batch
+# labels — so stale dirs (crashed folds, replays of folded batches)
+# are invisible until GC'd. All base labels start with this prefix,
+# which is why append_to_ann_index reserves the whole prefix.
+_COMPACTION_NAME = "compaction.json"
 
 
 def corpus_path(index_dir: str) -> str:
@@ -82,6 +89,46 @@ def index_exists(index_dir: str) -> bool:
     ``filesystem_for`` scheme (s3://, hdfs://, …)."""
     fs, root = filesystem_for(index_dir)
     return fs.exists(fs.join(root, _META_NAME))
+
+
+def _read_compaction_pointer(index_dir: str) -> dict:
+    """The compaction pointer: which base label is live and below which
+    integer batch id every batch dir is folded (hence stale). Absent ⇒
+    the build's own base, nothing folded — i.e. a pre-compaction v2
+    index reads exactly as before."""
+    fs, root = filesystem_for(index_dir)
+    try:
+        return json.loads(fs.read_text(fs.join(root, _COMPACTION_NAME)))
+    except FileNotFoundError:
+        return {"base": _BASE_BATCH, "upto": 0}
+
+
+def _live_batch_filter(pointer: dict):
+    """Boolean Column over the ``batch`` partition column selecting LIVE
+    dirs: the pointer's base, every integer batch at/above the fold
+    horizon, and every non-integer append label. Stale base versions
+    (crashed or superseded folds) and folded/replayed integer batches
+    are excluded. References only the partition column, so Spark
+    evaluates it during partition pruning — stale dirs cost zero IO."""
+    base, upto = pointer["base"], int(pointer["upto"])
+    is_int = F.col("batch").rlike("^[0-9]+$")
+    return F.when(
+        F.col("batch").startswith(_BASE_BATCH), F.col("batch") == base
+    ).otherwise(~is_int | (F.col("batch").cast("long") >= upto))
+
+
+def read_index_corpus(spark: SparkSession, index_dir: str, meta: Optional[dict] = None) -> DataFrame:
+    """The LIVE coded corpus of a persisted index — the one reader every
+    serve/maintenance path shares. v2 layouts filter to live batch
+    labels via the compaction pointer (a partition filter, so stale
+    dirs are pruned before IO); v1 flat layouts have no batch column
+    and read whole."""
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    df = spark.read.parquet(corpus_path(index_dir))
+    if meta.get("format_version") == _FORMAT_VERSION:
+        df = df.where(_live_batch_filter(_read_compaction_pointer(index_dir)))
+    return df
 
 
 def load_index_meta(index_dir: str) -> dict:
@@ -135,6 +182,7 @@ def build_ann_index(
     # live on an object store.
     fs, root = filesystem_for(index_dir)
     fs.delete(fs.join(root, _META_NAME))
+    fs.delete(fs.join(root, _COMPACTION_NAME))
     fs.delete_dir(fs.join(root, _CORPUS_NAME))
     (
         encoded.select(
@@ -188,8 +236,11 @@ def append_to_ann_index(
             "build_ann_index to upgrade"
         )
     label = str(batch_id)
-    if label == _BASE_BATCH:
-        raise ValueError(f"batch_id {_BASE_BATCH!r} is reserved for the build")
+    if label.startswith(_BASE_BATCH):
+        raise ValueError(
+            f"batch_id prefix {_BASE_BATCH!r} is reserved for the build and "
+            "compaction base versions"
+        )
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     encoded = pq_encode(
         ivf_assign(df, vec_col, meta["centroids"]), vec_col, meta["codebooks"]
@@ -204,10 +255,106 @@ def append_to_ann_index(
     )
 
 
+def _corpus_batch_labels(index_dir: str) -> list[str]:
+    """Batch labels present under corpus/ (directory names, not live
+    filtering) — via the log FS layer so the index may live on an
+    object store."""
+    fs, root = filesystem_for(index_dir)
+    try:
+        entries = fs.listdir(fs.join(root, _CORPUS_NAME))
+    except FileNotFoundError:
+        return []
+    out = []
+    for e in entries:
+        name = e.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("batch="):
+            out.append(name.split("=", 1)[1])
+    return out
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, upto_batch: Optional[int] = None
+) -> Optional[int]:
+    """Fold committed ``batch=<int>`` append dirs (and the current base)
+    into one fresh base version — the small-file compactor for
+    :func:`streaming_ann_index`, which otherwise accumulates one dir per
+    trigger per touched bucket (same wall `streaming/exact_dedup.py`'s
+    ``compact_index`` solves for the dedup indexes).
+
+    Protocol: read the LIVE corpus restricted to the fold set, write it
+    to ``corpus/batch=base-<upto>`` partitioned by ``ivf_bucket``, then
+    atomically flip the compaction pointer, then GC stale dirs. Readers
+    filter by the pointer, so a crash at ANY step leaves a servable
+    index: an unflipped half-written base is not live; un-GC'd stale
+    dirs are not live (and are partition-pruned, zero IO). Re-running
+    compaction finishes the GC.
+
+    ``upto_batch``: fold only integer batches STRICTLY below it — pass
+    the stream's last committed batch id (NOT +1: the in-flight batch's
+    dir may exist before its checkpoint commit) when compacting beside a
+    live/crashed stream. Unlike exact_dedup there is no verdict skew to
+    trade away here: a REPLAY of an already-folded batch just rewrites a
+    dir below the fold horizon, which every reader filters out and the
+    next compaction GCs — serving is identical either way (law-tested).
+    With ``upto_batch=None`` every integer batch folds. Non-integer
+    append labels never fold (they carry no replay ordering); rebuild to
+    absorb them. Returns the new fold horizon, or None if nothing to do.
+    """
+    meta = load_index_meta(index_dir)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"compaction requires a format_version-{_FORMAT_VERSION} index; "
+            f"rebuild {index_dir} with build_ann_index to upgrade"
+        )
+    ptr = _read_compaction_pointer(index_dir)
+    base, upto = ptr["base"], int(ptr["upto"])
+    labels = _corpus_batch_labels(index_dir)
+    fold_ids = sorted(
+        int(l)
+        for l in labels
+        if l.isdigit()
+        and int(l) >= upto
+        and (upto_batch is None or int(l) < upto_batch)
+    )
+    fs, root = filesystem_for(index_dir)
+
+    def _gc(live_base: str, horizon: int) -> None:
+        for l in _corpus_batch_labels(index_dir):
+            stale = (l.startswith(_BASE_BATCH) and l != live_base) or (
+                l.isdigit() and int(l) < horizon
+            )
+            if stale:
+                fs.delete_dir(fs.join(root, _CORPUS_NAME, f"batch={l}"))
+
+    if not fold_ids:
+        _gc(base, upto)  # finish any interrupted prior GC
+        return None
+    new_upto = fold_ids[-1] + 1
+    new_base = f"{_BASE_BATCH}-{new_upto}"
+    fold = read_index_corpus(spark, index_dir, meta).where(
+        (F.col("batch") == base)
+        | (F.col("batch").rlike("^[0-9]+$") & (F.col("batch").cast("long") < new_upto))
+    )
+    (
+        fold.select("id", "pq_code", "ivf_bucket")
+        .write.mode("overwrite")
+        .partitionBy("ivf_bucket")
+        .parquet(_batch_path(index_dir, new_base))
+    )
+    fs.write_atomic(
+        fs.join(root, _COMPACTION_NAME),
+        json.dumps({"base": new_base, "upto": new_upto}),
+        overwrite=True,
+    )
+    _gc(new_base, new_upto)
+    return new_upto
+
+
 def streaming_ann_index(
     stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: Optional[int] = None,
 ):
     """Keep a persisted ANN index current as vectors stream in: each
     micro-batch encodes with the STORED quantizers (no training on the
@@ -215,11 +362,17 @@ def streaming_ann_index(
     by the append law above. The index must already exist
     (``build_ann_index`` on a representative bootstrap corpus); serving
     via :func:`ann_index_topk` sees each batch as soon as its write
-    commits. Returns the StreamingQuery."""
+    commits. ``compact_every=N`` folds batch dirs into the base every N
+    triggers with ``upto_batch=<current batch id>`` — only batches whose
+    checkpoint commit precedes the current one fold, so a crash/replay
+    stays convergent (see :func:`compact_ann_index`). Returns the
+    StreamingQuery."""
     meta = load_index_meta(index_dir)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         append_to_ann_index(batch, index_dir, batch_id=batch_id, meta=meta)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_ann_index(batch.sparkSession, index_dir, upto_batch=batch_id)
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -256,7 +409,7 @@ def ann_index_topk(
     if meta is None:
         meta = load_index_meta(index_dir)
     probes = _probe_buckets(meta["centroids"], query_vec, n_probe)
-    corpus = spark.read.parquet(corpus_path(index_dir)).where(
+    corpus = read_index_corpus(spark, index_dir, meta).where(
         F.col("ivf_bucket").isin(probes)
     )
     return pq_topk(

@@ -232,6 +232,182 @@ def test_append_rejects_legacy_flat_layout(spark, tmp_path):
         append_to_ann_index(df, idx)
 
 
+def _corpus_labels(idx):
+    return {
+        e.split("=", 1)[1]
+        for e in os.listdir(corpus_path(idx))
+        if e.startswith("batch=")
+    }
+
+
+def test_compaction_preserves_serving_and_bounds_files(spark, tmp_path):
+    """compact_ann_index law: serve-after == serve-before on the union
+    corpus, and the batch-dir population collapses to ONE base version
+    (the small-file wall the compactor exists to remove)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
+    )
+
+    rows = _vectors()
+    chunks = [rows[:200], rows[200:260], rows[260:320], rows[320:360], rows[360:]]
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark.createDataFrame(chunks[0], ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    for b, chunk in enumerate(chunks[1:]):
+        append_to_ann_index(
+            spark.createDataFrame(chunk, ["vec_id", "embedding"]), idx, batch_id=b
+        )
+    assert _corpus_labels(idx) == {"base", "0", "1", "2", "3"}
+
+    def _files():
+        n = 0
+        for dirpath, _dirs, files in os.walk(corpus_path(idx)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    q = rows[250][1]
+    before = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    files_before = _files()
+    assert compact_ann_index(spark, idx) == 4
+    assert _corpus_labels(idx) == {"base-4"}
+    assert _files() < files_before
+    after = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in after] == [
+        (r.neighbor_id, r.adc_score) for r in before
+    ]
+    # nothing left to fold: a second run is a no-op
+    assert compact_ann_index(spark, idx) is None
+
+
+def test_replay_of_folded_batch_converges(spark, tmp_path):
+    """A foreachBatch retry of a batch that compaction already folded
+    recreates a dir BELOW the fold horizon: readers filter it out
+    (serving and live row count unchanged), and the next compaction run
+    GCs it — the replay discipline compact_ann_index documents."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
+        read_index_corpus,
+    )
+
+    rows = _vectors()
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark.createDataFrame(rows[:200], ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    b1 = spark.createDataFrame(rows[200:300], ["vec_id", "embedding"])
+    append_to_ann_index(b1, idx, batch_id=0)
+    append_to_ann_index(
+        spark.createDataFrame(rows[300:], ["vec_id", "embedding"]), idx, batch_id=1
+    )
+    compact_ann_index(spark, idx)
+    q = rows[250][1]
+    served = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    n_live = read_index_corpus(spark, idx).count()
+    # the replay: batch 0 arrives again after its fold
+    append_to_ann_index(b1, idx, batch_id=0)
+    assert "0" in _corpus_labels(idx)  # the stale dir exists on disk…
+    assert read_index_corpus(spark, idx).count() == n_live  # …but is not live
+    replayed = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in replayed] == [
+        (r.neighbor_id, r.adc_score) for r in served
+    ]
+    # next compaction pass GCs it even with nothing new to fold
+    assert compact_ann_index(spark, idx) is None
+    assert _corpus_labels(idx) == {"base-2"}
+
+
+def test_compaction_upto_batch_and_crash_tolerance(spark, tmp_path):
+    """``upto_batch`` folds only strictly-below batches; a half-written
+    base version from a crashed fold (pointer never flipped) is
+    invisible to serving and GC'd by the next run."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
+    )
+
+    rows = _vectors()
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark.createDataFrame(rows[:200], ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    for b, lo in enumerate(range(200, 400, 50)):
+        append_to_ann_index(
+            spark.createDataFrame(rows[lo : lo + 50], ["vec_id", "embedding"]),
+            idx, batch_id=b,
+        )
+    q = rows[250][1]
+    before = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert compact_ann_index(spark, idx, upto_batch=2) == 2
+    assert _corpus_labels(idx) == {"base-2", "2", "3"}
+    mid = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in mid] == [
+        (r.neighbor_id, r.adc_score) for r in before
+    ]
+    # simulate a crashed fold: a base version the pointer never named,
+    # holding coded rows that MUST NOT leak into serving
+    import shutil as _shutil
+
+    _shutil.copytree(
+        os.path.join(corpus_path(idx), "batch=base-2"),
+        os.path.join(corpus_path(idx), "batch=base-99"),
+    )
+    crashed = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in crashed] == [
+        (r.neighbor_id, r.adc_score) for r in before
+    ]
+    assert compact_ann_index(spark, idx) == 4  # folds 2,3; GCs base-99
+    assert _corpus_labels(idx) == {"base-4"}
+    final = ann_index_topk(spark, idx, q, k=5, n_probe=5).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in final] == [
+        (r.neighbor_id, r.adc_score) for r in before
+    ]
+
+
+def test_recall_floor_survives_append_drift(spark, tmp_path):
+    """r7 verdict task: quantizers trained ONCE (on the build half) must
+    still serve the appended half at the recall floor — guards the
+    "train once, encode forever" assumption append_to_ann_index makes.
+    Queries come from the APPENDED half, so every probe exercises codes
+    the quantizers never saw at train time."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+    )
+
+    rows = _vectors()
+    first = [r for r in rows if r[0] < 200]
+    rest = [r for r in rows if r[0] >= 200]
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark.createDataFrame(first, ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    append_to_ann_index(
+        spark.createDataFrame(rest, ["vec_id", "embedding"]), idx, batch_id=0
+    )
+    union = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for qid in (250, 390):
+        q = rows[qid][1]
+        exact = {
+            r.neighbor_id
+            for r in brute_force_topk(union, "embedding", "vec_id", q, k=10).collect()
+        }
+        served = {
+            r.neighbor_id
+            for r in ann_index_topk(spark, idx, q, k=10, n_probe=5).collect()
+        }
+        assert len(exact & served) / 10 >= 0.2, qid
+
+
 def test_pq_recall_survives_held_out_training(spark, sf_dir):
     """Codebooks trained on HALF the real embeddings corpus must still
     rank the other half well (guards against codebook-overfit
@@ -320,6 +496,73 @@ def test_streaming_ann_index_through_connector(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    union = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[250][1]
+    served = ann_index_topk(spark, idx, qv, k=5, n_probe=5).collect()
+    in_mem = ivf_pq_topk(
+        union, "embedding", "vec_id", qv, k=5,
+        centroids=meta["centroids"], codebooks=meta["codebooks"], n_probe=5,
+    ).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in served] == [
+        (r.neighbor_id, r.adc_score) for r in in_mem
+    ]
+
+
+def test_streaming_ann_index_compacts_inline(spark, tmp_path):
+    """compact_every: the maintenance hook folds committed batch dirs
+    as the stream runs (upto = the in-flight batch id, so the one batch
+    whose checkpoint commit is still pending never folds), and serving
+    over the union stays exact."""
+    import glob as _glob
+    import time
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        streaming_ann_index,
+    )
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+
+    register(spark)
+    rows = _vectors()
+    first = [r for r in rows if r[0] < 200]
+    rest = [r for r in rows if r[0] >= 200]
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(
+        spark.createDataFrame(first, ["vec_id", "embedding"]),
+        "embedding", "vec_id", idx,
+        n_centroids=8, m_subspaces=4, pq_centroids=32, seed=3,
+    )
+    files = []
+    for i, lo in enumerate(range(0, 200, 67)):
+        chunk = rest[lo : lo + 67]
+        p = str(tmp_path / f"vecs_{i}.parquet.dir")
+        spark.createDataFrame(chunk, ["vec_id", "embedding"]).coalesce(1).write.parquet(p)
+        files.append(_glob.glob(p + "/part-*.parquet")[0])
+    queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
+    for p in files:
+        queue.send_file_event(p, int(time.time() * 1000))
+    reader = (
+        spark.readStream.format("s3-connector")
+        .schema("vec_id bigint, embedding array<double>")
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{tmp_path}/queue")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .option("spark.s3conn.metadataPath", str(tmp_path / "meta"))
+        .option("spark.s3conn.maxFilesPerTrigger", "1")
+    )
+    q = streaming_ann_index(
+        reader.load(), idx, str(tmp_path / "ckpt"), compact_every=2
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 3 files → batches 0,1,2; the hook fired at batch 2 with upto=2:
+    # base+0+1 folded into base-2, batch 2's own dir stays live
+    assert _corpus_labels(idx) == {"base-2", "2"}
     union = spark.createDataFrame(rows, ["vec_id", "embedding"])
     qv = rows[250][1]
     served = ann_index_topk(spark, idx, qv, k=5, n_probe=5).collect()
