@@ -215,15 +215,21 @@ def _write_shard_bitmap(index_dir: str, shard: int, bits: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
-def _shard_bits(df: DataFrame, sm_bits: int, sk: int) -> dict[int, np.ndarray]:
-    """Per-shard bloom bitmaps of ``df``'s (key, _shard) rows in ONE
-    distributed pass: executors hash and set bits into per-shard partial
-    bitmaps, the driver ORs partials by shard. Driver memory is bounded
-    by shards-touched × per-shard bytes — never the full key space."""
+def _shard_partials(df: DataFrame, sm_bits: int, sk: int) -> list:
+    """Collected per-shard partial bitmaps of ``df``'s (key, _shard)
+    rows: the hashed frame (20 B/row) is repartitioned BY SHARD first,
+    so each shard's keys land in exactly one task and the driver
+    receives ONE partial per shard touched — collect traffic is
+    shards-touched × per-shard bytes, not tasks × per-shard bytes
+    (without the repartition a wide batch at 10⁹-key sizing would ship
+    every task's copy of every touched shard's bitmap). Returned as the
+    raw collected rows so tests can pin the traffic bound directly."""
     from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
 
-    hashed = df.where(F.col("key").isNotNull()).select(
-        *_hash_pair("key", _BLOOM_SEED), F.col("_shard")
+    hashed = (
+        df.where(F.col("key").isNotNull())
+        .select(*_hash_pair("key", _BLOOM_SEED), F.col("_shard"))
+        .repartition(_N_SHARDS, "_shard")
     )
     n_bytes = (sm_bits + 7) // 8
 
@@ -251,8 +257,18 @@ def _shard_bits(df: DataFrame, sm_bits: int, sk: int) -> dict[int, np.ndarray]:
         for s, bits in acc.items():
             yield pd.DataFrame({"_s": [s], "bits": [bits.tobytes()]})
 
+    return hashed.mapInPandas(bitmapper, "_s int, bits binary").collect()
+
+
+def _shard_bits(df: DataFrame, sm_bits: int, sk: int) -> dict[int, np.ndarray]:
+    """Per-shard bloom bitmaps of ``df``'s (key, _shard) rows in ONE
+    distributed pass: executors hash and set bits into per-shard partial
+    bitmaps (co-located per shard — see :func:`_shard_partials`), the
+    driver ORs partials by shard. Driver memory AND collect traffic are
+    bounded by shards-touched × per-shard bytes — never the full key
+    space, never tasks× duplicates."""
     out: dict[int, np.ndarray] = {}
-    for row in hashed.mapInPandas(bitmapper, "_s int, bits binary").collect():
+    for row in _shard_partials(df, sm_bits, sk):
         arr = np.frombuffer(row.bits, dtype=np.uint8)
         if row._s in out:
             out[row._s] = out[row._s] | arr

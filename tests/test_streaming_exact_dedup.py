@@ -246,6 +246,48 @@ def test_sharded_bitmap_bounds_driver_memory(spark, tmp_path):
     assert 500 not in got and 501 in got
 
 
+def test_bitmap_update_traffic_bounded_by_shards_touched(spark):
+    """r7 verdict task: the bitmap update's collect must ship ONE
+    partial per shard touched — not one per (task × shard). The input
+    here is deliberately spread over many partitions; without the
+    by-shard repartition inside _shard_partials every partition would
+    emit its own copy of every shard it sees (~32× the bytes at this
+    shape) and this pin would fail."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _keyed,
+        _shard_bits,
+        _shard_params,
+        _shard_partials,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"traffic probe text {i}") for i in range(2000)],
+        "doc_id bigint, text string",
+    ).repartition(32)
+    keyed = _keyed(batch, "text", "doc_id")
+    sm_bits, sk = _shard_params(100_000, 0.01)
+    shards_touched = {r._shard for r in keyed.select("_shard").distinct().collect()}
+    partials = _shard_partials(keyed, sm_bits, sk)
+    assert len(partials) <= len(shards_touched)
+    assert {r._s for r in partials} == shards_touched
+    # and the OR of those partials is still a correct bitmap: every key
+    # probes positive against its own shard's bits
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import (
+        BloomFilter,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _BLOOM_SEED,
+        _might_contain_sharded,
+    )
+
+    bits = _shard_bits(keyed, sm_bits, sk)
+    blooms = {s: BloomFilter(sm_bits, sk, _BLOOM_SEED, b) for s, b in bits.items()}
+    col = _might_contain_sharded(keyed, "key", "_shard", blooms, sm_bits, sk)
+    assert keyed.where(~col).count() == 0
+
+
 def test_dup_kinds_and_nulls(spark, tmp_path):
     idx = str(tmp_path / "idx")
     b0 = spark.createDataFrame(
