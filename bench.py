@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "tpch_q16ish",
     "tpch_q17ish",
     "tpch_q19ish",
+    # r8: the 100 TB quality-gate shape (approx_percentile thresholds,
+    # no per-stratum sort) — regression tracking for the scale path the
+    # registered exact gate (quality_gate_docs) deliberately avoids
+    "quality_gate_approx_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring
@@ -537,6 +541,36 @@ def main():
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf),
+            }
+        ),
+        flush=True,
+    )
+
+    # Compact headline printed LAST: the full line above can exceed the
+    # driver's parse/tail buffer (BENCH_r{1..7}.json all have
+    # "parsed": null), so a short final line carries the in-run signals
+    # that matter round-over-round — total plus the two A/B ingest
+    # ratios (stock-source seconds / connector seconds; >1 ⇒ connector
+    # faster). Per-query medians stay in the full line above.
+    def _ratio(num: str, den: str) -> float:
+        n, d = results.get(num, -1.0), results.get(den, -1.0)
+        return round(n / d, 3) if n > 0 and d > 0 else -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": sum(
+                    1 for k in results if not k.startswith("ingest_")
+                ),
+                "ingest_ratio": _ratio("ingest_file_source", "ingest_connector"),
+                "small_files_ratio": _ratio(
+                    "ingest_many_small_files_file_source",
+                    "ingest_many_small_files_connector",
+                ),
             }
         ),
         flush=True,

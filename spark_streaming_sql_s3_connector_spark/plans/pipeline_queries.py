@@ -1787,6 +1787,53 @@ ORDER BY doc_id
 """
 
 
+def _quality_gate_approx_docs(spark, sf):
+    """The scale path of the stratified quality gate
+    (operators/sampling.quantile_gate_approx): per-language
+    approx_percentile(1-frac) thresholds, broadcast back, map-side
+    filter — no per-language window sort, so a 10⁹-doc language costs a
+    scan, not a single-task sort (the one stage SCALING.md profiles as
+    super-linear in the rank-exact gate, `keep_top_fraction`).
+
+    The sketch's threshold choice is engine-specific, so the slot
+    self-checks (similarity_recall_profile pattern): per language it
+    emits the EXACT doc total (oracle-matched value) plus ``band_ok`` —
+    kept fraction within [0.38, 0.48] for frac=0.4. The bound is
+    honest: the kept mass is frac ± (rank error ≤ n/accuracy = 10⁻⁴)
+    plus the value-tie mass AT the threshold, which only pushes it up
+    (measured 0.400-0.414 across sf0.01/sf0.1 languages). The law vs
+    the exact gate (exact kept ⊆ approx kept up to sketch tolerance)
+    is pinned in tests/test_sampling.py; the no-window/no-sort plan
+    shape in tests/test_plan_quality.py."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import quality_score
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        quantile_gate_approx,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("qscore")
+    )
+    kept = quantile_gate_approx(docs, "qscore", ["lang"], 0.4)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept_n = kept.groupBy("lang").agg(F.count("*").alias("_k"))
+    frac = F.col("_k") / F.col("n_total")
+    return (
+        totals.join(kept_n, "lang")
+        .select(
+            "lang",
+            "n_total",
+            ((frac >= 0.38) & (frac <= 0.48)).alias("band_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_GATE_APPROX_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total, true AS band_ok
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _ann_pq_topk(spark, sf):
     """PQ-ADC approximate top-k (operators/similarity.pq_train/encode/
     pq_topk): the compressed-scan ANN path — 8 B of codes per vector
@@ -3100,4 +3147,13 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r7: CCNet-style unigram-LM perplexity filter (oracle-exact via the
     # decimal-sum discipline)
     "perplexity_docs": QuerySpec(_perplexity_docs, _PERPLEXITY_SQL),
+    # r8: the 100 TB quality-gate shape — approx_percentile thresholds
+    # broadcast back as a map-side filter, NO per-stratum window/sort
+    # (the profiled super-linear stage of the rank-exact gate). Sketch
+    # output is engine-specific, so the slot self-checks: exact
+    # per-language totals (oracle-matched) + an in-band kept-fraction
+    # boolean the oracle emits as literal TRUE.
+    "quality_gate_approx_docs": QuerySpec(
+        _quality_gate_approx_docs, _QUALITY_GATE_APPROX_SQL
+    ),
 }

@@ -486,3 +486,30 @@ def test_q19_disjunction_implication_pushed_to_part_scan(spark):
     assert "In(p_brand" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_gate_approx_no_window_no_sort(spark):
+    """The 100 TB gate shape (r7 verdict task): quantile_gate_approx's
+    gate stage must plan WITHOUT any Window and WITHOUT any Sort — the
+    thresholds are a tiny aggregate broadcast back onto the corpus as a
+    map-side filter. A regression to a per-stratum window sort (the
+    exact gate's shape, single-task per language) would reappear here
+    as a Window/Sort node."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.functions.text import quality_score
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        quantile_gate_approx,
+    )
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("qscore")
+    )
+    gated = quantile_gate_approx(docs, "qscore", ["lang"], 0.4)
+    plan = gated._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+    assert "Sort" not in plan  # also excludes SortMergeJoin / SortAggregate
+    assert "BroadcastHashJoin" in plan  # thresholds broadcast, corpus never shuffles

@@ -185,3 +185,31 @@ def test_keep_top_fraction_randomized_vs_reference(spark):
         df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
         got = {r.doc_id for r in keep_top_fraction(df, "v", ["g"], frac).collect()}
         assert got == want, (seed, frac)
+
+
+def test_quantile_gate_approx_containment_on_documents(spark):
+    """Registered-key law (r7 verdict task): on the real documents
+    corpus the approx gate's kept set must contain the exact gate's
+    kept set up to sketch tolerance — at accuracy 10⁴ the rank error is
+    ≤ n·10⁻⁴, so losing more than 1% of the exact keepers means the
+    threshold path broke, not that the sketch was unlucky. Kept
+    fraction must also sit in the registered slot's band."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.functions.text import quality_score
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        keep_top_fraction,
+        quantile_gate_approx,
+    )
+    from spark_streaming_sql_s3_connector_spark.plans.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("qscore")
+    )
+    exact = keep_top_fraction(docs, "qscore", ["lang"], 0.4, id_col="doc_id")
+    approx = quantile_gate_approx(docs, "qscore", ["lang"], 0.4)
+    n_exact = exact.count()
+    lost = exact.join(approx.select("doc_id"), "doc_id", "left_anti").count()
+    assert lost <= max(1, n_exact // 100), (lost, n_exact)
+    n_docs = docs.count()
+    assert 0.38 * n_docs <= approx.count() <= 0.48 * n_docs
