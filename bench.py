@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     # no per-stratum sort) — regression tracking for the scale path the
     # registered exact gate (quality_gate_docs) deliberately avoids
     "quality_gate_approx_docs",
+    # r8: batch ANN serving (8 queries, one job) — bench median vs
+    # 8× ann_index_topk shows the amortization; first rep may build
+    # the shared disk-cached index like ann_index_topk's
+    "ann_index_batch_topk",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -381,6 +381,129 @@ def streaming_ann_index(
     )
 
 
+def ann_index_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    meta: Optional[dict] = None,
+) -> DataFrame:
+    """Top-k for EVERY query in ``queries`` in ONE job — the batch
+    retrieval shape (SemDeDup-style curation, eval-set contamination
+    lookups, retrieval-augmented filtering score whole query SETS, not
+    one vector at a time). ``queries``: a bounded collection of
+    ``(query_id, vector)`` pairs or a small DataFrame with those two
+    columns (collected to the driver — fine for the ≤10⁴-query batches
+    this shape exists for; per query the driver holds an m×pq_centroids
+    ADC table, 32 KB at m=16, so 10⁴ queries broadcast ~320 MB is the
+    practical ceiling — chunk above that).
+
+    Scale shape, vs looping :func:`ann_index_topk` Q times:
+    - ONE pruned scan of the UNION of all queries' probed buckets
+      (partition-pruned ``isin``), instead of Q scans with Q query
+      startups;
+    - each corpus row is ADC-scored against ONLY the queries probing
+      its bucket (bucket→queries map rides the broadcast) — per-row
+      work is queries-per-bucket × m table lookups, and bucket
+      locality keeps queries-per-bucket ≪ Q for spread-out query sets;
+    - executors emit at most Q·k candidate rows PER PARTITION (exact
+      partial top-k by the total order inside the Arrow scorer), and a
+      final per-query window reduces those to the global top-k — the
+      only shuffle, bounded by partitions × Q · k, never corpus-sized.
+
+    Law (tested): per query, the score list equals the single-query
+    :func:`ann_index_topk` path exactly (same buckets, same ADC
+    arithmetic); ids agree wherever scores are untied."""
+    import numpy as np
+    import pandas as pd
+
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    if isinstance(queries, DataFrame):
+        pairs = [(r[0], list(r[1])) for r in queries.collect()]
+    else:
+        pairs = [(q, list(v)) for q, v in queries]
+    if not pairs:
+        raise ValueError("queries must be non-empty")
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)  # m×c×dsub
+    m, _c, dsub = codebooks.shape
+    qids = [str(q) for q, _ in pairs]
+    if len(set(qids)) != len(qids):
+        raise ValueError("query_id values must be unique (as strings)")
+    tables = np.empty((len(pairs), m, codebooks.shape[1]), dtype=np.float64)
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi, (_qid, vec) in enumerate(pairs):
+        v = np.asarray([float(x) for x in vec], dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-300)
+        for mm in range(m):
+            tables[qi, mm] = codebooks[mm] @ v[mm * dsub : (mm + 1) * dsub]
+        for b in _probe_buckets(meta["centroids"], vec, n_probe):
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    probes = sorted(bucket_to_q)
+    corpus = read_index_corpus(spark, index_dir, meta).where(
+        F.col("ivf_bucket").isin(probes)
+    )
+    bc = spark.sparkContext.broadcast((tables, bucket_to_q, qids))
+    kk = int(k)
+
+    def scorer(batches):
+        tables_, b2q, qids_ = bc.value
+        scores_acc: list[list] = [[] for _ in qids_]
+        ids_acc: list[list] = [[] for _ in qids_]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(
+                [np.asarray(x, dtype=np.int64) for x in pdf["pq_code"]]
+            )
+            ids = pdf["id"].to_numpy(np.int64)
+            buckets = pdf["ivf_bucket"].to_numpy()
+            for b in np.unique(buckets):
+                qis = b2q.get(int(b))
+                if not qis:
+                    continue
+                mask = buckets == b
+                cb, ib = codes[mask], ids[mask]
+                for qi in qis:
+                    t = tables_[qi]
+                    s = np.zeros(len(cb), dtype=np.float64)
+                    for mm in range(t.shape[0]):
+                        s += t[mm][cb[:, mm]]
+                    scores_acc[qi].append(s)
+                    ids_acc[qi].append(ib)
+        out_q, out_i, out_s = [], [], []
+        for qi, chunks in enumerate(scores_acc):
+            if not chunks:
+                continue
+            s = np.concatenate(chunks)
+            i = np.concatenate(ids_acc[qi])
+            # exact partial top-k by the TOTAL order (score desc, id
+            # asc) — the same order the final window uses, so boundary
+            # ties can never drop a global winner at the partition cut
+            order = np.lexsort((i, -s))[:kk]
+            out_q.extend([qids_[qi]] * len(order))
+            out_i.extend(i[order].tolist())
+            out_s.extend(s[order].tolist())
+        yield pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_i, "adc_score": out_s}
+        )
+
+    from pyspark.sql import Window
+
+    partial = corpus.mapInPandas(
+        scorer, "query_id string, neighbor_id bigint, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
+
+
 def _probe_buckets(centroids: list[list[float]], query_vec: Sequence[float], n_probe: int) -> list[int]:
     q = [float(x) for x in query_vec]
     dists = [

@@ -232,6 +232,49 @@ def test_append_rejects_legacy_flat_layout(spark, tmp_path):
         append_to_ann_index(df, idx)
 
 
+def test_batch_topk_equals_per_query_serving(spark, built):
+    """ann_index_topk_batch law: one job over the union of probed
+    buckets returns, per query, EXACTLY the single-query serving path's
+    scores (identical ADC arithmetic); neighbor ids agree wherever
+    scores are untied (tie order between equal-coded vectors is
+    quantization luck in both paths)."""
+    from collections import Counter
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_batch,
+    )
+
+    rows, df, idx, meta = built
+    queries = [(rows[i][0], rows[i][1]) for i in (3, 21, 100, 250)]
+    batch = ann_index_topk_batch(spark, idx, queries, k=5, n_probe=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_score))
+    assert set(got) == {str(q) for q, _ in queries}
+    for qid, vec in queries:
+        single = ann_index_topk(spark, idx, vec, k=5, n_probe=5).collect()
+        b = sorted(got[str(qid)], key=lambda t: (-t[1], t[0]))
+        assert len(b) == len(single) == 5
+        s_scores = [r.adc_score for r in single]
+        b_scores = [x[1] for x in b]
+        assert all(abs(a - c) < 1e-9 for a, c in zip(b_scores, s_scores)), qid
+        ties = {s for s, n in Counter(round(x, 9) for x in b_scores).items() if n > 1}
+        s_ids = {r.neighbor_id for r in single}
+        for nid, score in b:
+            if round(score, 9) not in ties:
+                assert nid in s_ids, (qid, nid)
+    # DataFrame input form serves identically
+    qdf = spark.createDataFrame(queries, ["query_id", "vector"])
+    again = {
+        (r.query_id, r.neighbor_id, round(r.adc_score, 9))
+        for r in ann_index_topk_batch(spark, idx, qdf, k=5, n_probe=5).collect()
+    }
+    first = {
+        (qid, nid, round(s, 9)) for qid, lst in got.items() for nid, s in lst
+    }
+    assert again == first
+
+
 def _corpus_labels(idx):
     return {
         e.split("=", 1)[1]
@@ -628,3 +671,18 @@ def test_meta_lifecycle_on_mock_object_store(monkeypatch):
     assert fsr.listdir(fsr.join(root, "corpus")) == []
     # deleting a missing tree is not an error
     fsr.delete_dir(fsr.join(root, "corpus"))
+
+
+def test_registered_batch_key_self_checks_true(spark):
+    """The registered rows-only slot's self-check columns must BE true
+    (the driver's gate only counts rows; this pins the booleans)."""
+    from spark_streaming_sql_s3_connector_spark.plans.pipeline_queries import (
+        PIPELINE_QUERIES,
+    )
+
+    df = PIPELINE_QUERIES["ann_index_batch_topk"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) == 80  # 8 queries × k=10
+    assert all(r.recall_ge_50 and r.all_queries_served_k for r in rows)
