@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     # 8× ann_index_topk shows the amortization; first rep may build
     # the shared disk-cached index like ann_index_topk's
     "ann_index_batch_topk",
+    # r8: cross-document passage dedup (repeated 5-gram span removal)
+    "passage_dedup_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -28,10 +28,22 @@ refresh; serving reads ``n_probe`` partition directories of compressed
 codes. With n_centroids=1024 and n_probe=8, a top-k over 10^10 vectors
 scans ~10^8 codes ≈ 1-2 GB spread over the cluster — interactive.
 
+- :func:`ann_index_topk_batch` (r8) — the batch retrieval shape: top-k
+  for a whole query SET in one job (one pruned union scan, per-row ADC
+  against only that bucket's probers, bounded per-partition partial
+  top-k, one window reduce).
+- :func:`compact_ann_index` (r8) — folds the ``batch=<id>`` dirs that
+  :func:`streaming_ann_index` accumulates (one per trigger per touched
+  bucket) into a versioned base behind an atomically-flipped pointer;
+  readers filter to live batch labels, so crashed folds and replays of
+  folded batches are invisible (partition-pruned, zero IO) until GC'd.
+
 Laws (tested): ``ann_index_topk`` equals the in-memory
 ``similarity.ivf_pq_topk`` given the same artifacts; the scan's plan
 prunes to exactly the probed partitions; recall vs brute clears the same
-floor as the train-per-call paths.
+floor as the train-per-call paths — and survives append drift; batch
+serving equals the single-query path per query; compaction preserves
+serving exactly while collapsing the dir population.
 """
 
 from __future__ import annotations

@@ -866,3 +866,105 @@ def near_dup_keep_best(
     return kept.join(
         df.select(F.col(id_col), F.col(score_col)), id_col
     ).select(id_col, "component", score_col)
+
+
+def passage_dedup_keep_first(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """Cross-document PASSAGE dedup: every whitespace k-gram keeps only
+    its globally FIRST occurrence in (doc id, position) order; all later
+    occurrences — other documents and repeats within the same document —
+    have their k token positions masked, and each document is rebuilt
+    from its surviving tokens. The k-gram-counting approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): any repeated span of >= k
+    tokens is caught because every k-window inside it repeats.
+
+    Granularity ladder this completes: whole-document (dedup_exact /
+    near-dup), line/paragraph (web.dedup_lines_keep_first), and now
+    arbitrary-span — repeated boilerplate that crosses line boundaries,
+    quoted passages, or template fragments shorter than a document but
+    unaligned with lines. An exact copy of an earlier document loses
+    every token; a fresh document loses nothing.
+
+    Scale shape: one gram-keyed shuffle whose key is md5(gram) (16 B,
+    never the gram text — same 128-bit rekey discipline as dedup_exact)
+    with a map-side-combined min(struct(id, pos)) partial aggregate, so
+    a gram repeated 10^8 times ships one row per map task; the join
+    back is the standard AQE skew-split case (1:1 fan-out). The covered-
+    position explode costs k rows per DUPLICATED occurrence only —
+    bounded by dup coverage, not corpus size — and the rebuild is one
+    doc-keyed shuffle. Token-explode volume is ~n_tokens rows, the same
+    linear pass a suffix-array build would pay.
+
+    Documents with fewer than k tokens generate no grams and pass
+    through untouched; blank/NULL text rebuilds to ''. Returns
+    (id_col, out_col, n_kept_tokens, n_removed_tokens).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    # gram start positions are 0-based; slice() below is 1-based
+    gram_expr = (
+        f"transform(sequence(0, size(_toks) - {k}), "
+        f"i -> md5(encode(concat_ws(' ', slice(_toks, i + 1, {k})), 'UTF-8')))"
+    )
+    gram_occ = (
+        base.where(F.size("_toks") >= k)
+        .select("_id", F.posexplode(F.expr(gram_expr)))
+        .withColumnRenamed("pos", "_start")
+        .withColumnRenamed("col", "_gram")
+    )
+    firsts = gram_occ.groupBy("_gram").agg(
+        F.min(F.struct("_id", "_start")).alias("_first")
+    )
+    dup_occ = (
+        gram_occ.join(firsts, "_gram")
+        .where(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_start") != F.col("_first._start"))
+        )
+        .select("_id", "_start")
+    )
+    covered = dup_occ.select(
+        "_id",
+        F.explode(F.sequence(F.col("_start"), F.col("_start") + F.lit(k - 1))).alias(
+            "_pos"
+        ),
+    ).distinct()
+    tok_pos = base.select(
+        "_id", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    kept = tok_pos.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count("*").alias("n_kept_tokens"),
+    )
+    totals = base.select("_id", F.size("_toks").cast("bigint").alias("_n_total"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_kept_tokens"
+            ),
+            (F.col("_n_total") - F.coalesce(F.col("n_kept_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -1787,6 +1787,69 @@ ORDER BY doc_id
 """
 
 
+def _passage_dedup_docs(spark, sf):
+    """Cross-document passage dedup
+    (operators/dedup.passage_dedup_keep_first): every repeated
+    whitespace 5-gram keeps only its globally first (doc, position)
+    occurrence; later occurrences mask their 5 token positions and docs
+    rebuild from surviving tokens — the k-gram approximation of
+    suffix-array substring dedup, completing the granularity ladder
+    whole-doc → line → arbitrary span. md5-exact oracle (the rebuilt
+    text hashes must match DuckDB's reconstruction bit-for-bit)."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        passage_dedup_keep_first,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = passage_dedup_keep_first(docs, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("dedup_md5"),
+        "n_kept_tokens",
+        "n_removed_tokens",
+    ).orderBy("doc_id")
+
+
+_PASSAGE_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i.i - 1 AS start0,
+         array_to_string(tk[i.i:i.i+4], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(tk) - 4)) AS i(i)
+), dups AS (
+  SELECT doc_id, start0 FROM (
+    SELECT doc_id, start0,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, start0) AS rn
+    FROM grams) t
+  WHERE rn > 1
+), covered AS (
+  SELECT DISTINCT doc_id, start0 + o.o AS pos0
+  FROM dups, unnest(generate_series(0, 4)) AS o(o)
+), toks AS (
+  SELECT doc_id, i.i - 1 AS pos0, tk[i.i] AS tok
+  FROM base, unnest(generate_series(1, len(tk))) AS i(i)
+), kept AS (
+  SELECT t.doc_id, t.pos0, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos0 = c.pos0
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos0)) AS dedup_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(a.dedup_md5, md5('')) AS dedup_md5,
+       COALESCE(a.n_kept_tokens, 0) AS n_kept_tokens,
+       CAST(len(b.tk) AS BIGINT) - COALESCE(a.n_kept_tokens, 0) AS n_removed_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _quality_gate_approx_docs(spark, sf):
     """The scale path of the stratified quality gate
     (operators/sampling.quantile_gate_approx): per-language
@@ -3230,4 +3293,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # against only the bucket's probers, bounded window reduce);
     # rows-only with self-checking recall + completeness columns
     "ann_index_batch_topk": QuerySpec(_ann_index_batch_topk, None),
+    # r8: cross-document passage dedup (k-gram approximation of
+    # suffix-array substring dedup) — md5-exact oracle over the
+    # rebuilt text
+    "passage_dedup_docs": QuerySpec(_passage_dedup_docs, _PASSAGE_DEDUP_SQL),
 }
