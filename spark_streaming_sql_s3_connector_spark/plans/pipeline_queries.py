@@ -1850,6 +1850,92 @@ ORDER BY doc_id
 """
 
 
+def _streaming_passage_dedup_docs(spark, sf):
+    """Drive streaming/passage_dedup.py batch-by-batch over documents
+    split into 3 RANGE-ordered micro-batches (doc_id thirds) and return
+    each doc's keep-first passage-dedup result. Range ordering makes
+    'first in (batch, doc, start)' coincide with 'first in (doc,
+    start)', so the incremental path oracle-checks against the plain
+    batch passage-dedup SQL (same construction as
+    streaming_line_dedup_docs)."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.streaming.passage_dedup import (
+        process_batch,
+        read_deduped_docs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    tag = hashlib.md5(("passages" + str(sf)).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"s3conn-passagededup-{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    for b in range(3):
+        process_batch(
+            docs.where(
+                (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+            ),
+            b,
+            idx,
+            k=5,
+            expected_total_items=100_000,
+        )
+    return (
+        read_deduped_docs(spark, idx)
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.col("deduped_text"), "UTF-8")).alias("dedup_md5"),
+            "n_kept_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STREAMING_PASSAGE_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i.i - 1 AS start0,
+         array_to_string(tk[i.i:i.i+4], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(tk) - 4)) AS i(i)
+), dups AS (
+  SELECT doc_id, start0 FROM (
+    SELECT doc_id, start0,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, start0) AS rn
+    FROM grams) t
+  WHERE rn > 1
+), covered AS (
+  SELECT DISTINCT doc_id, start0 + o.o AS pos0
+  FROM dups, unnest(generate_series(0, 4)) AS o(o)
+), toks AS (
+  SELECT doc_id, i.i - 1 AS pos0, tk[i.i] AS tok
+  FROM base, unnest(generate_series(1, len(tk))) AS i(i)
+), kept AS (
+  SELECT t.doc_id, t.pos0, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos0 = c.pos0
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos0)) AS dedup_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(a.dedup_md5, md5('')) AS dedup_md5,
+       COALESCE(a.n_kept_tokens, 0) AS n_kept_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _quality_gate_approx_docs(spark, sf):
     """The scale path of the stratified quality gate
     (operators/sampling.quantile_gate_approx): per-language
@@ -3297,4 +3383,12 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # suffix-array substring dedup) — md5-exact oracle over the
     # rebuilt text
     "passage_dedup_docs": QuerySpec(_passage_dedup_docs, _PASSAGE_DEDUP_SQL),
+    # r8: the streaming twin driven batch-by-batch over range-ordered
+    # doc-id thirds (first-in-(batch,doc,start) ≡ first-in-(doc,start),
+    # so the BATCH oracle applies verbatim). Multi-job orchestration
+    # like streaming_line_dedup_docs — gate/local-gate key, out of
+    # bench.
+    "streaming_passage_dedup_docs": QuerySpec(
+        _streaming_passage_dedup_docs, _STREAMING_PASSAGE_DEDUP_SQL
+    ),
 }
