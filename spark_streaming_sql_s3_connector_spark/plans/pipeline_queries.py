@@ -1959,22 +1959,38 @@ def _quality_gate_approx_docs(spark, sf):
         quantile_gate_approx,
     )
 
+    # persist the scored projection: the gate reads it twice (threshold
+    # agg + probe), and without the cache Catalyst INLINES the 6-regexp
+    # quality_score chain into the pushed filters and re-evaluates it
+    # 2-3x per row (profiled 5.9 s vs 2.2 s for the exact gate at
+    # sf0.5). Cached it is one text scan + a 20 B/row (id, lang,
+    # double) frame — the same discipline a 100 TB run would use.
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("qscore")
-    )
-    kept = quantile_gate_approx(docs, "qscore", ["lang"], 0.4)
-    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    kept_n = kept.groupBy("lang").agg(F.count("*").alias("_k"))
-    frac = F.col("_k") / F.col("n_total")
-    return (
-        totals.join(kept_n, "lang")
-        .select(
-            "lang",
-            "n_total",
-            ((frac >= 0.38) & (frac <= 0.48)).alias("band_ok"),
+    ).persist()
+    try:
+        kept = quantile_gate_approx(docs, "qscore", ["lang"], 0.4)
+        totals = {
+            r.lang: r.n
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        kept_n = {
+            r.lang: r.k
+            for r in kept.groupBy("lang").agg(F.count("*").alias("k")).collect()
+        }
+    finally:
+        docs.unpersist()
+    rows = [
+        (
+            lang,
+            int(n),
+            bool(0.38 <= kept_n.get(lang, 0) / n <= 0.48),
         )
-        .orderBy("lang")
-    )
+        for lang, n in sorted(totals.items())
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_total bigint, band_ok boolean"
+    ).orderBy("lang")
 
 
 _QUALITY_GATE_APPROX_SQL = """
