@@ -217,17 +217,46 @@ def quantile_gate_approx(
     group_cols: list[str],
     frac: float,
     accuracy: int = 10_000,
+    collect_thresholds: bool = False,
 ) -> DataFrame:
     """The scale path of :func:`keep_top_fraction`: per-group
     approx_percentile(1-frac) thresholds, broadcast back, filter — no
     per-group sort, one tiny agg shuffle plus a map-side filter. Keeps
     rows with ``value >= threshold``; the kept fraction is approximate
-    (sketch accuracy), which is the right trade at 100 TB."""
+    (sketch accuracy), which is the right trade at 100 TB.
+
+    ``collect_thresholds=True`` (single group column only) collects the
+    per-group thresholds to the driver — bounded by |groups|, fine for
+    the language/source-keyed gates this exists for — and applies them
+    as a LITERAL map lookup instead of a broadcast join. Strictly the
+    better plan when the value column is a computed expression: the
+    join form's null-filter pushes ``isnotnull(value_expr)`` into BOTH
+    scan branches, re-evaluating an expensive expression 2-3× per row
+    (profiled on the 6-regexp quality score), while the literal form
+    leaves one filter over one evaluation. Same result either way
+    (law-tested); rows whose group has no threshold (impossible for
+    groups present in ``df``) would drop in both forms."""
     if not 0 < frac <= 1:
         raise ValueError("frac must be in (0, 1]")
     thresholds = df.groupBy(*group_cols).agg(
         F.percentile_approx(value_col, 1.0 - frac, accuracy).alias("_thr")
     )
+    if collect_thresholds:
+        if len(group_cols) != 1:
+            raise ValueError(
+                "collect_thresholds supports exactly one group column"
+            )
+        items: list = []
+        for r in thresholds.collect():
+            if r[0] is None or r["_thr"] is None:
+                # NULL group / all-NULL values: the join form drops
+                # these rows too (equi-join miss, NULL comparison)
+                continue
+            items.extend([F.lit(r[0]), F.lit(float(r["_thr"]))])
+        if not items:
+            return df.limit(0)
+        thr_map = F.create_map(*items)
+        return df.where(F.col(value_col) >= thr_map[F.col(group_cols[0])])
     return (
         df.join(F.broadcast(thresholds), group_cols)
         .where(F.col(value_col) >= F.col("_thr"))

@@ -195,7 +195,13 @@ def finalize_curation(
         "qscore", F.round(quality_score(F.col("deduped_text")), 6)
     )
     if approx_gate:
-        gated = quantile_gate_approx(scored, "qscore", ["lang"], frac)
+        # collect_thresholds: |langs| driver rows, and the gate becomes
+        # a literal-map filter — one evaluation of the quality score on
+        # the probe side instead of the join form's pushed-isnotnull
+        # re-evaluation (see quantile_gate_approx's docstring)
+        gated = quantile_gate_approx(
+            scored, "qscore", ["lang"], frac, collect_thresholds=True
+        )
     else:
         gated = keep_top_fraction(scored, "qscore", ["lang"], frac, id_col=id_col)
     packed = pack_concat(

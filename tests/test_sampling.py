@@ -213,3 +213,40 @@ def test_quantile_gate_approx_containment_on_documents(spark):
     assert lost <= max(1, n_exact // 100), (lost, n_exact)
     n_docs = docs.count()
     assert 0.38 * n_docs <= approx.count() <= 0.48 * n_docs
+
+
+def test_quantile_gate_collect_thresholds_equals_join_form(spark):
+    """collect_thresholds applies the SAME sketch thresholds as a
+    literal map filter — row-identical to the broadcast-join form, with
+    no Join (and no duplicated value-expression evaluation) in the
+    plan."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        quantile_gate_approx,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], float((i * 37) % 101)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
+    join_form = {
+        r.doc_id for r in quantile_gate_approx(df, "v", ["g"], 0.3).collect()
+    }
+    lit_form = {
+        r.doc_id
+        for r in quantile_gate_approx(
+            df, "v", ["g"], 0.3, collect_thresholds=True
+        ).collect()
+    }
+    assert lit_form == join_form
+    plan = (
+        quantile_gate_approx(df, "v", ["g"], 0.3, collect_thresholds=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan and "Sort" not in plan
+    # multi-column grouping is join-form-only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one group column"):
+        quantile_gate_approx(df, "v", ["g", "doc_id"], 0.3, collect_thresholds=True)
