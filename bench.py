@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "ann_index_batch_topk",
     # r8: cross-document passage dedup (repeated 5-gram span removal)
     "passage_dedup_docs",
+    # r8: source/domain-level curation (per-source stats → gate →
+    # broadcast-semi-join filter)
+    "source_curation_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring

@@ -311,6 +311,14 @@ def compact_ann_index(
     With ``upto_batch=None`` every integer batch folds. Non-integer
     append labels never fold (they carry no replay ordering); rebuild to
     absorb them. Returns the new fold horizon, or None if nothing to do.
+
+    GC discipline (same as the dedup-index compactors): stale dirs are
+    deleted immediately after the pointer flip, so a query planned
+    against the OLD pointer that is still mid-scan can hit a vanished
+    file — run compaction from the maintenance path (e.g.
+    ``compact_every``) rather than concurrently with long-running
+    serves, or set ``spark.sql.files.ignoreMissingFiles`` on serving
+    sessions.
     """
     meta = load_index_meta(index_dir)
     if meta.get("format_version") != _FORMAT_VERSION:

@@ -197,3 +197,104 @@ def strip_boilerplate(
         .drop("_id")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
     )
+
+
+def source_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source (domain) corpus statistics — the aggregation step of
+    RefinedWeb/C4-style DOMAIN-level curation, where whole sources are
+    admitted or dropped on their aggregate quality rather than doc by
+    doc: ``(source, n_docs, sum_qscore, n_dup_docs, sum_tokens)``.
+
+    ``sum_qscore`` is the DECIMAL(18,6) sum of per-doc quality scores
+    pre-rounded to 6 dp — order-independent exact arithmetic, so a
+    cross-engine oracle reproduces it bit-for-bit (the repo's
+    decimal-sum FP-parity discipline); derive the mean as
+    ``round(cast(sum as double) / n, 6)``. ``n_dup_docs`` counts docs
+    whose md5(normalized text) occurs ≥2 times CORPUS-WIDE (cross-source
+    copies count against both sources).
+
+    Scale shape: one 16-byte-key count shuffle (map-side partial) for
+    corpus-wide dup counts, one 16-byte join back, one source-keyed
+    partial aggregate. Output is |sources| rows — driver/broadcast
+    material by construction.
+    """
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    key = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
+    scored = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.round(quality_score(F.col(text_col)), 6)
+        .cast("decimal(18,6)")
+        .alias("_q"),
+        token_count(F.col(text_col)).alias("_tok"),
+        key.alias("_key"),
+    )
+    key_counts = scored.groupBy("_key").agg(F.count("*").alias("_kc"))
+    # LEFT join: a NULL-text doc has a NULL key (equi-join miss) but
+    # must still count toward its source's n_docs — it just can't be a
+    # duplicate (NULL equals nothing, same convention as dedup_exact)
+    flagged = scored.join(key_counts, "_key", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_q").alias("sum_qscore"),
+        F.sum(
+            F.when(F.coalesce(F.col("_kc"), F.lit(0)) > 1, 1).otherwise(0)
+        ).alias("n_dup_docs"),
+        F.sum(F.col("_tok").cast("bigint")).alias("sum_tokens"),
+    )
+
+
+def gate_sources(
+    stats: DataFrame,
+    min_docs: int = 1,
+    min_mean_quality: float = 0.0,
+    max_dup_rate: float = 1.0,
+) -> DataFrame:
+    """Add ``mean_qscore``, ``dup_rate``, and the ``passes`` verdict to
+    a :func:`source_stats` frame. All three predicates evaluate on
+    exact quantities (integer counts, decimal sums, one final double
+    division), so the verdict is engine-deterministic."""
+    mean_q = F.round(
+        F.col("sum_qscore").cast("double") / F.col("n_docs"), 6
+    )
+    dup_rate = F.round(
+        F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+    )
+    return stats.select(
+        "*",
+        mean_q.alias("mean_qscore"),
+        dup_rate.alias("dup_rate"),
+    ).withColumn(
+        "passes",
+        (F.col("n_docs") >= F.lit(int(min_docs)))
+        & (F.col("mean_qscore") >= F.lit(float(min_mean_quality)))
+        & (F.col("dup_rate") <= F.lit(float(max_dup_rate))),
+    )
+
+
+def filter_docs_by_source(
+    df: DataFrame,
+    source_col: str,
+    gated_stats: DataFrame,
+) -> DataFrame:
+    """Keep only documents whose source passed the gate — a broadcast
+    semi-join against the (tiny, |sources|-row) verdict table; the
+    corpus never shuffles."""
+    passing = gated_stats.where(F.col("passes")).select(
+        F.col("source").alias("_pass_src")
+    )
+    return df.join(
+        F.broadcast(passing), F.col(source_col) == F.col("_pass_src"), "left_semi"
+    )

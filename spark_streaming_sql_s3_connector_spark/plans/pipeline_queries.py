@@ -1850,6 +1850,98 @@ ORDER BY doc_id
 """
 
 
+def _source_curation_docs(spark, sf):
+    """Source/domain-level curation (operators/web.source_stats →
+    gate_sources → filter_docs_by_source): the RefinedWeb/C4 step that
+    admits or drops whole SOURCES on aggregate quality rather than doc
+    by doc. Per source: exact doc/dup/token counts, a decimal-sum-exact
+    mean quality (FP-parity discipline), the gate verdict, and the doc
+    count that ACTUALLY survived the broadcast-semi-join filter (pins
+    the filter's semantics: n_kept == n_docs iff passes)."""
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        filter_docs_by_source,
+        gate_sources,
+        source_stats,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    gated = gate_sources(
+        source_stats(docs, "text", "doc_id", "source"),
+        min_docs=10,
+        min_mean_quality=0.805,
+        max_dup_rate=0.5,
+    )
+    kept_counts = (
+        filter_docs_by_source(docs, "source", gated)
+        .groupBy("source")
+        .agg(F.count("*").alias("_nk"))
+    )
+    return (
+        gated.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "mean_qscore",
+            "n_dup_docs",
+            "sum_tokens",
+            "passes",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_kept_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_CURATION_SQL = r"""
+WITH m AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END)::DOUBLE
+           AS n_distinct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS key
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, key,
+         CAST(ROUND(
+           LEAST(n_tokens / 20.0, 1.0) * 0.3
+           + (CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0 END) * 0.3
+           + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.2
+           + (CASE WHEN n_chars > 0
+                   THEN 1.0 - LEAST(n_punct / n_chars * 4, 1.0) ELSE 1.0 END) * 0.2,
+           6) AS DECIMAL(18,6)) AS q,
+         CAST(n_tokens AS BIGINT) AS tok
+  FROM m
+), kc AS (
+  SELECT key, COUNT(*) AS c FROM scored WHERE key IS NOT NULL GROUP BY key
+), st AS (
+  SELECT s.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(s.q) AS sum_q,
+         CAST(SUM(CASE WHEN COALESCE(kc.c, 0) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+         CAST(SUM(s.tok) AS BIGINT) AS sum_tokens
+  FROM scored s LEFT JOIN kc ON s.key = kc.key
+  GROUP BY s.source
+), gated AS (
+  SELECT source, n_docs,
+         ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) AS mean_qscore,
+         n_dup_docs, sum_tokens,
+         (n_docs >= 10
+          AND ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) >= 0.805
+          AND ROUND(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) <= 0.5) AS passes
+  FROM st
+)
+SELECT source, n_docs, mean_qscore, n_dup_docs, sum_tokens, passes,
+       CASE WHEN passes THEN n_docs ELSE CAST(0 AS BIGINT) END AS n_kept_docs
+FROM gated
+ORDER BY source
+"""
+
+
 def _streaming_passage_dedup_docs(spark, sf):
     """Drive streaming/passage_dedup.py batch-by-batch over documents
     split into 3 RANGE-ordered micro-batches (doc_id thirds) and return
@@ -3407,4 +3499,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "streaming_passage_dedup_docs": QuerySpec(
         _streaming_passage_dedup_docs, _STREAMING_PASSAGE_DEDUP_SQL
     ),
+    # r8: source/domain-level curation (RefinedWeb/C4 step) — exact
+    # counts + decimal-sum-exact mean quality + gate verdict + the
+    # actually-filtered doc counts
+    "source_curation_docs": QuerySpec(_source_curation_docs, _SOURCE_CURATION_SQL),
 }

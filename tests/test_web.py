@@ -300,3 +300,43 @@ def test_dedup_lines_keep_first_randomized_vs_reference(spark):
             for r in dedup_lines_keep_first(df, "text", "doc_id").collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_source_curation_gate_and_filter_laws(spark):
+    """source_stats/gate_sources/filter_docs_by_source: exact counts,
+    corpus-wide dup attribution (cross-source copies count against BOTH
+    sources), NULL-text docs count toward n_docs but never as dups, and
+    the broadcast-semi-join filter keeps exactly the passing sources'
+    docs."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        filter_docs_by_source,
+        gate_sources,
+        source_stats,
+    )
+
+    rows = [
+        (1, "good text with plenty of distinct words here", "a"),
+        (2, "good text with plenty of distinct words here", "b"),  # cross-src copy
+        (3, "other decent content entirely fresh wording", "a"),
+        (4, None, "a"),                                            # NULL text
+        (5, "!!!! ???? !!!! ????", "b"),                           # junk
+        (6, "solo doc for source c quite reasonable", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    stats = {r.source: r for r in source_stats(df, "text", "doc_id", "source").collect()}
+    assert stats["a"].n_docs == 3 and stats["b"].n_docs == 2 and stats["c"].n_docs == 1
+    assert stats["a"].n_dup_docs == 1 and stats["b"].n_dup_docs == 1  # both sides
+    assert stats["c"].n_dup_docs == 0
+    gated = gate_sources(
+        source_stats(df, "text", "doc_id", "source"),
+        min_docs=2, min_mean_quality=0.0, max_dup_rate=1.0,
+    )
+    verdicts = {r.source: r.passes for r in gated.collect()}
+    assert verdicts == {"a": True, "b": True, "c": False}  # c: too few docs
+    kept = filter_docs_by_source(df, "source", gated)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3, 4, 5]
+    # the filter never shuffles the corpus: verdicts broadcast
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
