@@ -686,3 +686,38 @@ def test_registered_batch_key_self_checks_true(spark):
     rows = df.collect()
     assert len(rows) == 80  # 8 queries × k=10
     assert all(r.recall_ge_50 and r.all_queries_served_k for r in rows)
+
+
+def test_compaction_pointer_on_mock_object_store(monkeypatch):
+    """The compaction pointer and batch-label listing go through the
+    log-FS layer, so a compacted index can live on an object store:
+    absent pointer reads as the pre-compaction default, write_atomic
+    flips it, and the live-label filter derives from it."""
+    from pyarrow.fs import _MockFileSystem
+
+    from spark_streaming_sql_s3_connector_spark.operators import ann_index as mod
+    from spark_streaming_sql_s3_connector_spark.state import log_fs
+    from spark_streaming_sql_s3_connector_spark.state.log_fs import (
+        ArrowLogFileSystem,
+    )
+
+    mock = _MockFileSystem()
+    monkeypatch.setattr(
+        log_fs, "_pyarrow_from_uri", lambda p: (mock, p.split("://", 1)[1])
+    )
+    uri = "mock://bucket/idx"
+    assert mod._read_compaction_pointer(uri) == {"base": "base", "upto": 0}
+    fs = ArrowLogFileSystem(mock)
+    for label in ("base", "0", "1", "base-99"):
+        fs.mkdirs(f"bucket/idx/corpus/batch={label}/ivf_bucket=0")
+        fs.write_atomic(
+            f"bucket/idx/corpus/batch={label}/ivf_bucket=0/part-0.parquet",
+            "x", overwrite=True,
+        )
+    assert set(mod._corpus_batch_labels(uri)) == {"base", "0", "1", "base-99"}
+    fs.write_atomic(
+        "bucket/idx/compaction.json",
+        '{"base": "base-2", "upto": 2}', overwrite=True,
+    )
+    ptr = mod._read_compaction_pointer(uri)
+    assert ptr == {"base": "base-2", "upto": 2}

@@ -123,3 +123,55 @@ def test_compaction_preserves_and_continues(spark, tmp_path):
     # clean-stop fold of everything, then outputs still read identically
     assert compact_index(spark, idx, upto_batch=3) == 2
     assert _streamed(spark, idx) == _batch_expected(spark, batches)
+
+
+def test_streaming_passage_dedup_through_connector(spark, tmp_path):
+    """The composition law: drive streaming_passage_dedup from
+    format("s3-connector") with range-ordered files, re-deliver a
+    duplicate event (connector exactly-once on top of the
+    overwrite-by-batch replay law), and the per-doc outputs equal the
+    batch operator on the union corpus."""
+    import glob
+    import time
+
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import register
+    from spark_streaming_sql_s3_connector_spark.streaming.passage_dedup import (
+        streaming_passage_dedup,
+    )
+
+    register(spark)
+    batches = _mk_batches(spark)
+    files = []
+    for i, b in enumerate(batches):
+        d = str(tmp_path / f"docs_{i}.dir")
+        b.coalesce(1).write.parquet(d)
+        files.append(glob.glob(d + "/part-*.parquet")[0])
+    queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
+    for p in files:
+        queue.send_file_event(p, int(time.time() * 1000))
+    reader = (
+        spark.readStream.format("s3-connector")
+        .schema("doc_id bigint, text string")
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{tmp_path}/queue")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .option("spark.s3conn.metadataPath", str(tmp_path / "meta"))
+        .option("spark.s3conn.maxFilesPerTrigger", "1")
+    )
+    idx = str(tmp_path / "idx")
+    q = streaming_passage_dedup(
+        reader.load(), idx, str(tmp_path / "ckpt"), k=K,
+        expected_total_items=1000,
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate event re-delivery: connector must drop it
+        queue.send_file_event(files[0], int(time.time() * 1000))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _streamed(spark, idx) == _batch_expected(spark, batches)
