@@ -3334,6 +3334,51 @@ ORDER BY user_id
 # and the standalone single-behavior keys whose coverage a fused slot
 # duplicates (kept for bench key stability; the local gate
 # tools/check_oracle.py still hash-checks every one of them).
+def _table_profile_docs(spark, sf):
+    """One-pass per-column profile of ``documents`` (operators/profile):
+    row count, null count, exact distinct count, and portable-string
+    min/max for every column in a single aggregation. Exact-distinct
+    mode here so DuckDB can oracle the cardinalities bit-for-bit; the
+    registered plan still shows the one-Expand + value-keyed shuffle
+    shape Catalyst gives k COUNT(DISTINCT)s, and the HLL single-pass
+    variant is pinned separately in test_plan_quality."""
+    from spark_streaming_sql_s3_connector_spark.operators.profile import profile_table
+
+    docs = load_table(spark, sf, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    render = (
+        f"CAST(CAST({{agg}}({col}) AS DECIMAL(28,6)) AS VARCHAR)"
+        if numeric
+        else f"CAST({{agg}}({col}) AS VARCHAR)"
+    )
+    return f"""
+  SELECT '{col}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         {render.format(agg='MIN')} AS min_value,
+         {render.format(agg='MAX')} AS max_value
+  FROM documents"""
+
+
+_TABLE_PROFILE_SQL = (
+    "\nUNION ALL\n".join(
+        _profile_col_sql(c, numeric)
+        for c, numeric in [
+            ("doc_id", True),
+            ("text", False),
+            ("lang", False),
+            ("source", False),
+            ("n_chars", True),
+        ]
+    )
+    + "\nORDER BY col_name\n"
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -3503,4 +3548,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # counts + decimal-sum-exact mean quality + gate verdict + the
     # actually-filtered doc counts
     "source_curation_docs": QuerySpec(_source_curation_docs, _SOURCE_CURATION_SQL),
+    # r8: one-pass per-column dataset profile (exact mode for the
+    # oracle; approx_distinct HLL mode is the no-expand 100 TB path,
+    # plan-pinned in test_plan_quality)
+    "table_profile_docs": QuerySpec(_table_profile_docs, _TABLE_PROFILE_SQL),
 }
