@@ -1,0 +1,223 @@
+"""Corpus snapshot diff + distribution drift — the regression tests a
+100 TB data pipeline runs between corpus versions.
+
+Two snapshots of a corpus (yesterday's crawl vs today's, pre- vs
+post-curation) differ in membership and in distribution. Before the new
+version feeds a training run you want both answers cheaply:
+
+- :func:`snapshot_diff` — per-id reconciliation: how many documents were
+  added, removed, changed, unchanged. One null-safe full outer join on
+  the id — both sides shuffle ONCE on the id key (zero-Exchange when
+  both snapshots are bucketed by id via ``operators/joins.write_bucketed``);
+  content comparison is an md5 over the compared columns computed
+  map-side BEFORE the join, so only (id, 16-byte hash) rows shuffle,
+  never document bodies — the same key-narrowing discipline as
+  ``operators/dedup``.
+- :func:`categorical_drift` — per-column value-share comparison +
+  Population Stability Index. Each snapshot contributes one partial-agg
+  groupBy on a low-cardinality column (shuffle rows = distinct values,
+  not corpus rows); the share join is value-keyed over tiny frames.
+  PSI = Σ (p_new − p_old)·ln(p_new/p_old) with additive smoothing so
+  vanished/new values stay finite.
+- :func:`numeric_drift` — the same comparison for a numeric column over
+  FIXED-WIDTH bins (``floor((x−lo)/w)`` clamped to [0, n_bins)): binning
+  is a scan-local expression, cross-engine reproducible (no quantile
+  estimation inside the operator — pass explicit bounds, e.g. from a
+  prior :func:`~.profile.profile_table` run).
+
+At 100 TB: ``snapshot_diff`` is the only id-wide shuffle and it moves
+20–40 B/row; both drift profiles move one row per distinct value/bin per
+partition. Nothing here reads a document body except the map-side hash.
+
+Convention: PSI is conventionally read against fixed thresholds
+(<0.1 stable, 0.1–0.25 moderate shift, >0.25 major shift).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NULL_TOKEN = "\x20NULL"  # cannot collide with real rendered values
+
+
+def _content_hash(df: DataFrame, cols: Sequence[str]) -> Column:
+    """Null-safe md5 over the compared columns: each value renders as
+    ``len:value`` (NULL as a reserved token) so ('ab','c') never equals
+    ('a','bc') and NULL never equals ''."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit(_NULL_TOKEN)).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Classify every id across two snapshots.
+
+    Returns ``id_col | status`` with status in
+    ``added | removed | changed | unchanged``. ``compare_cols`` defaults
+    to every shared non-id column; pass a subset to ignore volatile
+    fields (fetch timestamps etc.).
+
+    Rows with a NULL id are rejected up front (a NULL key would silently
+    fall out of the join and report nothing) — same discipline as
+    ``operators/decontamination``.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c != id_col and c in new.columns]
+    compare_cols = list(compare_cols)
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+
+    def _keyed(df: DataFrame, side: str) -> DataFrame:
+        # the guard IS the join key (coalesce is lazy per row), so a
+        # NULL id raises instead of silently falling out of the full
+        # outer join — same discipline as operators/decontamination
+        guarded = F.coalesce(
+            F.col(id_col),
+            F.raise_error(
+                F.lit(
+                    f"snapshot_diff: NULL {id_col} in the {side} snapshot — "
+                    "NULL-keyed rows cannot be reconciled; filter or assign "
+                    "ids first"
+                )
+            ),
+        )
+        return df.select(
+            guarded.alias(id_col),
+            _content_hash(df, compare_cols).alias(f"_h_{side}"),
+        )
+
+    o = _keyed(old, "old")
+    n = _keyed(new, "new")
+    joined = o.join(n, on=id_col, how="full_outer")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """``status | n_docs`` counts of :func:`snapshot_diff` (the shape a
+    pipeline gate asserts on)."""
+    return (
+        snapshot_diff(old, new, id_col, compare_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+def _share_profile(df: DataFrame, bucket: Column) -> DataFrame:
+    """(bucket, share) with share as an exact DECIMAL(38,18) fraction —
+    the division happens on exact counts so the two engines' doubles
+    never enter until the PSI log."""
+    counts = df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.col("n"),
+        (F.col("n").cast("decimal(38,18)") / F.col("t")).alias("share"),
+    )
+
+
+def _drift_join(
+    old_p: DataFrame, new_p: DataFrame, smoothing: float
+) -> DataFrame:
+    eps = float(smoothing)
+    j = (
+        old_p.withColumnRenamed("n", "n_old")
+        .withColumnRenamed("share", "share_old")
+        .join(
+            new_p.withColumnRenamed("n", "n_new").withColumnRenamed(
+                "share", "share_new"
+            ),
+            on="bucket",
+            how="full_outer",
+        )
+        .na.fill({"n_old": 0, "n_new": 0})
+        .na.fill(0.0, ["share_old", "share_new"])
+    )
+    p_old = F.col("share_old").cast("double") + F.lit(eps)
+    p_new = F.col("share_new").cast("double") + F.lit(eps)
+    return j.select(
+        F.col("bucket"),
+        F.col("n_old"),
+        F.col("n_new"),
+        F.round(F.col("share_old").cast("double"), 9).alias("share_old"),
+        F.round(F.col("share_new").cast("double"), 9).alias("share_new"),
+        F.round((p_new - p_old) * (F.log(p_new) - F.log(p_old)), 9).alias(
+            "psi_term"
+        ),
+    )
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    smoothing: float = 1e-6,
+) -> DataFrame:
+    """Per-value share comparison of ``col`` across two snapshots.
+
+    Returns ``bucket | n_old | n_new | share_old | share_new | psi_term``
+    (one row per distinct value incl. NULL, rendered as a reserved
+    token). ``SUM(psi_term)`` is the column's PSI. ``psi_term`` uses
+    smoothed shares so values present in only one snapshot contribute a
+    finite penalty instead of ±inf.
+    """
+    b = F.coalesce(F.col(col).cast("string"), F.lit(_NULL_TOKEN))
+    return _drift_join(
+        _share_profile(old, b), _share_profile(new, b), smoothing
+    ).orderBy("bucket")
+
+
+def numeric_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 1e-6,
+) -> DataFrame:
+    """:func:`categorical_drift` over fixed-width bins of a numeric
+    column. Bin ``i`` covers ``[lo + i·w, lo + (i+1)·w)`` with
+    ``w = (hi−lo)/n_bins``; values outside clamp to the edge bins, NULL
+    gets its own bucket. Bounds are explicit (take them from a profile
+    of the OLD snapshot) so the binning is deterministic and
+    cross-engine — no quantile estimation on the hot path."""
+    if not (hi > lo):
+        raise ValueError("hi must be > lo")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    w = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(w))
+    clamped = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    b = F.when(F.col(col).isNull(), F.lit(_NULL_TOKEN)).otherwise(
+        F.lpad(clamped.cast("string"), 4, "0")  # zero-pad: text sort == bin order
+    )
+    return _drift_join(
+        _share_profile(old, b), _share_profile(new, b), smoothing
+    ).orderBy("bucket")

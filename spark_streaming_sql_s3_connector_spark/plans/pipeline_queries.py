@@ -3379,6 +3379,135 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _drift_snapshots(spark, sf):
+    """Two deterministic corpus 'versions' derived from documents:
+    old = doc_id%10 in 0..7; new = doc_id%10 in 2..9 with the text of
+    6,7 edited. Yields every diff class (removed 0-1, unchanged 2-5,
+    changed 6-7, added 8-9)."""
+    docs = load_table(spark, sf, "documents")
+    m = F.col("doc_id") % 10
+    old = docs.where(m < 8)
+    new = docs.where(m >= 2).withColumn(
+        "text",
+        F.when(m.isin(6, 7), F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return old, new
+
+
+_DRIFT_SNAPSHOT_SQL = """
+old_snap AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+new_snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 IN (6,7) THEN text || ' v2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 10 >= 2
+)"""
+
+
+def _snapshot_diff_docs(spark, sf):
+    """Per-id reconciliation of two corpus snapshots
+    (operators/drift.snapshot_diff_summary): added/removed/changed/
+    unchanged counts off ONE null-safe full outer join that shuffles
+    (id, md5) pairs, never document bodies."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        snapshot_diff_summary,
+    )
+
+    old, new = _drift_snapshots(spark, sf)
+    return snapshot_diff_summary(
+        old, new, "doc_id", ["text", "lang", "source", "n_chars"]
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH {_DRIFT_SNAPSHOT_SQL}
+SELECT CASE
+         WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN o.text IS NOT DISTINCT FROM n.text
+          AND o.lang IS NOT DISTINCT FROM n.lang
+          AND o.source IS NOT DISTINCT FROM n.source
+          AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+         ELSE 'changed'
+       END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM old_snap o FULL OUTER JOIN new_snap n USING (doc_id)
+GROUP BY 1 ORDER BY status
+"""
+
+
+def _drift_profile_docs(spark, sf):
+    """Distribution drift between the two snapshots
+    (operators/drift.categorical_drift + numeric_drift): per-value lang
+    shares and fixed-width n_chars bin shares with smoothed PSI terms —
+    the pre-training distribution regression gate. Two tiny value-keyed
+    aggs per column; the corpus never shuffles."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        categorical_drift,
+        numeric_drift,
+    )
+
+    old, new = _drift_snapshots(spark, sf)
+    cat = categorical_drift(old, new, "lang").select(
+        F.lit("lang").alias("dim"), "*"
+    )
+    num = numeric_drift(old, new, "n_chars", lo=0.0, hi=1000.0, n_bins=8).select(
+        F.lit("n_chars").alias("dim"), "*"
+    )
+    return cat.unionByName(num).orderBy("dim", "bucket")
+
+
+_DRIFT_PROFILE_SQL = f"""
+WITH {_DRIFT_SNAPSHOT_SQL},
+buckets AS (
+  SELECT 'lang' AS dim, COALESCE(CAST(lang AS VARCHAR), ' NULL') AS bucket, 'old' AS side
+  FROM old_snap
+  UNION ALL
+  SELECT 'lang', COALESCE(CAST(lang AS VARCHAR), ' NULL'), 'new' FROM new_snap
+  UNION ALL
+  SELECT 'n_chars',
+         CASE WHEN n_chars IS NULL THEN ' NULL'
+              ELSE lpad(CAST(LEAST(7, GREATEST(0,
+                     CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 125.0) AS INT)
+                   )) AS VARCHAR), 4, '0') END, 'old'
+  FROM old_snap
+  UNION ALL
+  SELECT 'n_chars',
+         CASE WHEN n_chars IS NULL THEN ' NULL'
+              ELSE lpad(CAST(LEAST(7, GREATEST(0,
+                     CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 125.0) AS INT)
+                   )) AS VARCHAR), 4, '0') END, 'new'
+  FROM new_snap
+),
+counts AS (
+  SELECT dim, bucket, side, CAST(COUNT(*) AS BIGINT) AS n
+  FROM buckets GROUP BY 1, 2, 3
+),
+shares AS (
+  SELECT dim, bucket, side, n,
+         CAST(n AS DECIMAL(38,18)) / SUM(n) OVER (PARTITION BY dim, side) AS share
+  FROM counts
+),
+joined AS (
+  SELECT COALESCE(o.dim, n.dim) AS dim,
+         COALESCE(o.bucket, n.bucket) AS bucket,
+         COALESCE(o.n, 0) AS n_old, COALESCE(n.n, 0) AS n_new,
+         COALESCE(CAST(o.share AS DOUBLE), 0.0) AS so,
+         COALESCE(CAST(n.share AS DOUBLE), 0.0) AS sn
+  FROM (SELECT * FROM shares WHERE side = 'old') o
+  FULL OUTER JOIN (SELECT * FROM shares WHERE side = 'new') n
+    ON o.dim = n.dim AND o.bucket = n.bucket
+)
+SELECT dim, bucket, n_old, n_new,
+       ROUND(so, 9) AS share_old, ROUND(sn, 9) AS share_new,
+       ROUND((sn + 1e-6 - (so + 1e-6)) * (LN(sn + 1e-6) - LN(so + 1e-6)), 9) AS psi_term
+FROM joined
+ORDER BY dim, bucket
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -3552,4 +3681,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # oracle; approx_distinct HLL mode is the no-expand 100 TB path,
     # plan-pinned in test_plan_quality)
     "table_profile_docs": QuerySpec(_table_profile_docs, _TABLE_PROFILE_SQL),
+    # r8: corpus-version regression gates — membership diff (one
+    # hash-narrowed full outer join) and distribution drift (value-keyed
+    # share aggs + smoothed PSI)
+    "snapshot_diff_docs": QuerySpec(_snapshot_diff_docs, _SNAPSHOT_DIFF_SQL),
+    "drift_profile_docs": QuerySpec(_drift_profile_docs, _DRIFT_PROFILE_SQL),
 }
