@@ -59,6 +59,71 @@ def with_split(
     )
 
 
+def with_group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free splits: every row of a GROUP lands in the same
+    split, chosen by the salted hash of the group key — never of the row
+    id. This is the split you want when groups carry correlated /
+    near-duplicate content (domain, dup-cluster canonical id, author):
+    an id-hash split scatters a duplicate cluster across train and test
+    and the eval leaks; a group-hash split cannot.
+
+    ``fractions`` maps split name → share of the GROUP hash space (sum
+    ≤ 1 + ε; shares are of groups, not rows — heavy groups skew row
+    counts, by design). Allocation order is the dict's iteration order,
+    so the same dict always yields the same assignment. Rows whose
+    group key is NULL get their own pseudo-group (all NULLs together —
+    the conservative choice for leakage).
+
+    Scale shape: identical to :func:`with_split` — one JVM hash
+    expression per row, scan-local, no shuffle, composes with pushdown.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = {k: v for k, v in fractions.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative fractions: {bad}")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x20NULL"))
+    bucket = _hash_bucket(key, salt)
+    cum = 0.0
+    expr = None
+    for name, frac in fractions.items():
+        cum += frac
+        cut = int(round(cum * _BUCKETS))
+        cond = bucket < cut
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # groups past the last cut (fractions summing < 1) are held out
+    return df.withColumn(split_col, expr.otherwise(F.lit(None).cast("string")))
+
+
+def group_train_test_split(
+    df: DataFrame, group_col: str, test_fraction: float = 0.1, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """Two-way :func:`with_group_split` returning (train, test) frames —
+    the drop-in leakage-free replacement for :func:`train_test_split`."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    labeled = with_group_split(
+        df, group_col, {"test": test_fraction, "train": 1.0 - test_fraction}, salt
+    )
+    return (
+        labeled.where(F.col("split") == "train").drop("split"),
+        labeled.where(F.col("split") == "test").drop("split"),
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = ""
 ) -> tuple[DataFrame, DataFrame]:

@@ -3379,6 +3379,52 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _group_split_docs(spark, sf):
+    """Leakage-free group-keyed splits (operators/sampling
+    .with_group_split): documents split train/val/test by the salted
+    hash of their SOURCE — every source (and with it every
+    correlated/near-dup family inside it) lands wholly in one split.
+    Output: per-split group / doc / char masses. Scan-local hash
+    filter; the one shuffle here is the summary agg itself."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        with_group_split,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    labeled = with_group_split(
+        docs, "source", {"test": 0.1, "val": 0.1, "train": 0.8}, salt="corpus"
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count_distinct(F.col("source")).alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_GROUP_SPLIT_SQL = """
+WITH labeled AS (
+  SELECT *,
+         CASE
+           WHEN CAST('0x' || substr(md5(COALESCE(CAST(source AS VARCHAR), ' NULL') || 'corpus'), 1, 8) AS BIGINT) % 10000 < 1000 THEN 'test'
+           WHEN CAST('0x' || substr(md5(COALESCE(CAST(source AS VARCHAR), ' NULL') || 'corpus'), 1, 8) AS BIGINT) % 10000 < 2000 THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM labeled
+GROUP BY split
+ORDER BY split
+"""
+
+
 def _drift_snapshots(spark, sf):
     """Two deterministic corpus 'versions' derived from documents:
     old = doc_id%10 in 0..7; new = doc_id%10 in 2..9 with the text of
@@ -3686,4 +3732,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # share aggs + smoothed PSI)
     "snapshot_diff_docs": QuerySpec(_snapshot_diff_docs, _SNAPSHOT_DIFF_SQL),
     "drift_profile_docs": QuerySpec(_drift_profile_docs, _DRIFT_PROFILE_SQL),
+    # r8: leakage-free group-keyed train/val/test split
+    "group_split_docs": QuerySpec(_group_split_docs, _GROUP_SPLIT_SQL),
 }

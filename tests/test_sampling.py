@@ -250,3 +250,103 @@ def test_quantile_gate_collect_thresholds_equals_join_form(spark):
 
     with _pytest.raises(ValueError, match="one group column"):
         quantile_gate_approx(df, "v", ["g", "doc_id"], 0.3, collect_thresholds=True)
+
+
+# --- group-aware leakage-free splits (r8) ---
+
+
+def test_group_split_no_leakage(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        with_group_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 17}") for i in range(500)], "id bigint, domain string"
+    )
+    labeled = with_group_split(
+        df, "domain", {"test": 0.2, "val": 0.2, "train": 0.6}, salt="s"
+    )
+    # THE law: every group sits in exactly one split
+    per_group = (
+        labeled.groupBy("domain").agg(F.count_distinct("split").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    # partition of the input (fractions sum to 1 -> no NULL split)
+    assert labeled.where(F.col("split").isNull()).count() == 0
+    assert labeled.count() == 500
+
+
+def test_group_split_deterministic_under_repartition(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        with_group_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 11}") for i in range(200)], "id bigint, g string"
+    )
+    a = {
+        (r["id"], r["split"])
+        for r in with_group_split(df, "g", {"t": 0.5, "u": 0.5}, "z").collect()
+    }
+    b = {
+        (r["id"], r["split"])
+        for r in with_group_split(
+            df.repartition(13), "g", {"t": 0.5, "u": 0.5}, "z"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_group_split_nulls_one_pseudo_group(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        with_group_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id bigint, g string"
+    )
+    rows = with_group_split(df, "g", {"a": 0.5, "b": 0.5}).collect()
+    null_splits = {r["split"] for r in rows if r["id"] in (1, 2)}
+    assert len(null_splits) == 1  # all NULL-keyed rows move together
+
+
+def test_group_split_holdout_and_validation(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        group_train_test_split,
+        with_group_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 40}") for i in range(400)], "id bigint, g string"
+    )
+    # fractions summing < 1: remainder is held out as NULL
+    lab = with_group_split(df, "g", {"a": 0.3, "b": 0.3}, salt="h")
+    n_null = lab.where(F.col("split").isNull()).count()
+    assert 0 < n_null < 400
+    # two-way convenience splits partition the input
+    tr, te = group_train_test_split(df, "g", 0.3, salt="h")
+    assert tr.count() + te.count() == 400
+    assert tr.join(te, "id", "inner").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_group_split(df, "g", {})
+    with _pytest.raises(ValueError):
+        with_group_split(df, "g", {"a": 0.8, "b": 0.3})
+    with _pytest.raises(ValueError):
+        with_group_split(df, "g", {"a": -0.1})
+
+
+def test_group_split_scan_local_no_shuffle(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        with_group_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        with_group_split(docs, "source", {"t": 0.1, "r": 0.9})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
