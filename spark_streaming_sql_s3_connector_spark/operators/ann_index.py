@@ -401,6 +401,19 @@ def streaming_ann_index(
     )
 
 
+def _horizon_filter(upto_batch: int):
+    """Partition filter keeping only batch dirs a replaying trigger is
+    allowed to see: base versions (bootstrap / folds — see the
+    compaction caveat in :func:`streaming_semantic_dedup`), non-integer
+    appends, and integer batches STRICTLY below ``upto_batch``."""
+    is_int = F.col("batch").rlike("^[0-9]+$")
+    return (
+        F.col("batch").startswith(_BASE_BATCH)
+        | ~is_int
+        | (F.col("batch").cast("long") < int(upto_batch))
+    )
+
+
 def ann_index_topk_batch(
     spark: SparkSession,
     index_dir: str,
@@ -408,6 +421,7 @@ def ann_index_topk_batch(
     k: int = 10,
     n_probe: int = 4,
     meta: Optional[dict] = None,
+    upto_batch: Optional[int] = None,
 ) -> DataFrame:
     """Top-k for EVERY query in ``queries`` in ONE job — the batch
     retrieval shape (SemDeDup-style curation, eval-set contamination
@@ -464,6 +478,10 @@ def ann_index_topk_batch(
     corpus = read_index_corpus(spark, index_dir, meta).where(
         F.col("ivf_bucket").isin(probes)
     )
+    if upto_batch is not None:
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ValueError("upto_batch requires a batch-keyed (v2) index")
+        corpus = corpus.where(_horizon_filter(upto_batch))
     bc = spark.sparkContext.broadcast((tables, bucket_to_q, qids))
     kk = int(k)
 
@@ -522,6 +540,153 @@ def ann_index_topk_batch(
         .where(F.col("_rn") <= kk)
         .drop("_rn")
     )
+
+
+def dedup_against_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    threshold: float,
+    id_col: Optional[str] = None,
+    vec_col: Optional[str] = None,
+    n_probe: int = 4,
+    meta: Optional[dict] = None,
+    max_batch_rows: int = 10_000,
+    upto_batch: Optional[int] = None,
+) -> DataFrame:
+    """Semantic-dedup a NEW batch against the PERSISTED index — the
+    online SemDeDup screen: each incoming vector is flagged if its best
+    ADC score (≈ cosine; quantizers train on L2-normalized rows) against
+    any indexed vector clears ``threshold``. History is never re-read as
+    floats and never re-encoded — the whole comparison runs over the
+    index's PQ codes via :func:`ann_index_topk_batch` (ONE pruned union
+    scan of the probed buckets, partial top-1 per partition, one
+    bounded window reduce).
+
+    Returns ``id_col | match_id | adc_score`` — one row per flagged
+    incoming vector with its best historical match. Anti-join the
+    result against the batch to keep the novel rows.
+
+    Scale shape: ``df`` is a micro-batch/delta (bounded; enforced at
+    ``max_batch_rows`` because per-query ADC tables broadcast from the
+    driver — the ceiling :func:`ann_index_topk_batch` documents). The
+    INDEX side is unbounded: 10¹⁰ coded vectors serve this screen at
+    n_probe/n_centroids of their file population per call. Chunk the
+    caller's frame above the ceiling. Approximation is one-sided:
+    flagged rows really do have a high-ADC match; recall is bounded by
+    probe coverage (raise ``n_probe`` to trade scan width for recall).
+
+    Intra-batch near-dups are NOT flagged here (neither row is in the
+    index yet) — run the batch-local pair generators first, or rely on
+    the next batch seeing this batch's appends in the streaming
+    composition (:func:`streaming_semantic_dedup`)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    rows = df.select(F.col(id_col), F.col(vec_col)).limit(max_batch_rows + 1).collect()
+    if len(rows) > max_batch_rows:
+        raise ValueError(
+            f"dedup_against_ann_index: batch exceeds max_batch_rows="
+            f"{max_batch_rows} (per-query ADC tables broadcast from the "
+            "driver); chunk the input or raise the bound explicitly"
+        )
+    if not rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, match_id bigint, adc_score double"
+        )
+    spark = df.sparkSession
+    hits = ann_index_topk_batch(
+        spark,
+        index_dir,
+        [(r[0], list(r[1])) for r in rows],
+        k=1,
+        n_probe=n_probe,
+        meta=meta,
+        upto_batch=upto_batch,
+    )
+    return hits.where(F.col("adc_score") >= F.lit(float(threshold))).select(
+        F.col("query_id").cast("long").alias(id_col),
+        F.col("neighbor_id").alias("match_id"),
+        F.col("adc_score"),
+    )
+
+
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    threshold: float,
+    n_probe: int = 4,
+    compact_every: Optional[int] = None,
+):
+    """Streaming SemDeDup against ever-growing history: per micro-batch,
+    (1) screen the batch against the persisted index
+    (:func:`dedup_against_ann_index`), (2) write the SURVIVORS (novel
+    vectors) to ``out_dir/batch=<id>`` (overwrite-by-batch-dir ⇒
+    replay-convergent, same discipline as every persisted index here),
+    (3) append the survivors' codes to the index so the NEXT batch
+    dedups against them. The index must already exist (bootstrap with
+    :func:`build_ann_index`). ``compact_every`` folds index batch dirs
+    as in :func:`streaming_ann_index`.
+
+    Exactly-once law (tested): a replay of batch N re-screens against
+    an index that already contains N's own survivors (and possibly
+    later batches). The screen therefore (a) reads the index only up to
+    the batch horizon (``upto_batch=batch_id`` — integer batch dirs ≥ N
+    are partition-filtered out) and (b) drops matches whose match_id is
+    in the CURRENT batch — so the replayed verdicts equal the
+    original's and the overwrite-by-batch-dir writes converge.
+    Compaction caveat (same trade as ``exact_dedup.compact_index``): a
+    fold executed BETWEEN crash and replay absorbs batches ≥ N into a
+    base dir the horizon filter cannot split, so schedule
+    ``compact_every`` folds only from the live stream (they use the
+    committed horizon) and avoid out-of-band folds while a replay is
+    pending."""
+    meta = load_index_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            batch_ids = batch.select(F.col(id_col).alias("match_id"))
+            flagged = dedup_against_ann_index(
+                batch,
+                index_dir,
+                threshold,
+                n_probe=n_probe,
+                meta=meta,
+                upto_batch=batch_id,
+            ).join(F.broadcast(batch_ids), on="match_id", how="left_anti")
+            survivors = batch.join(
+                F.broadcast(flagged.select(id_col)), on=id_col, how="left_anti"
+            )
+            (
+                survivors.write.mode("overwrite").parquet(
+                    out_dir.rstrip("/") + f"/batch={batch_id}"
+                )
+            )
+            append_to_ann_index(survivors, index_dir, batch_id=batch_id, meta=meta)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_ann_index(spark, index_dir, upto_batch=batch_id)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_semantic_dedup_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All surviving (novel) rows written by
+    :func:`streaming_semantic_dedup` across batches."""
+    return spark.read.parquet(out_dir)
 
 
 def _probe_buckets(centroids: list[list[float]], query_vec: Sequence[float], n_probe: int) -> list[int]:

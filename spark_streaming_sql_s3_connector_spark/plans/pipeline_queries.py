@@ -3379,6 +3379,58 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _ann_semantic_dedup(spark, sf):
+    """Index-backed semantic dedup (operators/ann_index
+    .dedup_against_ann_index): a 'new batch' of 20 EXACT COPIES of
+    indexed vectors (fresh ids +100000) is screened against the shared
+    persisted IVF-PQ index — no history re-read, no re-encode; one
+    pruned scan of the probed buckets' PQ codes. Rows-only with a
+    self-checking column: every planted copy must be flagged (its own
+    bucket is always probed and its ADC is the reconstruction
+    self-similarity)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        build_ann_index,
+        dedup_against_ann_index,
+        index_exists,
+    )
+
+    index_dir = _ann_index_dir_for(sf)
+    if not index_exists(index_dir):
+        emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+        build_ann_index(
+            emb, "embedding", "vec_id", index_dir,
+            n_centroids=16, m_subspaces=16, pq_centroids=256, seed=42,
+        )
+    emb = load_table(spark, sf, "embeddings")
+    batch = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20))
+        .select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            F.col("embedding"),
+        )
+    )
+    hits = dedup_against_ann_index(
+        batch, index_dir, threshold=0.85, n_probe=8
+    ).collect()  # <= 20 rows — bounded driver traffic
+    all_flagged = {r.vec_id for r in hits} == {100001 + i for i in range(20)}
+    return (
+        spark.createDataFrame(
+            [
+                (int(r.vec_id), int(r.match_id), float(r.adc_score))
+                for r in hits
+            ],
+            "vec_id bigint, match_id bigint, adc_score double",
+        )
+        .select(
+            "vec_id",
+            "match_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            F.lit(bool(all_flagged)).alias("all_copies_flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _group_split_docs(spark, sf):
     """Leakage-free group-keyed splits (operators/sampling
     .with_group_split): documents split train/val/test by the salted
@@ -3734,4 +3786,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "drift_profile_docs": QuerySpec(_drift_profile_docs, _DRIFT_PROFILE_SQL),
     # r8: leakage-free group-keyed train/val/test split
     "group_split_docs": QuerySpec(_group_split_docs, _GROUP_SPLIT_SQL),
+    # r8: online SemDeDup — new batch screened against the PERSISTED
+    # index's PQ codes (rows-only, planted-copy self-check)
+    "ann_semantic_dedup": QuerySpec(_ann_semantic_dedup, None),
 }
