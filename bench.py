@@ -167,6 +167,19 @@ BENCH_QUERIES = [
     # r8: source/domain-level curation (per-source stats → gate →
     # broadcast-semi-join filter)
     "source_curation_docs",
+    # r8: one-pass per-column dataset profile (exact-distinct oracle
+    # mode; the HLL no-Expand mode is plan-pinned in tests)
+    "table_profile_docs",
+    # r8: corpus-version regression gates — membership diff (hash-
+    # narrowed full outer join) and share/PSI drift profiles
+    "snapshot_diff_docs",
+    "drift_profile_docs",
+    # r8: leakage-free group-keyed splits (scan-local hash filter)
+    "group_split_docs",
+    # r8: online SemDeDup against the persisted index (shares the
+    # disk-cached index with ann_index_topk; median measures the
+    # pruned-scan screen)
+    "ann_semantic_dedup",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring
