@@ -298,3 +298,81 @@ def filter_docs_by_source(
     return df.join(
         F.broadcast(passing), F.col(source_col) == F.col("_pass_src"), "left_semi"
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    shingle_k: int = 3,
+    max_groups_per_shingle: int | None = None,
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN groups (sources/domains/crawls):
+    for every unordered group pair, how many distinct word
+    ``shingle_k``-grams they share, as absolute count, Jaccard over the
+    two shingle sets, and overlap coefficient (inter / min) — the
+    "which crawls duplicate each other" matrix a corpus merge decides
+    dedup order with.
+
+    Output: ``source_a | source_b | n_shared | jaccard | overlap``
+    (``source_a < source_b``), plus each group's distinct-shingle size.
+
+    Scale shape: explode → ONE distinct on (group, shingle) — this is
+    the only corpus-sized shuffle, and its rows are (group, gram) pairs,
+    not documents. Pair generation reuses ``dedup.bucket_pairs``: one
+    groupBy(shingle), each shingle emitting C(g, 2) rows where g = the
+    number of GROUPS containing it (bounded by the group count, and
+    capped by ``max_groups_per_shingle`` when the group population is
+    itself huge — the same stop-shingle skew guard as the n-gram Jaccard
+    join). Per-group sizes broadcast back onto the |pairs| result.
+    """
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        bucket_pairs,
+        word_shingles,
+    )
+
+    sh = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias(
+                "shingle"
+            ),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    sizes = sh.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        bucket_pairs(
+            sh,
+            ["shingle"],
+            F.struct(F.col("_grp")),
+            max_bucket_size=max_groups_per_shingle,
+        )
+        .groupBy(
+            F.col("a._grp").alias("source_a"), F.col("b._grp").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_grp").alias("source_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("_grp").alias("source_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("size_a"), F.col("size_b")), 9
+            ).alias("overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )

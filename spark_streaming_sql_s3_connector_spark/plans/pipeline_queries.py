@@ -3379,6 +3379,54 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _source_overlap_docs(spark, sf):
+    """Inter-source content overlap matrix (operators/web
+    .source_overlap_matrix): distinct word-3-gram sharing between every
+    source pair — count, Jaccard, overlap coefficient. One (group,
+    shingle) distinct shuffle + one shingle-keyed pair agg; documents
+    never pair with documents."""
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        source_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return source_overlap_matrix(docs, "text", "source", shingle_k=3)
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT DISTINCT source, unnest(s) AS shingle FROM sh
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ex GROUP BY source
+), ov AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared), 9) AS jaccard,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_shingles, sb.n_shingles), 9) AS overlap
+FROM ov
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def _ann_semantic_dedup(spark, sf):
     """Index-backed semantic dedup (operators/ann_index
     .dedup_against_ann_index): a 'new batch' of 20 EXACT COPIES of
@@ -3789,4 +3837,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: online SemDeDup — new batch screened against the PERSISTED
     # index's PQ codes (rows-only, planted-copy self-check)
     "ann_semantic_dedup": QuerySpec(_ann_semantic_dedup, None),
+    # r8: inter-source shingle-overlap matrix (crawl-duplication audit)
+    "source_overlap_docs": QuerySpec(_source_overlap_docs, _SOURCE_OVERLAP_SQL),
 }

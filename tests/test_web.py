@@ -340,3 +340,61 @@ def test_source_curation_gate_and_filter_laws(spark):
     # the filter never shuffles the corpus: verdicts broadcast
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# --- inter-source overlap matrix (r8) ---
+
+
+def test_source_overlap_planted(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        # src A and B share exactly the shingle set of "x y z" (1 gram);
+        # C shares nothing
+        (1, "x y z", "A"),
+        (2, "x y z extra words here", "B"),
+        (3, "totally different content here now", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, "text", "source").collect()
+    }
+    assert set(got) == {("A", "B")}  # no shared grams with C -> no row
+    ab = got[("A", "B")]
+    assert ab["n_shared"] == 1  # "x y z"
+    assert ab["size_a"] == 1 and ab["size_b"] == 4
+    assert abs(ab["jaccard"] - 1 / 4) < 1e-9
+    assert abs(ab["overlap"] - 1.0) < 1e-9
+
+
+def test_source_overlap_ordering_and_bounds(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = source_overlap_matrix(docs, "text", "source").collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # unordered pairs, once
+        assert 0 < r["n_shared"] <= min(r["size_a"], r["size_b"])
+        assert 0.0 <= r["jaccard"] <= r["overlap"] <= 1.0
+
+
+def test_source_overlap_stop_shingle_cap(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.web import (
+        source_overlap_matrix,
+    )
+
+    # one gram shared by ALL groups; cap below the group count drops it
+    rows = [(i, "common gram here", f"s{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    full = source_overlap_matrix(df, "text", "source").count()
+    capped = source_overlap_matrix(
+        df, "text", "source", max_groups_per_shingle=3
+    ).count()
+    assert full == 15  # C(6,2)
+    assert capped == 0
