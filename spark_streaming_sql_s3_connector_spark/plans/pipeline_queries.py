@@ -3379,6 +3379,81 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _nb_classifier_docs(spark, sf):
+    """Distributed multinomial Naive Bayes (operators/classifier):
+    train a lang classifier on the corpus (counting = one explode +
+    groupBy shuffle, closed form, no gradient loop), broadcast the V×L
+    decimal logprob table, score every document, argmax with
+    label-ascending ties. Hash-exact vs a full DuckDB train+score
+    mirror (the decimal-sum FP-parity discipline of perplexity_docs)."""
+    from spark_streaming_sql_s3_connector_spark.operators.classifier import (
+        nb_score_docs,
+        train_nb_classifier,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    model = train_nb_classifier(docs, "text", "lang", vocab_size=2048, alpha=1.0)
+    return nb_score_docs(docs, "text", "doc_id", model).orderBy("doc_id")
+
+
+_NB_CLASSIFIER_SQL = r"""
+WITH labeled AS (
+  SELECT * FROM documents WHERE lang IS NOT NULL
+), toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM labeled WHERE text IS NOT NULL AND trim(text) != ''
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), gtop AS (
+  SELECT tok FROM (
+    SELECT tok, SUM(c) AS tc FROM counts GROUP BY tok
+    ORDER BY tc DESC, tok LIMIT 2048
+  )
+), vsize AS (SELECT COUNT(*) AS v FROM gtop),
+ntok AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+labels AS (SELECT lang, COUNT(*) AS nd FROM labeled GROUP BY lang),
+ndocs AS (SELECT SUM(nd) AS t FROM labels),
+denom AS (
+  SELECT l.lang, COALESCE(n.n, 0) + 1.0 * (vsize.v + 1) AS d
+  FROM labels l LEFT JOIN ntok n USING (lang), vsize
+), lm AS (
+  SELECT g.tok, d.lang,
+         CAST(ROUND(ln((COALESCE(c.c, 0) + 1.0) / d.d), 7) AS DECIMAL(20,7)) AS lp
+  FROM gtop g CROSS JOIN denom d
+  LEFT JOIN counts c ON c.tok = g.tok AND c.lang = d.lang
+), oov AS (
+  SELECT lang, CAST(ROUND(ln(1.0 / d), 7) AS DECIMAL(20,7)) AS lp FROM denom
+), priors AS (
+  SELECT l.lang, CAST(ROUND(ln(CAST(nd AS DOUBLE) / ndocs.t), 7) AS DECIMAL(20,7)) AS lp
+  FROM labels l, ndocs
+), stoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), persum AS (
+  SELECT t.doc_id, d.lang, SUM(COALESCE(lm.lp, o.lp)) AS s, COUNT(*) AS n
+  FROM stoks t
+  CROSS JOIN (SELECT lang FROM labels) d
+  LEFT JOIN lm ON lm.tok = t.tok AND lm.lang = d.lang
+  JOIN oov o ON o.lang = d.lang
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc.doc_id, l.lang,
+         p.lp + COALESCE(ps.s, CAST('0' AS DECIMAL(20,7))) AS s,
+         COALESCE(ps.n, 0) AS n
+  FROM documents doc
+  CROSS JOIN labels l
+  JOIN priors p ON p.lang = l.lang
+  LEFT JOIN persum ps ON ps.doc_id = doc.doc_id AND ps.lang = l.lang
+)
+SELECT doc_id, lang AS pred_label,
+       ROUND(CAST(s AS DOUBLE), 6) AS pred_score,
+       CAST(n AS BIGINT) AS n_tokens
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) = 1
+ORDER BY doc_id
+"""
+
+
 def _source_overlap_docs(spark, sf):
     """Inter-source content overlap matrix (operators/web
     .source_overlap_matrix): distinct word-3-gram sharing between every
@@ -3839,4 +3914,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "ann_semantic_dedup": QuerySpec(_ann_semantic_dedup, None),
     # r8: inter-source shingle-overlap matrix (crawl-duplication audit)
     "source_overlap_docs": QuerySpec(_source_overlap_docs, _SOURCE_OVERLAP_SQL),
+    # r8: closed-form distributed Naive Bayes classifier (train+score
+    # hash-exact vs the DuckDB mirror)
+    "nb_classifier_docs": QuerySpec(_nb_classifier_docs, _NB_CLASSIFIER_SQL),
 }
