@@ -134,6 +134,48 @@ def train_test_split(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, pos)`` coordinate derived ONLY from its id and the salt —
+    shard = md5 bucket, pos = rank of the full md5 within the shard.
+    Reading shards 0..n-1 in pos order visits the corpus in a fixed
+    pseudorandom order that is identical across reruns, partitionings,
+    and engines (``df.orderBy(rand())`` is none of those), so a training
+    run is exactly reproducible and resumable mid-shard. A new ``salt``
+    is a fresh epoch permutation, uncorrelated with the last.
+
+    Scale shape: ONE hash-partitioned window per shard — each shard
+    sorts ~|corpus|/n_shards rows inside one task (size n_shards so a
+    shard's (id, hash) pairs fit a task's sort buffer; the external
+    sorter spills gracefully past it). No driver participation; writing
+    with ``partitionBy(shard)`` + ``sortWithinPartitions`` streams each
+    shard out in final order."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_shuffle_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_shuffle_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("_shuffle_h")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     id_col: str,

@@ -3379,6 +3379,57 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _shuffle_shards_docs(spark, sf):
+    """Deterministic training-order shuffle (operators/sampling
+    .shuffle_shards): per shard, the doc count and an ORDER-SENSITIVE
+    md5 over the visit order — so the oracle pins the exact permutation,
+    not just membership. One windowed shuffle; each shard sorts in one
+    task."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    coords = shuffle_shards(docs, "doc_id", n_shards=8, salt="epoch0")
+    return (
+        coords.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("doc_id"))
+                        )
+                    ).cast("array<string>"),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHUFFLE_SHARDS_SQL = """
+WITH coords AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch0'), 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos
+  FROM coords
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg('{' || pos || ', ' || doc_id || '}', ',' ORDER BY pos)) AS order_md5
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 def _nb_classifier_docs(spark, sf):
     """Distributed multinomial Naive Bayes (operators/classifier):
     train a lang classifier on the corpus (counting = one explode +
@@ -3917,4 +3968,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: closed-form distributed Naive Bayes classifier (train+score
     # hash-exact vs the DuckDB mirror)
     "nb_classifier_docs": QuerySpec(_nb_classifier_docs, _NB_CLASSIFIER_SQL),
+    # r8: deterministic training-order shuffle (order-sensitive oracle)
+    "shuffle_shards_docs": QuerySpec(_shuffle_shards_docs, _SHUFFLE_SHARDS_SQL),
 }

@@ -350,3 +350,66 @@ def test_group_split_scan_local_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --- deterministic training-order shuffle (r8) ---
+
+
+def test_shuffle_shards_coordinates_are_a_bijection(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    coords = shuffle_shards(df, "doc_id", n_shards=7, salt="e0")
+    rows = coords.collect()
+    assert len(rows) == 500
+    # every (shard, pos) unique; pos dense 1..n per shard
+    assert len({(r["shard"], r["pos"]) for r in rows}) == 500
+    per = {}
+    for r in rows:
+        per.setdefault(r["shard"], []).append(r["pos"])
+    assert set(per) <= set(range(7))
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_shuffle_shards_deterministic_and_salt_rotates(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", 5, "e0").collect()
+    }
+    b = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(df.repartition(17), "doc_id", 5, "e0").collect()
+    }
+    assert a == b  # any partitioning, same permutation
+    c = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", 5, "e1").collect()
+    }
+    assert a != c  # a new salt is a new epoch order
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", 0)
+
+
+def test_shuffle_shards_single_exchange(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        shuffle_shards(docs, "doc_id", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1 and "Python" not in plan
