@@ -180,6 +180,15 @@ BENCH_QUERIES = [
     # disk-cached index with ann_index_topk; median measures the
     # pruned-scan screen)
     "ann_semantic_dedup",
+    # r8: inter-source shingle-overlap matrix (one (group, gram)
+    # distinct shuffle + shingle-keyed pair agg)
+    "source_overlap_docs",
+    # r8: closed-form distributed NB classifier (train+score, decimal
+    # FP-parity vs the DuckDB mirror)
+    "nb_classifier_docs",
+    # r8: deterministic training-order shuffle (one windowed shuffle,
+    # order-sensitive oracle)
+    "shuffle_shards_docs",
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring
