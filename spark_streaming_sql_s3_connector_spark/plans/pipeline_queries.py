@@ -3379,6 +3379,65 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _streaming_profile_docs(spark, sf):
+    """Drive streaming/profile.py batch-by-batch over documents split
+    into 3 doc_id-range 'micro-batches' (incl. a mid-corpus REPLAY of
+    batch 1 — the delta overwrite must converge) and read back the live
+    profile. The exact fields (n_rows / n_null / min / max) oracle-check
+    against a plain batch profile SQL; the HLL n_distinct column is
+    dropped here (estimator-specific) — its accuracy law lives in
+    test_streaming_profile.py."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+        profile_batch,
+        read_profile,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    tag = hashlib.md5(("profile" + str(sf)).encode()).hexdigest()[:12]
+    sink = os.path.join(tempfile.gettempdir(), f"s3conn-streamprof-{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+    atexit.register(shutil.rmtree, sink, ignore_errors=True)
+    for b in range(3):
+        batch = docs.where(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        profile_batch(batch, b, sink)
+        if b == 1:  # crash-replay of the same batch id: must converge
+            profile_batch(batch, b, sink)
+    return read_profile(spark, sink).drop("n_distinct")
+
+
+_STREAMING_PROFILE_SQL = """
+SELECT 'doc_id' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+       CAST(CAST(MIN(doc_id) AS DECIMAL(28,6)) AS VARCHAR) AS min_value,
+       CAST(CAST(MAX(doc_id) AS DECIMAL(28,6)) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+       CAST(CAST(MIN(n_chars) AS DECIMAL(28,6)) AS VARCHAR),
+       CAST(CAST(MAX(n_chars) AS DECIMAL(28,6)) AS VARCHAR)
+FROM documents
+ORDER BY col_name
+"""
+
+
 def _shuffle_shards_docs(spark, sf):
     """Deterministic training-order shuffle (operators/sampling
     .shuffle_shards): per shard, the doc count and an ORDER-SENSITIVE
@@ -3970,4 +4029,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "nb_classifier_docs": QuerySpec(_nb_classifier_docs, _NB_CLASSIFIER_SQL),
     # r8: deterministic training-order shuffle (order-sensitive oracle)
     "shuffle_shards_docs": QuerySpec(_shuffle_shards_docs, _SHUFFLE_SHARDS_SQL),
+    # r8: streaming incremental profile driven batch-by-batch with a
+    # mid-corpus replay; exact fields oracle-checked
+    "streaming_profile_docs": QuerySpec(_streaming_profile_docs, _STREAMING_PROFILE_SQL),
 }

@@ -94,6 +94,24 @@ def _merge_partials(frames: DataFrame, cols: Sequence[str]) -> DataFrame:
     return frames.agg(*aggs)
 
 
+def profile_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    columns: Optional[Sequence[str]] = None,
+) -> None:
+    """One micro-batch's contribution: compute the wide partial row and
+    OVERWRITE this batch's own delta dir (idempotent on replay). This
+    is the unit :func:`streaming_profile` schedules; drivable directly
+    for foreachBatch composition or batch-by-batch testing."""
+    cols = list(columns) if columns is not None else list(batch.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    _partials(batch, cols).write.mode("overwrite").parquet(
+        _delta_dir(sink_dir, batch_id)
+    )
+
+
 def streaming_profile(
     stream: DataFrame,
     sink_dir: str,
@@ -115,9 +133,7 @@ def streaming_profile(
         raise ValueError("no columns to profile")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        _partials(batch, cols).write.mode("overwrite").parquet(
-            _delta_dir(sink_dir, batch_id)
-        )
+        profile_batch(batch, batch_id, sink_dir, cols)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
