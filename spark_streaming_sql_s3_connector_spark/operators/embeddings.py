@@ -1,0 +1,179 @@
+"""Embedding-column utilities: norms, normalization, per-group
+centroids, and centroid-similarity (prototypicality) scoring — the
+vector-hygiene steps before ANN indexing / SemDeDup pruning.
+
+All hot-path math is JVM array expressions (``F.aggregate`` /
+``F.zip_with`` / ``F.transform``) — scan-local, no Python, no explode
+of the corpus for per-vector quantities. The only shuffle anywhere is
+the per-(group, dim) partial-agg for centroids, whose post-combine row
+count is |groups|×dim, not corpus-sized.
+
+Two numeric modes:
+
+- default (``exact=False``): double arithmetic — the fast path.
+- ``exact=True``: the repo's decimal FP-parity discipline, for
+  cross-engine verification (the ``embedding_stats_docs`` oracle).
+  Vector elements are QUANTIZED to 6-dp DECIMAL(18,6) first (a defined,
+  engine-identical cast), every sum runs in exact decimals
+  (order-independent ⇒ identical under any partitioning or engine),
+  and only final magnitudes divide/sqrt in double before a 6-dp round.
+  Products stay inside DECIMAL(38,12) — no precision-loss truncation
+  (each fold step re-closes the running sum at p=38).
+  Centroids in this mode are the decimal sums divided in double and
+  re-rounded to 6 dp, so both engines broadcast bit-identical
+  centroids.
+
+Low cosine-to-centroid = far from the group's prototype: the outlier
+half of SemDeDup-style pruning (`ivf_near_dup_pairs` handles the
+duplicate half), and a cheap embedding-drift alarm when tracked per
+ingest batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_D6 = "decimal(18,6)"  # quantized element
+_DSUM = "decimal(38,12)"  # element product / running sum (addition is closed at p=38)
+
+
+def _q6(x: Column) -> Column:
+    """Engine-identical 6-dp quantization: round the DOUBLE first, then
+    cast — a direct float→decimal cast rounds half-way cases
+    differently across engines (observed 1e-6 ssq drift flipping a
+    6-dp sqrt); the rounded double is exactly representable to both
+    engines' decimal converters."""
+    return F.round(x.cast("double"), 6).cast(_D6)
+
+
+def l2_norm(vec: Column, exact: bool = False) -> Column:
+    """Euclidean norm of an array column (JVM fold)."""
+    if exact:
+        q = F.transform(vec, _q6)
+        ssq = F.aggregate(
+            q,
+            F.lit(0).cast(_DSUM),
+            lambda acc, x: (acc + (x * x).cast(_DSUM)).cast(_DSUM),
+        )
+        return F.round(F.sqrt(ssq.cast("double")), 6)
+    d = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_l2_norm(
+    df: DataFrame, vec_col: str, out: str = "l2_norm", exact: bool = False
+) -> DataFrame:
+    return df.withColumn(out, l2_norm(F.col(vec_col), exact))
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str, out: Optional[str] = None
+) -> DataFrame:
+    """Unit-normalize the vector column (zero vectors pass through
+    unchanged rather than dividing by zero)."""
+    out = out or vec_col
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.withColumn(
+        out, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    )
+
+
+def group_centroids(
+    df: DataFrame, vec_col: str, group_col: str, exact: bool = False
+) -> DataFrame:
+    """Per-group mean vector: ``group | centroid | n_vecs``.
+
+    posexplode → groupBy(group, dim) partial-agg (combine collapses to
+    |groups|×dim rows map-side) → ordered reassembly. ``exact`` runs
+    the sums in decimals and rounds each component to 6 dp — identical
+    across engines/partitionings."""
+    exploded = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+    )
+    if exact:
+        summed = exploded.groupBy("_g", "_i").agg(
+            F.sum(_q6(F.col("_x"))).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        comp = F.round(F.col("_s").cast("double") / F.col("_n"), 6)
+    else:
+        summed = exploded.groupBy("_g", "_i").agg(
+            F.sum(F.col("_x").cast("double")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        comp = F.col("_s") / F.col("_n")
+    return (
+        summed.select("_g", "_i", comp.alias("_c"), "_n")
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_c"))),
+                lambda s: s.getField("_c"),
+            ).alias("centroid"),
+            F.max("_n").alias("n_vecs"),
+        )
+    )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    centroids: Optional[DataFrame] = None,
+    out: str = "cos_to_centroid",
+    exact: bool = False,
+) -> DataFrame:
+    """Cosine of every vector to its group's centroid (prototypicality;
+    low = outlier). ``centroids`` defaults to :func:`group_centroids`
+    over the same frame; pass a precomputed frame to score one corpus
+    against another's prototypes. The centroid frame (|groups| rows)
+    broadcast-joins; the dot/norms are scan-local array folds."""
+    if centroids is None:
+        centroids = group_centroids(df, vec_col, group_col, exact)
+    joined = df.join(
+        F.broadcast(centroids.select(group_col, "centroid")), group_col, "left"
+    )
+    if exact:
+        qv = F.transform(F.col(vec_col), _q6)
+        qc = F.transform(F.col("centroid"), _q6)
+        dot = F.aggregate(
+            F.zip_with(qv, qc, lambda a, b: (a * b).cast(_DSUM)),
+            F.lit(0).cast(_DSUM),
+            lambda acc, x: (acc + x).cast(_DSUM),
+        ).cast("double")
+        nv = F.sqrt(
+            F.aggregate(
+                qv,
+                F.lit(0).cast(_DSUM),
+                lambda a, x: (a + (x * x).cast(_DSUM)).cast(_DSUM),
+            ).cast("double")
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                qc,
+                F.lit(0).cast(_DSUM),
+                lambda a, x: (a + (x * x).cast(_DSUM)).cast(_DSUM),
+            ).cast("double")
+        )
+        cos = F.round(dot / (nv * nc), 6)
+    else:
+        dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(dv, F.col("centroid"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nv = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+        nc = F.sqrt(
+            F.aggregate(
+                F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        cos = dot / (nv * nc)
+    guarded = F.when((nv > 0) & (nc > 0), cos)
+    return joined.withColumn(out, guarded).drop("centroid")

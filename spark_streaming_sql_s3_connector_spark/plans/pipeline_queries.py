@@ -3379,6 +3379,88 @@ _TABLE_PROFILE_SQL = (
 )
 
 
+def _embedding_stats_docs(spark, sf):
+    """Embedding-column hygiene stats (operators/embeddings): per
+    label — vector count, norm distribution, and cosine-to-centroid
+    (prototypicality) distribution, in the decimal FP-parity ``exact``
+    mode so every number round-trips DuckDB bit-for-bit. Centroids are
+    one |labels|×dim partial-agg; everything per-vector is a scan-local
+    JVM array fold; per-group means sum 6-dp decimals (order-
+    independent)."""
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        centroid_similarity,
+        with_l2_norm,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    scored = centroid_similarity(
+        with_l2_norm(emb, "embedding", exact=True),
+        "embedding",
+        "label",
+        exact=True,
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("label")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("l2_norm").cast("decimal(10,6)")).cast("double") / n, 6
+            ).alias("mean_norm"),
+            F.min("l2_norm").alias("min_norm"),
+            F.max("l2_norm").alias("max_norm"),
+            F.round(
+                F.sum(F.col("cos_to_centroid").cast("decimal(10,6)")).cast("double")
+                / n,
+                6,
+            ).alias("mean_cos"),
+            F.min("cos_to_centroid").alias("min_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMBEDDING_STATS_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+  FROM embeddings
+), vec_ssq AS (
+  SELECT vec_id, label, SUM(x * x) AS ssq FROM q GROUP BY 1, 2
+), cent AS (
+  SELECT label, i,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS m
+  FROM q GROUP BY 1, 2
+), dots AS (
+  SELECT q.vec_id, q.label, SUM(q.x * c.m) AS dot
+  FROM q JOIN cent c ON c.label = q.label AND c.i = q.i
+  GROUP BY 1, 2
+), cnorm AS (
+  SELECT label, SQRT(CAST(SUM(m * m) AS DOUBLE)) AS nc FROM cent GROUP BY label
+), per_vec AS (
+  SELECT v.vec_id, v.label,
+         ROUND(SQRT(CAST(v.ssq AS DOUBLE)), 6) AS norm6,
+         CASE WHEN CAST(v.ssq AS DOUBLE) > 0 AND cn.nc > 0
+              THEN ROUND(CAST(d.dot AS DOUBLE)
+                         / (SQRT(CAST(v.ssq AS DOUBLE)) * cn.nc), 6) END AS cos6
+  FROM vec_ssq v
+  JOIN dots d USING (vec_id, label)
+  JOIN cnorm cn USING (label)
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(norm6 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+       MIN(norm6) AS min_norm,
+       MAX(norm6) AS max_norm,
+       ROUND(CAST(SUM(CAST(cos6 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos,
+       MIN(cos6) AS min_cos
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 def _streaming_profile_docs(spark, sf):
     """Drive streaming/profile.py batch-by-batch over documents split
     into 3 doc_id-range 'micro-batches' (incl. a mid-corpus REPLAY of
@@ -4032,4 +4114,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: streaming incremental profile driven batch-by-batch with a
     # mid-corpus replay; exact fields oracle-checked
     "streaming_profile_docs": QuerySpec(_streaming_profile_docs, _STREAMING_PROFILE_SQL),
+    # r8: embedding hygiene stats (norms + centroid prototypicality,
+    # decimal FP-parity exact mode)
+    "embedding_stats_docs": QuerySpec(_embedding_stats_docs, _EMBEDDING_STATS_SQL),
 }

@@ -1,0 +1,114 @@
+"""Embedding utilities (operators/embeddings.py).
+
+The registry key `embedding_stats_docs` is hash-exact vs the DuckDB
+mirror in the decimal exact mode; these tests pin the math on toy data,
+the agreement between the fast double mode and the exact mode, and the
+plan shapes (scan-local folds, broadcast centroid join, one centroid
+shuffle).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+    centroid_similarity,
+    group_centroids,
+    normalize_embeddings,
+    with_l2_norm,
+)
+
+
+def test_l2_norm_and_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "id bigint, v array<double>",
+    )
+    norms = {r["id"]: r["l2_norm"] for r in with_l2_norm(df, "v").collect()}
+    assert norms[1] == pytest.approx(5.0)
+    assert norms[2] == 0.0
+    normed = {r["id"]: r["v"] for r in normalize_embeddings(df, "v").collect()}
+    assert normed[1] == pytest.approx([0.6, 0.8])
+    assert normed[2] == [0.0, 0.0]  # zero vector passes through
+    assert normed[3] == [1.0, 0.0]
+
+
+def test_group_centroids_toy(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [0.0, 4.0])],
+        "g string, v array<double>",
+    )
+    got = {r["g"]: (r["centroid"], r["n_vecs"]) for r in group_centroids(df, "v", "g").collect()}
+    assert got["a"][0] == pytest.approx([2.0, 1.0]) and got["a"][1] == 2
+    assert got["b"][0] == pytest.approx([0.0, 4.0]) and got["b"][1] == 1
+
+
+def test_centroid_similarity_prototypicality(spark):
+    # 3 near-identical vectors + 1 outlier in the same group: the
+    # outlier's cosine-to-centroid is clearly the lowest
+    rows = [("g", [1.0, 0.05 * i, 0.0]) for i in range(3)]
+    rows.append(("g", [0.0, 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "g string, v array<double>").withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    scored = centroid_similarity(df, "v", "g").collect()
+    out = min(scored, key=lambda r: r["cos_to_centroid"])
+    assert out["v"] == [0.0, 0.0, 1.0]
+    assert out["cos_to_centroid"] < 0.5
+    assert all(
+        r["cos_to_centroid"] > 0.9 for r in scored if r["v"] != [0.0, 0.0, 1.0]
+    )
+
+
+def test_exact_mode_agrees_with_double_mode(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = with_l2_norm(emb, "embedding", exact=True).select("vec_id", "l2_norm")
+    d = with_l2_norm(emb, "embedding", exact=False).select(
+        "vec_id", F.col("l2_norm").alias("n2")
+    )
+    diff = (
+        e.join(d, "vec_id")
+        .select(F.max(F.abs(F.col("l2_norm") - F.col("n2"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert diff < 1e-4  # 6-dp quantization bound
+    ce = centroid_similarity(emb, "embedding", "label", exact=True).select(
+        "vec_id", "cos_to_centroid"
+    )
+    cd = centroid_similarity(emb, "embedding", "label", exact=False).select(
+        "vec_id", F.col("cos_to_centroid").alias("c2")
+    )
+    cdiff = (
+        ce.join(cd, "vec_id")
+        .select(F.max(F.abs(F.col("cos_to_centroid") - F.col("c2"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert cdiff < 1e-3
+
+
+def test_scoring_against_foreign_centroids(spark):
+    # score corpus B against corpus A's prototypes (drift-alarm shape)
+    a = spark.createDataFrame(
+        [("g", [1.0, 0.0]), ("g", [1.0, 0.1])], "g string, v array<double>"
+    )
+    b = spark.createDataFrame([("g", [0.0, 1.0])], "g string, v array<double>")
+    cents = group_centroids(a, "v", "g")
+    r = centroid_similarity(b, "v", "g", centroids=cents).collect()[0]
+    assert r["cos_to_centroid"] < 0.1  # B drifted off A's prototype
+
+
+def test_plans_scan_local_and_broadcast(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan_norm = (
+        with_l2_norm(emb, "embedding")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_norm and "Python" not in plan_norm
+    plan_sim = (
+        centroid_similarity(emb, "embedding", "label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_sim
+    assert "SortMergeJoin" not in plan_sim and "Python" not in plan_sim
