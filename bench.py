@@ -189,6 +189,12 @@ BENCH_QUERIES = [
     # r8: deterministic training-order shuffle (one windowed shuffle,
     # order-sensitive oracle)
     "shuffle_shards_docs",
+    # r8: embedding hygiene stats (scan-local array folds + one
+    # |labels|×dim centroid partial-agg; decimal exact mode)
+    "embedding_stats_docs",
+    # streaming_profile_docs stays a gate/local-gate key only (three
+    # sequential batch writes + a state read — orchestration wall, not
+    # per-row cost; same rationale as streaming_exact_dedup_docs).
     # streaming_exact_dedup_docs stays a gate/local-gate key only: it
     # drives three sequential foreachBatch-style jobs (~17 s of fixed
     # orchestration), which would dominate the bench without measuring
