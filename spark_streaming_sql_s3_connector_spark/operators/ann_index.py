@@ -542,6 +542,68 @@ def ann_index_topk_batch(
     )
 
 
+def ann_index_range(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: Sequence[float],
+    threshold: float,
+    n_probe: int = 4,
+    meta: Optional[dict] = None,
+) -> DataFrame:
+    """RANGE search from the persisted index: every indexed vector whose
+    ADC score (≈ cosine) against the query clears ``threshold`` —
+    radius-style retrieval, the primitive behind "find ALL near-dups of
+    this document" (top-k truncates exactly when a duplicate cluster is
+    larger than k). Same serving shape as :func:`ann_index_topk`
+    (driver-side probe pick → file-pruned partition scan → broadcast
+    ADC) but the reduction is a plain FILTER — no window, no
+    TakeOrdered, no bound on result size beyond the threshold itself.
+    Result rows: ``neighbor_id | adc_score``. Law (tested): every
+    :func:`ann_index_topk` row at/above the threshold appears here with
+    the identical score."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [-1, 1] (cosine scale)")
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    probes = _probe_buckets(meta["centroids"], query_vec, n_probe)
+    corpus = read_index_corpus(spark, index_dir, meta).where(
+        F.col("ivf_bucket").isin(probes)
+    )
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-300)
+    dsub = codebooks.shape[2]
+    tables = [
+        codebooks[m] @ q[m * dsub : (m + 1) * dsub]
+        for m in range(codebooks.shape[0])
+    ]
+
+    import pandas as pd
+
+    def compute(codes):
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        s = np.zeros(len(C), dtype=np.float64)
+        for m, t in enumerate(tables):
+            s += t[C[:, m]]
+        return pd.Series(s)
+
+    score = pandas_udf(compute, "double")
+    return (
+        corpus.select(
+            F.col("id").alias("neighbor_id"),
+            score(F.col("pq_code")).alias("adc_score"),
+        )
+        .where(F.col("adc_score") >= F.lit(float(threshold)))
+        .orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    )
+
+
 def dedup_against_ann_index(
     df: DataFrame,
     index_dir: str,

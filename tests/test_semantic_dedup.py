@@ -233,3 +233,53 @@ def test_registered_semantic_dedup_key_self_checks_true(spark):
     rows = df.collect()
     assert rows and all(r["all_copies_flagged"] for r in rows)
     assert all(r["adc_score"] >= 0.85 for r in rows)
+
+
+def test_range_search_consistent_with_topk(spark, built):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_range,
+        ann_index_topk,
+    )
+
+    rows, idx, meta = built
+    qv = rows[0][1]
+    top = ann_index_topk(spark, idx, qv, k=10, n_probe=8).collect()
+    thr = 0.5
+    rng = {
+        r["neighbor_id"]: r["adc_score"]
+        for r in ann_index_range(spark, idx, qv, threshold=thr, n_probe=8).collect()
+    }
+    # law: every top-k hit at/above the threshold is in the range result
+    # with the identical ADC score
+    for r in top:
+        if r["adc_score"] >= thr:
+            assert rng[r["neighbor_id"]] == r["adc_score"]
+    # self-retrieval: the query IS an indexed vector -> its own id
+    # clears a high threshold
+    high = ann_index_range(spark, idx, qv, threshold=0.9, n_probe=8).collect()
+    assert rows[0][0] in {r["neighbor_id"] for r in high}
+    # all results respect the threshold
+    assert all(v >= thr for v in rng.values())
+    with pytest.raises(ValueError, match="threshold"):
+        ann_index_range(spark, idx, qv, threshold=2.0)
+
+
+def test_range_search_unbounded_beyond_k(spark, built):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_range,
+        append_to_ann_index,
+    )
+
+    rows, idx, meta = built
+    # plant a 30-member duplicate cluster of rows[0]: top-k at k=10
+    # truncates it, range search must return ALL of it
+    clones = [(9000 + i, rows[0][1]) for i in range(30)]
+    append_to_ann_index(
+        spark.createDataFrame(clones, ["vec_id", "embedding"]), idx, batch_id=3
+    )
+    got = {
+        r["neighbor_id"]
+        for r in ann_index_range(spark, idx, rows[0][1], 0.9, n_probe=8).collect()
+    }
+    assert {c[0] for c in clones} <= got
+    assert len(got) >= 31  # the 30 clones + the original at least
