@@ -129,17 +129,36 @@ def snapshot_diff_summary(
     )
 
 
-def _share_profile(df: DataFrame, bucket: Column) -> DataFrame:
-    """(bucket, share) with share as an exact DECIMAL(38,18) fraction —
-    the division happens on exact counts so the two engines' doubles
-    never enter until the PSI log."""
-    counts = df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+def shares_from_counts(counts: DataFrame) -> DataFrame:
+    """(bucket, n, share) from a pre-aggregated ``bucket | n`` frame,
+    share as an exact DECIMAL(38,18) fraction — the division happens on
+    exact counts so the two engines' doubles never enter until the PSI
+    log. Public so incrementally-maintained count tables (e.g.
+    ``streaming/drift.py``) reuse the identical arithmetic."""
     total = counts.agg(F.sum("n").alias("t"))
     return counts.crossJoin(F.broadcast(total)).select(
         "bucket",
-        F.col("n"),
+        F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("decimal(38,18)") / F.col("t")).alias("share"),
     )
+
+
+def _share_profile(df: DataFrame, bucket: Column) -> DataFrame:
+    return shares_from_counts(
+        df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_from_counts(
+    old_counts: DataFrame, new_counts: DataFrame, smoothing: float = 1e-6
+) -> DataFrame:
+    """:func:`categorical_drift` semantics over two pre-aggregated
+    ``bucket | n`` frames (same output schema) — the entry point for
+    incrementally-maintained counts, where re-scanning the corpora to
+    re-bucket would defeat the increment."""
+    return _drift_join(
+        shares_from_counts(old_counts), shares_from_counts(new_counts), smoothing
+    ).orderBy("bucket")
 
 
 def _drift_join(
