@@ -319,13 +319,19 @@ def source_overlap_matrix(
 
     Scale shape: explode → ONE distinct on (group, shingle) — this is
     the only corpus-sized shuffle, and its rows are (group, gram) pairs,
-    not documents. Pair generation reuses ``dedup.bucket_pairs``: one
-    groupBy(shingle), each shingle emitting C(g, 2) rows where g = the
-    number of GROUPS containing it (bounded by the group count, and
-    capped by ``max_groups_per_shingle`` when the group population is
-    itself huge — the same stop-shingle skew guard as the n-gram Jaccard
-    join). Per-group sizes broadcast back onto the |pairs| result.
+    not documents. The distinct frame is PERSISTED (memory-and-disk):
+    it feeds three consumers (pair generation + both size joins), and
+    without the cache Catalyst re-runs the corpus scan + explode per
+    consumer (observed: 3 scans, 0 ReusedExchange) — at 100 TB that
+    triples the dominant cost to save a gram-level cache. Pair
+    generation reuses ``dedup.bucket_pairs``: one groupBy(shingle),
+    each shingle emitting C(g, 2) rows where g = the number of GROUPS
+    containing it (bounded by the group count, and capped by
+    ``max_groups_per_shingle`` when the group population is itself huge
+    — the same stop-shingle skew guard as the n-gram Jaccard join).
+    Per-group sizes broadcast back onto the |pairs| result.
     """
+    from pyspark import StorageLevel
     from spark_streaming_sql_s3_connector_spark.operators.dedup import (
         bucket_pairs,
         word_shingles,
@@ -340,7 +346,7 @@ def source_overlap_matrix(
         )
         .where(F.col("shingle").isNotNull())
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         bucket_pairs(
