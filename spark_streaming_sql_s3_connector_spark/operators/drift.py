@@ -134,12 +134,20 @@ def shares_from_counts(counts: DataFrame) -> DataFrame:
     share as an exact DECIMAL(38,18) fraction — the division happens on
     exact counts so the two engines' doubles never enter until the PSI
     log. Public so incrementally-maintained count tables (e.g.
-    ``streaming/drift.py``) reuse the identical arithmetic."""
-    total = counts.agg(F.sum("n").alias("t"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    ``streaming/drift.py``) reuse the identical arithmetic.
+
+    The grand total comes from a single-partition window OVER THE
+    COUNTS FRAME (post-agg, |distinct values| rows — single-partition
+    is safe there), not a separate ``agg`` branch: a second consumer of
+    ``counts`` makes Catalyst re-run the upstream corpus scan per
+    branch (observed: 8 scans for the 4-profile drift key; 4 after)."""
+    from pyspark.sql import Window
+
+    t = F.sum("n").over(Window.partitionBy())
+    return counts.select(
         "bucket",
         F.col("n").cast("bigint").alias("n"),
-        (F.col("n").cast("decimal(38,18)") / F.col("t")).alias("share"),
+        (F.col("n").cast("decimal(38,18)") / t).alias("share"),
     )
 
 
