@@ -176,6 +176,44 @@ def shuffle_shards(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> None:
+    """Materialize :func:`shuffle_shards` to disk as the training
+    layout: parquet partitioned by ``shard``, rows of each shard stored
+    in ``pos`` order, so a trainer streams ``shard=i`` files and reads
+    the epoch permutation sequentially with zero sort at read time.
+
+    One shuffle total: ``repartition(shard)`` co-locates each shard in
+    one task and ``sortWithinPartitions(pos)`` orders it there (the
+    window in :func:`shuffle_shards` already shuffled by shard, so AQE
+    coalesces the repartition into the same exchange when it can). Size
+    ``n_shards`` so a shard fits a task's sort buffer; the external
+    sorter spills past it."""
+    coords = shuffle_shards(df, id_col, n_shards, salt)
+    (
+        coords.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def read_training_shard(spark, out_dir: str, shard: int) -> DataFrame:
+    """One shard in stored (pos) order — file-pruned by the ``shard``
+    partition column."""
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("shard") == shard)
+        .orderBy("pos")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     id_col: str,

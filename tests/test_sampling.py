@@ -413,3 +413,37 @@ def test_shuffle_shards_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1 and "Python" not in plan
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        read_training_shard,
+        shuffle_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", n_shards=6, salt="e0")
+    coords = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in shuffle_shards(df, "doc_id", 6, "e0").collect()
+    }
+    total = 0
+    for s in range(6):
+        rows = read_training_shard(spark, out, s).collect()
+        total += len(rows)
+        # stored order == the epoch permutation, dense from 1
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert coords[(s, r["pos"])] == r["doc_id"]
+        # physical file order matches pos order (no read-time sort needed)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(f"{out}/shard={s}/part-*.parquet"))
+        assert len(files) == 1  # one task wrote the whole shard
+        poses = _pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+        assert poses == sorted(poses)
+    assert total == 400
