@@ -306,6 +306,7 @@ def source_overlap_matrix(
     group_col: str,
     shingle_k: int = 3,
     max_groups_per_shingle: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Pairwise content overlap BETWEEN groups (sources/domains/crawls):
     for every unordered group pair, how many distinct word
@@ -317,47 +318,61 @@ def source_overlap_matrix(
     Output: ``source_a | source_b | n_shared | jaccard | overlap``
     (``source_a < source_b``), plus each group's distinct-shingle size.
 
-    Scale shape: explode → ONE distinct on (group, shingle) — this is
-    the only corpus-sized shuffle, and its rows are (group, gram) pairs,
-    not documents. The distinct frame is PERSISTED (memory-and-disk):
-    it feeds three consumers (pair generation + both size joins), and
-    without the cache Catalyst re-runs the corpus scan + explode per
-    consumer (observed: 3 scans, 0 ReusedExchange) — at 100 TB that
-    triples the dominant cost to save a gram-level cache. Pair
-    generation reuses ``dedup.bucket_pairs``: one groupBy(shingle),
-    each shingle emitting C(g, 2) rows where g = the number of GROUPS
-    containing it (bounded by the group count, and capped by
+    Scale shape: explode → ONE corpus-sized shuffle,
+    ``groupBy(shingle).agg(collect_set(group))`` — the set agg dedups
+    (group, gram) repeats AND builds the per-shingle group list in the
+    same exchange (partial collect_sets merge map-side), so there is no
+    separate ``distinct`` pass. The grouped frame (|distinct shingles|
+    rows) is PERSISTED (memory-and-disk): it feeds pair generation and
+    the per-group sizes, and without the cache Catalyst re-runs the
+    corpus explode per consumer (observed: 3 scans, 0 ReusedExchange).
+    Each shingle emits C(g, 2) pair rows where g = the number of GROUPS
+    containing it — bounded by the group count and capped by
     ``max_groups_per_shingle`` when the group population is itself huge
-    — the same stop-shingle skew guard as the n-gram Jaccard join).
+    (the same stop-shingle skew guard as the n-gram Jaccard join); the
+    pair volume itself is intrinsic to an exact overlap matrix.
     Per-group sizes broadcast back onto the |pairs| result.
     """
     from pyspark import StorageLevel
+
     from spark_streaming_sql_s3_connector_spark.operators.dedup import (
-        bucket_pairs,
+        _shingles_udf,
         word_shingles,
     )
 
-    sh = (
+    # Arrow shingler by default: the Catalyst-lambda form
+    # (transform+slice+concat_ws per token) measured 6-10x slower at
+    # sf0.5 (19.8 s vs 3.3 s for the same 1.3M grams) — same trade and
+    # same shared shingler as ngram_jaccard_pairs(use_arrow=True)
+    shingles = (
+        _shingles_udf(shingle_k)(F.col(text_col))
+        if use_arrow
+        else word_shingles(F.col(text_col), shingle_k)
+    )
+    grouped = (
         df.select(
             F.col(group_col).alias("_grp"),
-            F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias(
-                "shingle"
-            ),
+            F.explode_outer(shingles).alias("shingle"),
         )
         .where(F.col("shingle").isNotNull())
-        .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_shingles"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("_grp")).alias("_grps"))
+    )
+    if max_groups_per_shingle is not None:
+        grouped = grouped.where(F.size("_grps") <= max_groups_per_shingle)
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        grouped.select(F.explode("_grps").alias("_grp"))
+        .groupBy("_grp")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # i<j pairs from the sorted group array: two chained generators (the
+    # array, <= group count post-cap, rides the first explode)
+    e1 = grouped.select("_grps", F.posexplode("_grps").alias("_ia", "_a"))
     inter = (
-        bucket_pairs(
-            sh,
-            ["shingle"],
-            F.struct(F.col("_grp")),
-            max_bucket_size=max_groups_per_shingle,
-        )
-        .groupBy(
-            F.col("a._grp").alias("source_a"), F.col("b._grp").alias("source_b")
-        )
+        e1.select("_ia", "_a", F.posexplode("_grps").alias("_ib", "_b"))
+        .where(F.col("_ib") > F.col("_ia"))
+        .groupBy(F.col("_a").alias("source_a"), F.col("_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("_grp").alias("source_a"), F.col("n_shingles").alias("size_a"))
