@@ -1,3 +1,7 @@
+from spark_streaming_sql_s3_connector_spark.operators.classifier import (
+    nb_score_docs,
+    train_nb_classifier,
+)
 from spark_streaming_sql_s3_connector_spark.operators.decontamination import (
     benchmark_ngram_set,
     contamination_check,
@@ -9,6 +13,25 @@ from spark_streaming_sql_s3_connector_spark.operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+)
+from spark_streaming_sql_s3_connector_spark.operators.drift import (
+    categorical_drift,
+    numeric_drift,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+    centroid_similarity,
+    group_centroids,
+    normalize_embeddings,
+    with_l2_norm,
+)
+from spark_streaming_sql_s3_connector_spark.operators.profile import profile_table
+from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+    group_train_test_split,
+    shuffle_shards,
+    with_group_split,
+    write_training_shards,
 )
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     brute_force_topk,
@@ -28,4 +51,19 @@ __all__ = [
     "brute_force_topk",
     "cosine_sim",
     "lsh_ann_topk",
+    "profile_table",
+    "snapshot_diff",
+    "snapshot_diff_summary",
+    "categorical_drift",
+    "numeric_drift",
+    "with_group_split",
+    "group_train_test_split",
+    "shuffle_shards",
+    "write_training_shards",
+    "train_nb_classifier",
+    "nb_score_docs",
+    "with_l2_norm",
+    "normalize_embeddings",
+    "group_centroids",
+    "centroid_similarity",
 ]
