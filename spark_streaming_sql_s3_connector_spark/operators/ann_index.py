@@ -32,6 +32,14 @@ scans ~10^8 codes ≈ 1-2 GB spread over the cluster — interactive.
   for a whole query SET in one job (one pruned union scan, per-row ADC
   against only that bucket's probers, bounded per-partition partial
   top-k, one window reduce).
+- :func:`ann_index_range` (r8) — radius retrieval: every indexed vector
+  above an ADC threshold, a plain filter over the pruned scan (no k
+  truncation — the "find ALL near-dups" primitive).
+- :func:`dedup_against_ann_index` / :func:`streaming_semantic_dedup`
+  (r8) — the online SemDeDup screen: new batches checked against the
+  index's codes (never re-reading history as floats), survivors
+  appended so later batches dedup against them; replay-isolated via the
+  ``upto_batch`` horizon partition filter.
 - :func:`compact_ann_index` (r8) — folds the ``batch=<id>`` dirs that
   :func:`streaming_ann_index` accumulates (one per trigger per touched
   bucket) into a versioned base behind an atomically-flipped pointer;
