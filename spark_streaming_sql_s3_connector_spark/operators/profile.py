@@ -42,6 +42,53 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def fingerprint_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One-row content fingerprint of a dataset — the lineage stamp a
+    pipeline writes next to its outputs so a rerun can PROVE it consumed
+    the same corpus version without re-reading it.
+
+    The fingerprint is md5 over the exact profile's canonical rendering
+    (per column: name, row/null/distinct counts, min/max strings,
+    sorted by column name, ``|``/``;``-delimited) — so it is insensitive
+    to row order, partitioning, and engine, but flips on any membership
+    or value change that moves a count, a cardinality, or a range
+    boundary. It is a PROFILE fingerprint, not a cryptographic content
+    hash: two corpora that agree on every per-column statistic collide
+    by construction (the cheap stamp for 100 TB; use
+    ``dedup.dedup_exact``'s md5 keys when row-level identity matters).
+
+    Cost: exactly one :func:`profile_table` pass (exact mode — the
+    fingerprint must be deterministic, so no HLL). Returns
+    ``n_rows | n_columns | fingerprint``."""
+    prof = profile_table(df, columns, approx_distinct=False)
+    row_render = F.concat_ws(
+        "|",
+        F.col("col_name"),
+        F.col("n_rows").cast("string"),
+        F.col("n_null").cast("string"),
+        F.col("n_distinct").cast("string"),
+        F.coalesce(F.col("min_value"), F.lit("\x00NULL")),
+        F.coalesce(F.col("max_value"), F.lit("\x00NULL")),
+    )
+    return prof.select(
+        "n_rows", F.struct("col_name").alias("_k"), row_render.alias("_r")
+    ).groupBy().agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_columns"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(F.collect_list(F.struct("_k", "_r"))).getField(
+                    "_r"
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+
+
 def _render(col: Column, dtype: T.DataType) -> Optional[Column]:
     """Engine-portable string rendering for min/max values, or None if
     the type has no portable ordering (array/map/struct/binary)."""

@@ -3746,6 +3746,34 @@ def _ann_semantic_dedup(spark, sf):
     )
 
 
+def _dataset_fingerprint_docs(spark, sf):
+    """Dataset content fingerprint (operators/profile.fingerprint_table):
+    md5 over the exact profile's canonical rendering — the lineage stamp
+    a rerun compares instead of re-reading the corpus. One profile pass;
+    hash-exact vs DuckDB computing the identical rendering."""
+    from spark_streaming_sql_s3_connector_spark.operators.profile import (
+        fingerprint_table,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return fingerprint_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+_FINGERPRINT_SQL = f"""
+WITH prof AS ({_TABLE_PROFILE_SQL})
+SELECT CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_columns,
+       md5(string_agg(
+             col_name || '|' || n_rows || '|' || n_null || '|' || n_distinct
+               || '|' || COALESCE(min_value, chr(0) || 'NULL')
+               || '|' || COALESCE(max_value, chr(0) || 'NULL'),
+             ';' ORDER BY col_name)) AS fingerprint
+FROM prof
+"""
+
+
 def _group_split_docs(spark, sf):
     """Leakage-free group-keyed splits (operators/sampling
     .with_group_split): documents split train/val/test by the salted
@@ -4094,6 +4122,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # oracle; approx_distinct HLL mode is the no-expand 100 TB path,
     # plan-pinned in test_plan_quality)
     "table_profile_docs": QuerySpec(_table_profile_docs, _TABLE_PROFILE_SQL),
+    # r8: profile-derived dataset content fingerprint (lineage stamp)
+    "dataset_fingerprint_docs": QuerySpec(_dataset_fingerprint_docs, _FINGERPRINT_SQL),
     # r8: corpus-version regression gates — membership diff (one
     # hash-narrowed full outer join) and distribution drift (value-keyed
     # share aggs + smoothed PSI)

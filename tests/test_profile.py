@@ -119,3 +119,42 @@ def test_exact_vs_approx_agree_on_exact_stats(spark):
     for c in cols:
         for f_ in ("n_rows", "n_null", "min_value", "max_value"):
             assert e[c][f_] == a[c][f_]
+
+
+# --- dataset fingerprint (r8) ---
+
+
+def test_fingerprint_invariant_under_partitioning(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.profile import (
+        fingerprint_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = fingerprint_table(docs).collect()[0]
+    b = fingerprint_table(docs.repartition(17).orderBy(F.rand(7))).collect()[0]
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["n_rows"] == b["n_rows"] and a["n_columns"] == b["n_columns"]
+
+
+def test_fingerprint_flips_on_change(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.profile import (
+        fingerprint_table,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, s string"
+    )
+    f0 = fingerprint_table(base).collect()[0]["fingerprint"]
+    # membership change
+    f1 = fingerprint_table(base.where(F.col("id") != 3)).collect()[0]["fingerprint"]
+    # value change that moves a range boundary
+    edited = base.withColumn(
+        "s", F.when(F.col("id") == 3, F.lit("z")).otherwise(F.col("s"))
+    )
+    f2 = fingerprint_table(edited).collect()[0]["fingerprint"]
+    assert len({f0, f1, f2}) == 3
+    # column subset gives a different (narrower) stamp, deterministically
+    fa = fingerprint_table(base, ["id"]).collect()[0]
+    fb = fingerprint_table(base, ["id"]).collect()[0]
+    assert fa["fingerprint"] == fb["fingerprint"] != f0
+    assert fa["n_columns"] == 1
