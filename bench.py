@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     # r8: embedding hygiene stats (scan-local array folds + one
     # |labels|×dim centroid partial-agg; decimal exact mode)
     "embedding_stats_docs",
+    # r8: profile-derived dataset fingerprint (one profile pass)
+    "dataset_fingerprint_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -26,7 +26,10 @@ from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
     normalize_embeddings,
     with_l2_norm,
 )
-from spark_streaming_sql_s3_connector_spark.operators.profile import profile_table
+from spark_streaming_sql_s3_connector_spark.operators.profile import (
+    fingerprint_table,
+    profile_table,
+)
 from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     group_train_test_split,
     shuffle_shards,
@@ -52,6 +55,7 @@ __all__ = [
     "cosine_sim",
     "lsh_ann_topk",
     "profile_table",
+    "fingerprint_table",
     "snapshot_diff",
     "snapshot_diff_summary",
     "categorical_drift",
