@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "embedding_stats_docs",
     # r8: profile-derived dataset fingerprint (one profile pass)
     "dataset_fingerprint_docs",
+    # r8: bigram stupid-backoff perplexity (order-aware text filter)
+    "bigram_perplexity_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -445,3 +445,145 @@ def unigram_nll_docs(
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def train_bigram_lm(
+    df,
+    text_col: str,
+    vocab_size: int = 4096,
+    bigram_size: int = 8192,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> dict:
+    """Bigram language model with stupid backoff — one rung up the
+    CCNet ladder from :func:`train_unigram_lm` (real deployments use
+    5-gram KenLM; the bigram captures local word ORDER, which a unigram
+    cannot, while staying one-shuffle trainable and SQL-mirrorable).
+
+    Scoring rule (Brants et al. "stupid backoff" — scores, not true
+    probabilities, which is exactly what a filter threshold needs):
+
+    - known bigram:   lp(w2|w1) = ln(c12 / c1)
+    - unknown bigram: lp(w2|w1) = ln(backoff) + lp_unigram(w2)
+
+    where lp_unigram is the smoothed unigram LM (α-additive, OOV mass),
+    trained on the SAME corpus in the same pass structure. Training:
+    ONE explode of in-doc adjacent pairs + groupBy(w1, w2) with
+    map-side combine (shuffle rows = distinct bigrams per partition),
+    the bigram table bounded to ``bigram_size`` by a TakeOrdered, w1
+    counts folded from the unigram counts. All logprobs pre-rounded to
+    7 dp; the scorer sums them as exact DECIMALs (the FP-parity
+    discipline of :func:`unigram_nll_docs`).
+
+    Returns ``{"unigram": <unigram model>, "bigrams": [(w1, w2, lp)],
+    "backoff_lp": ln(backoff), "c1": {w1: count}}``."""
+    import math
+
+    uni = train_unigram_lm(df, text_col, vocab_size=vocab_size, alpha=alpha)
+    toks = df.select(
+        tokenize(F.lower(F.col(text_col))).alias("_t")
+    ).where(F.size("_t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.col("_t")[i].alias("w1"), F.col("_t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    top_big = (
+        big_counts.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(bigram_size)
+        .collect()
+    )
+    # w1 continuation totals: how many bigrams START with w1 (the
+    # denominator of c12/c1) — fold from the pair frame, bounded to the
+    # w1s that actually appear in the retained table
+    w1_set = {r.w1 for r in top_big}
+    c1_rows = (
+        pairs.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .where(F.col("w1").isin(list(w1_set)) if w1_set else F.lit(False))
+        .collect()
+    )
+    c1 = {r.w1: int(r.c1) for r in c1_rows}
+    bigrams = [
+        (r.w1, r.w2, round(math.log(r.c12 / c1[r.w1]), 7)) for r in top_big
+    ]
+    return {
+        "unigram": uni,
+        "bigrams": bigrams,
+        "backoff_lp": round(math.log(backoff), 7),
+        "n_bigrams": len(bigrams),
+    }
+
+
+def bigram_nll_docs(
+    df,
+    text_col: str,
+    id_col: str,
+    lm: dict,
+) -> "DataFrame":
+    """Per-document mean negative log-score under the bigram LM (stupid
+    backoff to the embedded unigram). Engine-portable: per-transition
+    logprobs are 7-dp DECIMAL literals summed exactly; only the final
+    mean divides in double (6-dp round).
+
+    Plan shape: ONE explode of adjacent pairs → broadcast join of the
+    B-row bigram table → broadcast join of the V-row unigram table for
+    the backoff arm → per-doc partial agg → left-join back (docs with
+    <2 tokens keep a row with NULL score)."""
+    spark = df.sparkSession
+    uni = lm["unigram"]
+    big_df = spark.createDataFrame(
+        [(w1, w2, str(lp)) for w1, w2, lp in lm["bigrams"]],
+        "w1 string, w2 string, _blp_s string",
+    ).select("w1", "w2", F.col("_blp_s").cast("decimal(20,7)").alias("_blp"))
+    uni_df = spark.createDataFrame(
+        [(t, str(lp)) for t, lp in uni["vocab"]], "w2 string, _ulp_s string"
+    ).select("w2", F.col("_ulp_s").cast("decimal(20,7)").alias("_ulp"))
+    oov = F.lit(str(uni["oov_lp"])).cast("decimal(20,7)")
+    back = F.lit(str(lm["backoff_lp"])).cast("decimal(20,7)")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokenize(F.lower(F.col(text_col))).alias("_t")
+    ).where(F.size("_t") >= 2)
+    pairs = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.col("_t")[i].alias("w1"), F.col("_t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("_p"),
+    ).select("_id", "_p.w1", "_p.w2")
+    scored = (
+        pairs.join(F.broadcast(big_df), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_df), "w2", "left")
+        .select(
+            "_id",
+            F.coalesce(
+                F.col("_blp"), back + F.coalesce(F.col("_ulp"), oov)
+            ).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy("_id").agg(
+        F.sum("_lp").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.round(-(F.col("_s").cast("double")) / F.col("_n"), 6).alias(
+                "nll_per_transition"
+            ),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias(
+                "n_transitions"
+            ),
+        )
+    )

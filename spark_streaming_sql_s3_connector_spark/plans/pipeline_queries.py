@@ -3571,6 +3571,79 @@ ORDER BY shard
 """
 
 
+def _bigram_perplexity_docs(spark, sf):
+    """Bigram stupid-backoff perplexity filter (functions/text
+    .train_bigram_lm / bigram_nll_docs) — the word-ORDER-aware rung
+    above the unigram filter. Hash-exact vs a full DuckDB train+score
+    mirror (decimal-sum FP parity, 7-dp pre-rounded logprobs)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        bigram_nll_docs,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    lm = train_bigram_lm(docs, "text", vocab_size=4096, bigram_size=8192)
+    return bigram_nll_docs(docs, "text", "doc_id", lm).orderBy("doc_id")
+
+
+_BIGRAM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), utoks AS (
+  SELECT unnest(t) AS tok FROM toks
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n FROM counts
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 4096
+), vsize AS (
+  SELECT COUNT(*) AS v FROM vocab
+), lm AS (
+  SELECT tok,
+         CAST(ROUND(ln((c + 0.5) / (tot.n + 0.5 * (vsize.v + 1))), 7)
+              AS DECIMAL(20,7)) AS lp
+  FROM vocab, tot, vsize
+), oov AS (
+  SELECT CAST(ROUND(ln(0.5 / (tot.n + 0.5 * (vsize.v + 1))), 7)
+              AS DECIMAL(20,7)) AS lp
+  FROM tot, vsize
+), pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+), topb AS (
+  SELECT * FROM bc ORDER BY c12 DESC, w1, w2 LIMIT 8192
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+), blm AS (
+  SELECT t.w1, t.w2,
+         CAST(ROUND(ln(CAST(t.c12 AS DOUBLE) / c1.c1), 7) AS DECIMAL(20,7)) AS blp
+  FROM topb t JOIN c1 USING (w1)
+), scored AS (
+  SELECT p.doc_id,
+         COALESCE(blm.blp,
+                  CAST(ROUND(ln(0.4), 7) AS DECIMAL(20,7))
+                    + COALESCE(lm.lp, (SELECT lp FROM oov))) AS lp
+  FROM pairs p
+  LEFT JOIN blm ON blm.w1 = p.w1 AND blm.w2 = p.w2
+  LEFT JOIN lm ON lm.tok = p.w2
+), agg AS (
+  SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(-CAST(agg.s AS DOUBLE) / agg.n, 6) AS nll_per_transition,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_transitions
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _nb_classifier_docs(spark, sf):
     """Distributed multinomial Naive Bayes (operators/classifier):
     train a lang classifier on the corpus (counting = one explode +
@@ -4139,6 +4212,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: closed-form distributed Naive Bayes classifier (train+score
     # hash-exact vs the DuckDB mirror)
     "nb_classifier_docs": QuerySpec(_nb_classifier_docs, _NB_CLASSIFIER_SQL),
+    # r8: bigram stupid-backoff perplexity (word-order-aware filter)
+    "bigram_perplexity_docs": QuerySpec(_bigram_perplexity_docs, _BIGRAM_PERPLEXITY_SQL),
     # r8: deterministic training-order shuffle (order-sensitive oracle)
     "shuffle_shards_docs": QuerySpec(_shuffle_shards_docs, _SHUFFLE_SHARDS_SQL),
     # r8: streaming incremental profile driven batch-by-batch with a

@@ -584,3 +584,53 @@ def test_unigram_lm_perplexity_filter(spark):
     assert got[3] == (None, 0) and got[4] == (None, 0)
     # OOV doc's score equals -oov_lp exactly (4 identical decimal terms)
     assert abs(got[2][0] - round(-lm["oov_lp"], 6)) < 1e-9
+
+
+def test_bigram_lm_order_sensitivity_and_backoff(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        bigram_nll_docs,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(20)], "doc_id bigint, text string"
+    )
+    lm = train_bigram_lm(train, "text", vocab_size=64, bigram_size=256)
+    assert lm["n_bigrams"] > 0
+    # probes: same words fluent vs scrambled — the bigram model must
+    # separate them (a unigram CANNOT: identical bags of words)
+    probe = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "mat the on cat the sat"),  # same bag, broken order
+            (3, "x"),  # <2 tokens: no transitions
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_nll_docs(probe, "text", "doc_id", lm).collect()}
+    assert rows[1]["nll_per_transition"] < rows[2]["nll_per_transition"]
+    assert rows[3]["n_transitions"] == 0 and rows[3]["nll_per_transition"] is None
+    assert rows[4]["n_transitions"] == 0
+    # backoff arithmetic: an unseen bigram of known words scores
+    # ln(0.4) + unigram lp of the second word, exactly
+    uni = dict(lm["unigram"]["vocab"])
+    probe2 = spark.createDataFrame([(9, "mat cat")], "doc_id bigint, text string")
+    got = bigram_nll_docs(probe2, "text", "doc_id", lm).collect()[0]
+    import math
+
+    expected = -(lm["backoff_lp"] + uni["cat"])
+    assert got["nll_per_transition"] == pytest.approx(round(expected, 6), abs=2e-6)
+
+
+def test_bigram_lm_deterministic(spark):
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = train_bigram_lm(docs, "text", vocab_size=256, bigram_size=512)
+    b = train_bigram_lm(docs.repartition(13), "text", vocab_size=256, bigram_size=512)
+    assert a["bigrams"] == b["bigrams"]
+    assert a["unigram"]["vocab"] == b["unigram"]["vocab"]
