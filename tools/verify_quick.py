@@ -16,7 +16,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-DEFAULT_KEYS = ["b6_agg", "tpch_q1", "dedup_exact_docs", "table_profile_docs"]
+DEFAULT_KEYS = [
+    "b6_agg", "tpch_q1", "dedup_exact_docs", "table_profile_docs",
+    "snapshot_diff_docs", "nb_classifier_docs", "ann_semantic_dedup",
+]
 
 
 def main() -> int:
