@@ -62,6 +62,14 @@ def _meta_dir(pipeline_dir: str, batch_id: int) -> str:
     return os.path.join(pipeline_dir, "_meta", f"batch={batch_id}")
 
 
+def _profile_dir(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "monitor", "profile")
+
+
+def _lang_counts_dir(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "monitor", "lang_counts")
+
+
 def process_curation_batch(
     batch: DataFrame,
     batch_id: int,
@@ -70,15 +78,44 @@ def process_curation_batch(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     expected_total_items: int = 1_000_000,
+    monitor: bool = True,
 ) -> None:
     """One micro-batch of the composed pipeline. Every write is keyed by
     ``batch=<id>`` and overwritten on replay — the same convergence
-    argument as each component stage."""
+    argument as each component stage.
+
+    ``monitor`` (default on) additionally maintains the pipeline's
+    observability plane from the SAME micro-batch, at delta-log cost
+    (one wide partial row + one |langs|-row count delta per trigger,
+    both batch-id-keyed ⇒ replay-convergent like everything else here):
+    the incremental ADMITTED-corpus profile (``streaming/profile``) and
+    the language distribution counts (``streaming/drift``) — read them
+    with :func:`read_curation_profile` / :func:`read_curation_drift`
+    while the stream runs to catch schema/null/range anomalies and
+    distribution shift BEFORE finalization."""
     spark = batch.sparkSession
     # (doc_id, lang) side table for the finalization gate
     batch.select(F.col(id_col), F.col(lang_col)).write.mode("overwrite").parquet(
         _meta_dir(pipeline_dir, batch_id)
     )
+    if monitor:
+        from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+            count_batch,
+        )
+        from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+            profile_batch,
+        )
+
+        profile_batch(
+            batch.select(
+                F.col(id_col),
+                F.col(lang_col),
+                F.length(F.col(text_col)).alias("_text_chars"),
+            ),
+            batch_id,
+            _profile_dir(pipeline_dir),
+        )
+        count_batch(batch, batch_id, _lang_counts_dir(pipeline_dir), lang_col)
     line_dedup.process_batch(
         batch.select(F.col(id_col), F.col(text_col)),
         batch_id,
@@ -110,6 +147,7 @@ def streaming_curation(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     expected_total_items: int = 1_000_000,
+    monitor: bool = True,
 ):
     """Run the composed pipeline as a foreachBatch stream; returns the
     StreamingQuery. Restart-safe: the checkpoint replays at most the
@@ -124,6 +162,7 @@ def streaming_curation(
             id_col=id_col,
             lang_col=lang_col,
             expected_total_items=expected_total_items,
+            monitor=monitor,
         )
 
     return (
@@ -131,6 +170,28 @@ def streaming_curation(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_curation_profile(spark: SparkSession, pipeline_dir: str) -> DataFrame:
+    """Live profile of everything the pipeline has ADMITTED (same schema
+    as operators/profile.profile_table; n_distinct is an HLL
+    estimate)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+        read_profile,
+    )
+
+    return read_profile(spark, _profile_dir(pipeline_dir))
+
+
+def read_curation_drift(
+    spark: SparkSession, pipeline_dir: str, baseline_counts: DataFrame
+) -> DataFrame:
+    """Language-distribution drift of the admitted stream vs a baseline
+    ``bucket | n`` frame (operators/drift.categorical_drift schema;
+    ``SUM(psi_term)`` is the alarm)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.drift import read_drift
+
+    return read_drift(spark, _lang_counts_dir(pipeline_dir), baseline_counts)
 
 
 def compact_curation_state(spark: SparkSession, pipeline_dir: str) -> None:

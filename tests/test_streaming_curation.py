@@ -244,3 +244,75 @@ def test_gate_and_pack_shapes(spark, tmp_path):
         for _, r in g.iterrows():
             assert r.start_offset == expect
             expect += r.n_tokens
+
+
+def test_monitor_plane_matches_batch_and_converges(spark, tmp_path):
+    """The observability plane rides the same micro-batches: after a run
+    WITH a replayed batch, the incremental profile equals the batch
+    profiler on the union input (exact fields) and the lang-drift counts
+    equal the batch lang counts — and both served reads are pure state
+    reads, no corpus re-scan."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        categorical_drift,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.profile import (
+        profile_table,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        read_curation_drift,
+        read_curation_profile,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    # replay batch 1: monitor deltas overwrite themselves
+    process_curation_batch(
+        df.where((F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])),
+        1,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    live = {r["col_name"]: r for r in read_curation_profile(spark, pipeline_dir).collect()}
+    want = {
+        r["col_name"]: r
+        for r in profile_table(
+            df.select("doc_id", "lang", F.length("text").alias("_text_chars"))
+        ).collect()
+    }
+    assert set(live) == set(want)
+    for c in want:
+        for f_ in ("n_rows", "n_null", "min_value", "max_value"):
+            assert live[c][f_] == want[c][f_], (c, f_)
+    # drift vs a baseline == the batch operator on materialized frames
+    baseline = df.where(F.col("doc_id") < 15)
+    bcounts = baseline.groupBy(
+        F.coalesce(F.col("lang"), F.lit("\x20NULL")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    live_drift = sorted(
+        tuple(r) for r in read_curation_drift(spark, pipeline_dir, bcounts).collect()
+    )
+    want_drift = sorted(
+        tuple(r) for r in categorical_drift(baseline, df, "lang").collect()
+    )
+    assert live_drift == want_drift
+
+
+def test_monitor_off_writes_no_state(spark, tmp_path):
+    import os
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    process_curation_batch(
+        df, 0, pipeline_dir, expected_total_items=10_000, monitor=False
+    )
+    assert not os.path.exists(os.path.join(pipeline_dir, "monitor"))
