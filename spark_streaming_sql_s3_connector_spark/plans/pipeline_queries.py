@@ -3834,7 +3834,7 @@ def _dataset_fingerprint_docs(spark, sf):
     )
 
 
-_FINGERPRINT_SQL = f"""
+_DATASET_FINGERPRINT_SQL = f"""
 WITH prof AS ({_TABLE_PROFILE_SQL})
 SELECT CAST(MAX(n_rows) AS BIGINT) AS n_rows,
        CAST(COUNT(*) AS BIGINT) AS n_columns,
@@ -4196,7 +4196,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # plan-pinned in test_plan_quality)
     "table_profile_docs": QuerySpec(_table_profile_docs, _TABLE_PROFILE_SQL),
     # r8: profile-derived dataset content fingerprint (lineage stamp)
-    "dataset_fingerprint_docs": QuerySpec(_dataset_fingerprint_docs, _FINGERPRINT_SQL),
+    "dataset_fingerprint_docs": QuerySpec(_dataset_fingerprint_docs, _DATASET_FINGERPRINT_SQL),
     # r8: corpus-version regression gates — membership diff (one
     # hash-narrowed full outer join) and distribution drift (value-keyed
     # share aggs + smoothed PSI)
