@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "dataset_fingerprint_docs",
     # r8: bigram stupid-backoff perplexity (order-aware text filter)
     "bigram_perplexity_docs",
+    # r8: temperature mixture resampling (alpha-shares + hash filter)
+    "temperature_mix_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

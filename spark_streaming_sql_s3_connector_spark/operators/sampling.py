@@ -320,6 +320,60 @@ def mix_corpus(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual-training
+    knob (mT5/XLM-R style): target token shares ∝ (group tokens)^α,
+    renormalized. α=1 keeps natural proportions; α→0 flattens toward
+    uniform, up-weighting tail languages/sources; α≈0.3–0.7 is the
+    published sweet spot. Degenerates to :func:`mix_corpus` with the
+    derived shares, so membership is the same salted-hash scan-local
+    filter (deterministic, zero shuffle on the corpus).
+
+    Scale shape: ONE |groups|-row aggregate collected to the driver
+    (bounded — sources/languages, not rows) to derive shares; everything
+    after is mix_corpus's broadcast join + hash filter. Rows with a NULL
+    group are excluded from the share derivation and dropped (share 0) —
+    label sources before mixing."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    totals = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("double")).alias("_t"))
+        .collect()
+    )
+    weights = {
+        str(r[group_col]): float(r["_t"]) ** alpha
+        for r in totals
+        if r["_t"] and r["_t"] > 0
+    }
+    wsum = sum(weights[k] for k in sorted(weights))
+    if wsum <= 0:
+        raise ValueError("no group has positive token mass")
+    # 12-dp rounding makes the share independent of the double-summation
+    # ORDER of wsum (python sorted-key sum here vs arbitrary-order SUM in
+    # a SQL mirror differ in the last ulp) — cross-engine-stable shares
+    shares = {k: round(w / wsum, 12) for k, w in weights.items()}
+    return mix_corpus(
+        df,
+        id_col,
+        group_col,
+        token_col,
+        shares,
+        token_budget,
+        salt=salt,
+        default_share=0.0,
+    )
+
+
 def keep_top_fraction(
     df: DataFrame,
     value_col: str,

@@ -3819,6 +3819,61 @@ def _ann_semantic_dedup(spark, sf):
     )
 
 
+def _temperature_mix_docs(spark, sf):
+    """Temperature mixture resampling (operators/sampling
+    .temperature_mix, α=0.5): per-source kept docs/chars + the keep
+    fraction — tail sources up-weighted relative to natural
+    proportions. Shares derive from one |sources|-row aggregate; kept
+    membership is the salted-hash scan-local filter."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = temperature_mix(
+        docs, "doc_id", "source", "n_chars", token_budget=100_000,
+        alpha=0.5, salt="temp",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.round(F.max("keep_fraction"), 6).alias("keep_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH totals AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS t
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY source HAVING SUM(CAST(n_chars AS DOUBLE)) > 0
+), wsum AS (
+  SELECT SUM(pow(t, 0.5)) AS w FROM totals
+), shares AS (
+  SELECT source, t, ROUND(pow(t, 0.5) / wsum.w, 12) AS share
+  FROM totals, wsum
+), fracs AS (
+  SELECT source, LEAST(1.0, share * 100000 / t) AS frac FROM shares
+), kept AS (
+  SELECT d.source, d.doc_id, d.n_chars, f.frac
+  FROM documents d
+  JOIN fracs f ON d.source IS NOT DISTINCT FROM f.source
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8) AS BIGINT) % 10000
+        < FLOOR(f.frac * 10000)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       ROUND(MAX(frac), 6) AS keep_fraction
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _dataset_fingerprint_docs(spark, sf):
     """Dataset content fingerprint (operators/profile.fingerprint_table):
     md5 over the exact profile's canonical rendering — the lineage stamp
@@ -4197,6 +4252,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "table_profile_docs": QuerySpec(_table_profile_docs, _TABLE_PROFILE_SQL),
     # r8: profile-derived dataset content fingerprint (lineage stamp)
     "dataset_fingerprint_docs": QuerySpec(_dataset_fingerprint_docs, _DATASET_FINGERPRINT_SQL),
+    # r8: temperature mixture resampling (alpha-share derivation + the
+    # mix_corpus hash filter)
+    "temperature_mix_docs": QuerySpec(_temperature_mix_docs, _TEMPERATURE_MIX_SQL),
     # r8: corpus-version regression gates — membership diff (one
     # hash-narrowed full outer join) and distribution drift (value-keyed
     # share aggs + smoothed PSI)

@@ -110,3 +110,59 @@ def test_zero_token_group_keeps_all(spark):
     )
     # zero-mass group clamps to keep-all rather than vanishing
     assert out.where(F.col("source") == "empty").count() == 50
+
+
+# --- temperature mixture resampling (r8) ---
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    # 10:1 imbalanced sources, generous budget: alpha<1 must raise the
+    # tail source's kept SHARE vs natural-proportion sampling
+    rows = [(i, "big", 10) for i in range(1000)] + [
+        (10_000 + i, "small", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, toks bigint")
+    nat = temperature_mix(df, "doc_id", "src", "toks", 4000, alpha=1.0)
+    cool = temperature_mix(df, "doc_id", "src", "toks", 4000, alpha=0.3)
+
+    def small_share(kept):
+        c = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        return c.get("small", 0) / max(1, sum(c.values()))
+
+    assert small_share(cool) > small_share(nat)
+    # alpha=1 reproduces natural proportions: keep fractions equal
+    fr = {r["src"]: r["keep_fraction"] for r in nat.select("src", "keep_fraction").distinct().collect()}
+    assert abs(fr["big"] - fr["small"]) < 1e-9
+
+
+def test_temperature_mix_laws(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, f"s{i % 4}", 5 + i % 7) for i in range(400)]
+    rows.append((9999, None, 100))  # NULL source: dropped by contract
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, toks bigint")
+    kept = temperature_mix(df, "doc_id", "src", "toks", 500, alpha=0.5, salt="x")
+    got = kept.collect()
+    assert all(r["src"] is not None for r in got)
+    # deterministic under repartition
+    again = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(13), "doc_id", "src", "toks", 500, alpha=0.5, salt="x"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "src", "toks", 500, alpha=0.0)
+    with _pytest.raises(ValueError):
+        temperature_mix(
+            df.where(F.col("src").isNull()), "doc_id", "src", "toks", 500
+        )
