@@ -33,6 +33,7 @@ from spark_streaming_sql_s3_connector_spark.operators.profile import (
 from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     group_train_test_split,
     shuffle_shards,
+    temperature_mix,
     with_group_split,
     write_training_shards,
 )
@@ -64,6 +65,7 @@ __all__ = [
     "group_train_test_split",
     "shuffle_shards",
     "write_training_shards",
+    "temperature_mix",
     "train_nb_classifier",
     "nb_score_docs",
     "with_l2_norm",
