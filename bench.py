@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "bigram_perplexity_docs",
     # r8: temperature mixture resampling (alpha-shares + hash filter)
     "temperature_mix_docs",
+    # r8: lexical retrieval — BM25 (scan-local tf, zero corpus shuffle)
+    # and per-doc TF-IDF keywords (explode + WindowGroupLimit)
+    "bm25_search_docs",
+    "tfidf_keywords_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

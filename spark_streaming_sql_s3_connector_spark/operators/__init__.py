@@ -37,6 +37,10 @@ from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     with_group_split,
     write_training_shards,
 )
+from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+    bm25_search,
+    tfidf_top_terms,
+)
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
@@ -72,4 +76,6 @@ __all__ = [
     "normalize_embeddings",
     "group_centroids",
     "centroid_similarity",
+    "bm25_search",
+    "tfidf_top_terms",
 ]

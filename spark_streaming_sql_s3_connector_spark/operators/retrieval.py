@@ -1,0 +1,216 @@
+"""Lexical ranked retrieval over a document corpus — BM25 search for a
+known query-term set and corpus-wide TF-IDF keyword extraction.
+
+Why this lives in a training-data engine: lexical retrieval is the
+workhorse of targeted corpus slicing (pull every doc about X for a
+domain mix), decontamination audits (find benchmark-phrase hits ranked
+by relevance rather than as a boolean screen), and quality-driven
+subset selection (DSIR-style importance sampling starts from exactly
+these tf / df statistics). It complements the SEMANTIC retrieval
+surface (`operators/similarity.py`, `operators/ann_index.py`) with the
+sparse half of the classic hybrid-search pair.
+
+Scale shapes:
+
+- ``bm25_search``: the query-term set is tiny and KNOWN, so per-doc
+  term frequencies come from scan-local array expressions
+  (``F.filter``/``F.size`` over the tokenized text) — the corpus is
+  NEVER exploded and NEVER shuffled. The only wide operations are a
+  one-row global agg (N, Σdl, per-term document frequencies) broadcast
+  back as literals-via-join, and the final ``TakeOrderedAndProject``
+  for top-k. At 100 TB this is two column-pruned scans of (id, text)
+  and nothing else; contrast an inverted-index build, which pays a
+  full explode+shuffle to answer ONE query. (An index pays off only
+  when amortized over many queries — that shape is
+  ``tfidf_top_terms``'s explode, persisted.)
+- ``tfidf_top_terms``: per-doc top-N distinctive terms needs the full
+  (doc, term) tf relation — one explode + groupBy(doc, term) shuffle
+  (map-side combined), a broadcast join of the V-row df table, and a
+  per-doc WindowGroupLimit (rank ≤ N prunes map-side before the final
+  exchange). Rows after the first agg are distinct (doc, term) pairs,
+  already far smaller than the token stream.
+
+FP-parity discipline (the `perplexity_docs` pattern): every per-term
+score contribution is computed in double from EXACT integer inputs
+(tf, df, dl, N are counts; avgdl = Σdl/N with Σdl an exact BIGINT sum),
+then pre-rounded to a 7-dp DECIMAL before the per-doc sum — decimal
+addition is order-independent, so Spark's partial aggregation and
+DuckDB's single-threaded fold produce hash-identical totals. Only the
+final reported score converts back to double (6-dp).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
+
+
+def _bm25_contrib(
+    tf: Column, dfreq: Column, dl: Column, n_docs: Column, avgdl: Column,
+    k1: float, b: float,
+) -> Column:
+    """One query term's BM25 contribution, 7-dp decimal. idf is the
+    always-positive BM25+ form ln(1 + (N - df + .5)/(df + .5))."""
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - dfreq.cast("double") + F.lit(0.5))
+        / (dfreq.cast("double") + F.lit(0.5))
+    )
+    tfd = tf.cast("double")
+    norm = tfd * (F.lit(k1) + F.lit(1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl.cast("double") / avgdl)
+    )
+    return F.round(idf * norm, 7).cast("decimal(20,7)")
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Rank documents against ``query_terms`` by BM25; returns the
+    ``top_k`` matching docs as ``<id_col> | score | n_matched | dl``
+    (score 6-dp double, ties broken id-ascending; docs matching no
+    term never appear).
+
+    Plan: tokenize once per scan; per-term tf via ``F.size(F.filter(
+    tokens, t == term))`` — scan-local, no explode. Corpus stats (N,
+    Σdl as exact BIGINT, per-term df) reduce to ONE row, broadcast
+    back; score is a scan-local decimal sum of per-term contributions;
+    top-k is a TakeOrderedAndProject. Zero corpus-sized shuffles.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if any(t is None or t == "" or t != t.strip().lower() for t in terms):
+        raise ValueError(
+            "query_terms must be non-empty, lowercase, and stripped "
+            f"(got {query_terms!r})"
+        )
+    toks = tokenize(F.lower(F.col(text_col)))
+    def _count_of(term: str) -> Column:
+        # single-arg lambda (a (x, t=…) default would read as Spark's
+        # two-arg (element, index) filter form)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_count_of(t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
+    narrow = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    )
+    stats = narrow.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    scored = narrow.join(F.broadcast(stats))
+    contribs = [
+        F.when(
+            F.col(f"_tf_{i}") > 0,
+            _bm25_contrib(
+                F.col(f"_tf_{i}"), F.col(f"_df_{i}"), F.col("_dl"),
+                F.col("_n_docs"), avgdl, k1, b,
+            ),
+        ).otherwise(F.lit("0").cast("decimal(20,7)"))
+        for i in range(len(terms))
+    ]
+    matched = [
+        (F.col(f"_tf_{i}") > 0).cast("int") for i in range(len(terms))
+    ]
+    out = (
+        scored.select(
+            F.col(id_col),
+            sum(contribs[1:], contribs[0]).alias("_score_dec"),
+            sum(matched[1:], matched[0]).alias("n_matched"),
+            F.col("_dl").cast("bigint").alias("dl"),
+        )
+        .where(F.col("n_matched") > 0)
+        .orderBy(F.col("_score_dec").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(
+            F.col(id_col),
+            # round the DECIMAL (exact HALF_UP on the 7-dp grid) before
+            # the double cast — rounding after the cast can flip a
+            # …xxx5 boundary value differently per engine
+            F.round(F.col("_score_dec"), 6).cast("double").alias("score"),
+            "n_matched",
+            "dl",
+        )
+    )
+    return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-``top_n`` distinctive terms by TF-IDF:
+    ``<id_col> | term | rank | tfidf`` (rank 1..n, score 6-dp double,
+    ties broken term-ascending). ``min_df`` drops corpus-noise terms
+    seen in fewer than that many documents.
+
+    tf = in-doc count, idf = ln(N / df) with df = docs containing the
+    term (so corpus-universal terms score 0 and never rank). One
+    explode + groupBy(doc, term) shuffle (map-side combined), a
+    (term, df) agg off that SAME relation, broadcast back, and a
+    per-doc rank window whose ``rank <= n`` predicate Spark turns into
+    WindowGroupLimit (map-side top-n pruning before the exchange).
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+                7,
+            )
+            .cast("decimal(20,7)")
+            .alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            # decimal-first rounding: see bm25_search's score note
+            F.round(F.col("_s"), 6).cast("double").alias("tfidf"),
+        )
+    )

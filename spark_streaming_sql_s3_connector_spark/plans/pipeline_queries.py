@@ -4077,6 +4077,109 @@ ORDER BY dim, bucket
 """
 
 
+def _bm25_search_docs(spark, sf):
+    """Lexical ranked retrieval (operators/retrieval.bm25_search):
+    BM25 top-20 for a 4-term query. Per-doc tf comes from scan-local
+    ``F.filter``/``F.size`` array expressions — the corpus is never
+    exploded or shuffled; the only wide ops are the one-row stats agg
+    (N, Σdl, per-term df) broadcast back and the final
+    TakeOrderedAndProject. Score = Σ 7-dp-decimal contributions
+    (order-independent ⇒ engine-portable), idf = BM25+ ln(1+(N-df+.5)/
+    (df+.5))."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        bm25_search,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_search(
+        docs, "text", "doc_id", ["spark", "join", "stream", "vector"],
+        k1=1.2, b=0.75, top_k=20,
+    )
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    return f"""CASE WHEN tf_{i} > 0 THEN CAST(ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)/(CAST(df_{i} AS DOUBLE) + 0.5))
+        * (CAST(tf_{i} AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_{i} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)/CAST(n_docs AS DOUBLE))))), 7) AS DECIMAL(20,7)) ELSE CAST('0' AS DECIMAL(20,7)) END"""
+
+
+_BM25_SEARCH_SQL = (
+    r"""
+WITH narrow AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'join'))   AS tf_0,
+         len(list_filter(t, x -> x = 'spark'))  AS tf_1,
+         len(list_filter(t, x -> x = 'stream')) AS tf_2,
+         len(list_filter(t, x -> x = 'vector')) AS tf_3
+  FROM narrow
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+         SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    ("""
+    + "+".join(_bm25_contrib_sql(i) for i in range(4))
+    + r""") AS s,
+    (CASE WHEN tf_0>0 THEN 1 ELSE 0 END + CASE WHEN tf_1>0 THEN 1 ELSE 0 END
+     + CASE WHEN tf_2>0 THEN 1 ELSE 0 END + CASE WHEN tf_3>0 THEN 1 ELSE 0 END) AS n_matched,
+    dl
+  FROM base, stats
+)
+SELECT doc_id, CAST(ROUND(s, 6) AS DOUBLE) AS score,
+       n_matched, CAST(dl AS BIGINT) AS dl
+FROM scored WHERE n_matched > 0
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+)
+
+
+def _tfidf_keywords_docs(spark, sf):
+    """Per-document keyword extraction (operators/retrieval
+    .tfidf_top_terms): top-3 terms per doc by tf·ln(N/df). One explode
+    + groupBy(doc,term) shuffle (map-side combined), broadcast V-row
+    df table, per-doc rank window executed as WindowGroupLimit
+    (map-side top-n pruning — plan-pinned in test_plan_quality)."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", top_n=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_TFIDF_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE)/CAST(dfreq.df AS DOUBLE)), 7) AS DECIMAL(20,7)) AS s
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS INT) AS rank,
+       CAST(ROUND(s, 6) AS DOUBLE) AS tfidf
+FROM scored
+QUALIFY rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4280,4 +4383,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: embedding hygiene stats (norms + centroid prototypicality,
     # decimal FP-parity exact mode)
     "embedding_stats_docs": QuerySpec(_embedding_stats_docs, _EMBEDDING_STATS_SQL),
+    # r8: lexical ranked retrieval — BM25 with scan-local tf (no corpus
+    # explode/shuffle) and per-doc TF-IDF keywords (WindowGroupLimit)
+    "bm25_search_docs": QuerySpec(_bm25_search_docs, _BM25_SEARCH_SQL),
+    "tfidf_keywords_docs": QuerySpec(_tfidf_keywords_docs, _TFIDF_KEYWORDS_SQL),
 }

@@ -1,0 +1,203 @@
+"""Laws + plan pins for lexical ranked retrieval
+(operators/retrieval.py): BM25 search and TF-IDF keyword extraction.
+The cross-engine value parity is pinned by the DuckDB oracles
+(`bm25_search_docs`, `tfidf_keywords_docs`); here we pin semantics on
+controlled corpora and the scale-shape plan properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+    bm25_search,
+    tfidf_top_terms,
+)
+
+
+def _toy(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_tf_monotone_same_length(spark):
+    """With one query term and equal doc lengths, more occurrences ⇒
+    strictly higher score."""
+    docs = _toy(
+        spark,
+        [
+            (1, "cat dog dog dog dog dog"),
+            (2, "cat cat dog dog dog dog"),
+            (3, "cat cat cat dog dog dog"),
+            (4, "bird bird bird bird bird bird"),
+        ],
+    )
+    out = bm25_search(docs, "text", "doc_id", ["cat"], top_k=10).collect()
+    assert [r.doc_id for r in out] == [3, 2, 1]  # doc 4 never matches
+    assert out[0].score > out[1].score > out[2].score > 0
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """A doc matching only the rare term beats a doc matching only the
+    common term (equal tf, equal dl) — the idf ordering."""
+    docs = _toy(
+        spark,
+        [
+            (1, "rare filler filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common filler filler filler"),
+            (4, "common filler filler filler"),
+            (5, "common filler filler filler"),
+        ],
+    )
+    out = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            docs, "text", "doc_id", ["rare", "common"], top_k=10
+        ).collect()
+    }
+    assert out[1] > out[2]
+    assert out[2] == out[3] == out[4] == out[5]
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc ⇒ lower score (b > 0 length penalty)."""
+    docs = _toy(
+        spark,
+        [
+            (1, "cat dog"),
+            (2, "cat dog filler filler filler filler filler filler"),
+            (3, "other words entirely here now yes"),
+        ],
+    )
+    out = {
+        r.doc_id: r.score
+        for r in bm25_search(docs, "text", "doc_id", ["cat"], top_k=10).collect()
+    }
+    assert out[1] > out[2]
+
+
+def test_bm25_n_matched_and_exclusion(spark):
+    docs = _toy(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "delta epsilon zeta"),
+            (4, ""),
+            (5, None),
+        ],
+    )
+    rows = bm25_search(
+        docs, "text", "doc_id", ["alpha", "beta"], top_k=10
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1].n_matched == 2 and got[2].n_matched == 1
+    assert got[1].dl == 3 and got[2].dl == 3
+
+
+def test_bm25_input_validation(spark):
+    docs = _toy(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        bm25_search(docs, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_search(docs, "text", "doc_id", ["Good"])  # not lowercase
+    with pytest.raises(ValueError):
+        bm25_search(docs, "text", "doc_id", [" pad "])  # not stripped
+
+
+def test_bm25_repartition_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = bm25_search(
+        docs, "text", "doc_id", ["spark", "join"], top_k=15
+    ).collect()
+    b = bm25_search(
+        docs.repartition(13), "text", "doc_id", ["spark", "join"], top_k=15
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 15
+
+
+def test_bm25_plan_no_corpus_shuffle(spark, sf_dir):
+    """The scale pin: no explode/generate anywhere; no corpus-keyed
+    aggregate exchange — only the one-row stats agg (SinglePartition),
+    the broadcast of it, and TakeOrderedAndProject for top-k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        bm25_search(docs, "text", "doc_id", ["spark", "join"], top_k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no explode
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # every Exchange is either the 1-row stats reduction or a broadcast
+    for line in plan.splitlines():
+        if "Exchange" in line and "Reused" not in line:
+            assert (
+                "SinglePartition" in line or "EXECUTOR_BROADCAST" in line
+                or "broadcast" in line.lower()
+            ), line
+
+
+def test_tfidf_universal_term_scores_zero(spark):
+    """A term in every doc has idf = ln(1) = 0; distinctive terms rank
+    above it."""
+    docs = _toy(
+        spark,
+        [
+            (1, "shared apple apple"),
+            (2, "shared banana banana"),
+            (3, "shared cherry cherry"),
+        ],
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, terms in by_doc.items():
+        assert terms[0].rank == 1 and terms[0].tfidf > 0
+        ranked = {r.term: r.tfidf for r in terms}
+        if "shared" in ranked:
+            assert ranked["shared"] == 0.0
+
+
+def test_tfidf_rank_contract(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, terms in per_doc.items():
+        ranks = sorted(r.rank for r in terms)
+        assert ranks == list(range(1, len(terms) + 1))
+        ordered = sorted(terms, key=lambda r: r.rank)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.tfidf, b.term) >= (b.tfidf, a.term) or a.tfidf > b.tfidf
+
+
+def test_tfidf_min_df_drops_rare_noise(spark):
+    docs = _toy(
+        spark,
+        [
+            (1, "noise apple apple banana"),
+            (2, "apple banana banana cherry"),
+            (3, "apple cherry cherry banana"),
+        ],
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", top_n=4, min_df=2).collect()
+    assert all(r.term != "noise" for r in out)
+
+
+def test_tfidf_plan_window_group_limit(spark, sf_dir):
+    """rank<=n must execute as WindowGroupLimit (map-side top-n before
+    the window exchange) and the df table must broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
