@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     # and per-doc TF-IDF keywords (explode + WindowGroupLimit)
     "bm25_search_docs",
     "tfidf_keywords_docs",
+    # r8: hard-negative mining (broadcast query batch × one corpus
+    # scan, WindowGroupLimit per-query top-k)
+    "hard_negatives_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -44,6 +44,7 @@ from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
+    hard_negatives,
     lsh_ann_topk,
 )
 
@@ -78,4 +79,5 @@ __all__ = [
     "centroid_similarity",
     "bm25_search",
     "tfidf_top_terms",
+    "hard_negatives",
 ]

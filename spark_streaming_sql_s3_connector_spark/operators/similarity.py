@@ -749,3 +749,81 @@ def ivf_pq_topk(
     return pq_topk(
         assigned, vec_col, id_col, q, k=k, codebooks=codebooks
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for every query row, the ``k`` corpus rows MOST similar by cosine
+    whose ``group_col`` DIFFERS from the query's — the near-miss
+    negatives that sharpen a retriever far more than random negatives
+    (the DPR / contrastive-learning recipe).
+
+    Returns ``query_id | neighbor_id | neighbor_group | cosine | rank``
+    (cosine the raw fold-order-stable double — bit-identical to the
+    sequential DuckDB fold, so no rounding is needed or wanted; rank
+    1..k by cosine desc / neighbor_id asc).
+
+    Scale shape: ``queries`` is the SMALL side (a training batch, not
+    the corpus) and is broadcast — the corpus streams through one scan
+    against all queries at once (BroadcastNestedLoopJoin on the
+    group-differs predicate); per-query top-k reduces via a rank window
+    whose ``rank <= k`` Spark executes as WindowGroupLimit, so each map
+    task ships at most k rows per query to the final exchange. Corpus
+    rows shuffled: ≤ k × |queries| × partitions, never O(|corpus|).
+    For query sets too large to broadcast, run the persisted-index path
+    instead (``operators/ann_index.ann_index_topk_batch`` with an
+    over-fetch, then anti-filter same-group rows and re-rank — index
+    retrieval is approximate, so over-fetch ≥ 2-3× k).
+
+    Cosine uses the expression fold (``cosine_sim``) — deterministic
+    left-to-right sum order, so doubles hash-match DuckDB's sequential
+    ``list_dot_product`` oracle exactly.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(group_col).alias("_qg"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(group_col).alias("neighbor_group"),
+    )
+    joined = c.join(
+        F.broadcast(q),
+        # null-group rows can never be negatives for anyone (their
+        # group is unknown) and null-group queries mine nothing
+        (F.col("_qg") != F.col("neighbor_group"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_group",
+        cosine_sim(F.col("_cv"), F.col("_qv")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_group",
+            F.col("_cos").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -4180,6 +4180,49 @@ ORDER BY doc_id, rank
 """
 
 
+def _hard_negatives_docs(spark, sf):
+    """Hard-negative mining (operators/similarity.hard_negatives): for
+    each of 5 query vectors, the 10 most-cosine-similar corpus vectors
+    with a DIFFERENT label — the contrastive-training negative set.
+    Queries broadcast; corpus streams once; per-query top-k reduces via
+    WindowGroupLimit (≤ k rows per query per map task reach the
+    exchange). Cosine is the fold-order-stable expression double, so
+    raw values hash-match DuckDB's sequential list_dot_product."""
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return hard_negatives(emb, q, "embedding", "vec_id", "label", k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+_HARD_NEGATIVES_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qg
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS ng
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, c.ng AS neighbor_group,
+         CASE WHEN sqrt(list_dot_product(c.cv, c.cv)) > 0
+                   AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+              THEN list_dot_product(c.cv, q.qv)
+                   / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM c JOIN q ON q.qg != c.ng AND q.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, neighbor_group, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4387,4 +4430,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # explode/shuffle) and per-doc TF-IDF keywords (WindowGroupLimit)
     "bm25_search_docs": QuerySpec(_bm25_search_docs, _BM25_SEARCH_SQL),
     "tfidf_keywords_docs": QuerySpec(_tfidf_keywords_docs, _TFIDF_KEYWORDS_SQL),
+    # r8: hard-negative mining for contrastive training (broadcast
+    # queries × one corpus scan, WindowGroupLimit top-k per query)
+    "hard_negatives_docs": QuerySpec(_hard_negatives_docs, _HARD_NEGATIVES_SQL),
 }

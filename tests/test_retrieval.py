@@ -201,3 +201,90 @@ def test_tfidf_plan_window_group_limit(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------- hard negatives ----
+# (lexical + embedding retrieval share this module: both are the
+# "find training-relevant rows for a query" surface)
+
+from spark_streaming_sql_s3_connector_spark.operators.similarity import (  # noqa: E402
+    hard_negatives,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_hard_negatives_excludes_same_group_and_self(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label: never a negative for 0
+        (2, [0.98, 0.2], 1),   # closest other-label
+        (3, [0.0, 1.0], 1),    # far other-label
+        (4, [0.9, 0.4], 2),
+    ]
+    df = _emb(spark, rows)
+    q = df.where("vec_id = 0")
+    out = hard_negatives(df, q, "embedding", "vec_id", "label", k=3).collect()
+    ids = [r.neighbor_id for r in out]
+    assert 0 not in ids and 1 not in ids
+    assert ids[0] == 2  # hardest negative first
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+
+
+def test_hard_negatives_python_parity(spark, sf_dir):
+    """Exact-set equality with a pure-python brute force on the real
+    table (5 queries, k=5)."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in hard_negatives(emb, q, "embedding", "vec_id", "label", k=5).collect()
+    }
+    rows = [(r.vec_id, list(r.embedding), r.label) for r in emb.collect()]
+    queries = [(i, v, l) for i, v, l in rows if i < 5]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    for qi, qv, ql in queries:
+        cands = sorted(
+            (
+                (-cos(v, qv), i)
+                for i, v, l in rows
+                if l != ql and i != qi
+            ),
+        )[:5]
+        for rank, (_, nid) in enumerate(cands, 1):
+            assert got[(qi, rank)] == nid, (qi, rank)
+
+
+def test_hard_negatives_plan_broadcast_and_group_limit(spark, sf_dir):
+    """Scale pin: query side broadcast (no corpus-vs-corpus shuffle
+    join) and per-query top-k via WindowGroupLimit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    plan = (
+        hard_negatives(emb, q, "embedding", "vec_id", "label", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_k_validation(spark):
+    df = _emb(spark, [(0, [1.0, 0.0], 0)])
+    with pytest.raises(ValueError):
+        hard_negatives(df, df, "embedding", "vec_id", "label", k=0)
