@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     # r8: hard-negative mining (broadcast query batch × one corpus
     # scan, WindowGroupLimit per-query top-k)
     "hard_negatives_docs",
+    # r8: DSIR importance resampling (two LM trains + broadcast delta
+    # join + md5-Gumbel TakeOrdered)
+    "dsir_resample_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -37,6 +37,10 @@ from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     with_group_split,
     write_training_shards,
 )
+from spark_streaming_sql_s3_connector_spark.operators.importance import (
+    dsir_log_weights,
+    dsir_resample,
+)
 from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
     bm25_search,
     tfidf_top_terms,
@@ -80,4 +84,6 @@ __all__ = [
     "bm25_search",
     "tfidf_top_terms",
     "hard_negatives",
+    "dsir_log_weights",
+    "dsir_resample",
 ]

@@ -4223,6 +4223,80 @@ ORDER BY query_id, rank
 """
 
 
+def _dsir_resample_docs(spark, sf):
+    """DSIR importance resampling (operators/importance.dsir_resample):
+    unigram LMs of the TARGET slice (lang='en') and the RAW corpus,
+    per-doc log importance weight = decimal Σ Δlogprob, then Gumbel
+    top-120 (noise from the salted md5 of doc_id — reproducible across
+    engines/partitionings). Weight plan: explode → ONE broadcast join
+    of the merged V-row delta table → per-doc partial agg; selection is
+    a scan-local key + TakeOrderedAndProject. sample_key is a raw
+    double (ln parity holds to ≤1 ulp; the gate compares at 9 dp)."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        train_unigram_lm,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.importance import (
+        dsir_resample,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    tlm = train_unigram_lm(docs.where("lang = 'en'"), "text", vocab_size=2048, alpha=0.5)
+    rlm = train_unigram_lm(docs, "text", vocab_size=2048, alpha=0.5)
+    return dsir_resample(
+        docs, "text", "doc_id", tlm, rlm, n_keep=120, salt="dsir"
+    )
+
+
+_DSIR_RESAMPLE_SQL = r"""
+WITH ttoks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE lang = 'en' AND text IS NOT NULL AND trim(text) != ''
+), tcounts AS (SELECT tok, COUNT(*) AS c FROM ttoks GROUP BY tok),
+ttot AS (SELECT SUM(c) AS n FROM tcounts),
+tvocab AS (SELECT tok, c FROM tcounts ORDER BY c DESC, tok LIMIT 2048),
+tvsize AS (SELECT COUNT(*) AS v FROM tvocab),
+tlm AS (
+  SELECT tok, CAST(ROUND(ln((c + 0.5) / (ttot.n + 0.5 * (tvsize.v + 1))), 7) AS DECIMAL(20,7)) AS lp
+  FROM tvocab, ttot, tvsize
+), toov AS (
+  SELECT CAST(ROUND(ln(0.5 / (ttot.n + 0.5 * (tvsize.v + 1))), 7) AS DECIMAL(20,7)) AS lp FROM ttot, tvsize
+), rtoks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), rcounts AS (SELECT tok, COUNT(*) AS c FROM rtoks GROUP BY tok),
+rtot AS (SELECT SUM(c) AS n FROM rcounts),
+rvocab AS (SELECT tok, c FROM rcounts ORDER BY c DESC, tok LIMIT 2048),
+rvsize AS (SELECT COUNT(*) AS v FROM rvocab),
+rlm AS (
+  SELECT tok, CAST(ROUND(ln((c + 0.5) / (rtot.n + 0.5 * (rvsize.v + 1))), 7) AS DECIMAL(20,7)) AS lp
+  FROM rvocab, rtot, rvsize
+), roov AS (
+  SELECT CAST(ROUND(ln(0.5 / (rtot.n + 0.5 * (rvsize.v + 1))), 7) AS DECIMAL(20,7)) AS lp FROM rtot, rvsize
+), delta AS (
+  SELECT COALESCE(t.tok, r.tok) AS tok,
+         COALESCE(t.lp, (SELECT lp FROM toov)) - COALESCE(r.lp, (SELECT lp FROM roov)) AS d
+  FROM tlm t FULL OUTER JOIN rlm r ON t.tok = r.tok
+), dtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), persum AS (
+  SELECT dt.doc_id,
+         SUM(COALESCE(delta.d, (SELECT lp FROM toov) - (SELECT lp FROM roov))) AS w
+  FROM dtoks dt LEFT JOIN delta USING (tok) GROUP BY dt.doc_id
+), keyed AS (
+  SELECT d.doc_id,
+         COALESCE(p.w, CAST('0' AS DECIMAL(20,7))) AS w,
+         CAST(COALESCE(p.w, CAST('0' AS DECIMAL(20,7))) AS DOUBLE)
+           + (-ln(-ln((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'dsir'), 1, 12) AS BIGINT) + 0.5) / 281474976710656.0))) AS sample_key
+  FROM documents d LEFT JOIN persum p USING (doc_id)
+)
+SELECT doc_id, CAST(ROUND(w, 6) AS DOUBLE) AS log_weight, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 120
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4433,4 +4507,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: hard-negative mining for contrastive training (broadcast
     # queries × one corpus scan, WindowGroupLimit top-k per query)
     "hard_negatives_docs": QuerySpec(_hard_negatives_docs, _HARD_NEGATIVES_SQL),
+    # r8: DSIR importance resampling toward a target distribution
+    # (decimal Δlogprob sums + md5-Gumbel top-k)
+    "dsir_resample_docs": QuerySpec(_dsir_resample_docs, _DSIR_RESAMPLE_SQL),
 }
