@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     # r8: DSIR importance resampling (two LM trains + broadcast delta
     # join + md5-Gumbel TakeOrdered)
     "dsir_resample_docs",
+    # r8: cluster-balanced subset selection (bounded KMeans train +
+    # scan-local assign + WindowGroupLimit quota)
+    "cluster_balanced_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

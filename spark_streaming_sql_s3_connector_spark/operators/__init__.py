@@ -22,6 +22,7 @@ from spark_streaming_sql_s3_connector_spark.operators.drift import (
 )
 from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
     centroid_similarity,
+    cluster_balanced_sample,
     group_centroids,
     normalize_embeddings,
     with_l2_norm,
@@ -86,4 +87,5 @@ __all__ = [
     "hard_negatives",
     "dsir_log_weights",
     "dsir_resample",
+    "cluster_balanced_sample",
 ]

@@ -177,3 +177,90 @@ def centroid_similarity(
         cos = dot / (nv * nc)
     guarded = F.when((nv > 0) & (nc > 0), cos)
     return joined.withColumn(out, guarded).drop("centroid")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    per_cluster_k: int = 100,
+    seed: int = 42,
+    order: str = "prototypical",
+    salt: str = "",
+    centroids: Optional[list[list[float]]] = None,
+) -> DataFrame:
+    """Topic-balanced subset selection (the DCLM / cluster-quota
+    recipe): KMeans-cluster the embedding space, then keep an EQUAL
+    per-cluster quota so no dominant topic floods the sample — the
+    diversity knob natural-proportion sampling lacks.
+
+    ``order`` picks who fills each quota:
+
+    - ``"prototypical"``: highest cosine to the cluster centroid first
+      (SemDeDup's prototypicality) — the cleanest exemplars;
+    - ``"hash"``: salted-md5 order — an unbiased random draw within the
+      cluster, reproducible across engines/reruns.
+
+    Returns ``<id_col> | cluster | rank | centroid_cos`` (rank 1..k
+    inside each cluster; ties break id-ascending).
+
+    Scale shape: quantizer trained on a bounded sample
+    (:func:`~spark_streaming_sql_s3_connector_spark.operators.similarity.ivf_centroids`
+    — one scan, driver-side numpy); assignment is the broadcast-
+    centroid argmin expression (scan-local); the per-cluster quota is a
+    rank window Spark executes as WindowGroupLimit, so each map task
+    ships at most k rows per cluster. Rows-only semantics (KMeans is
+    not SQL-expressible); laws live in pytest.
+
+    Pass ``centroids`` to reuse a quantizer trained once elsewhere —
+    the in-function training samples partition heads, so its centers
+    (and therefore the selection) are stable for a FIXED layout but
+    not across repartitions; supplied centroids make the whole
+    operator partitioning-invariant.
+    """
+    from pyspark.sql import Window
+
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        cosine_sim,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    if per_cluster_k < 1:
+        raise ValueError("per_cluster_k must be >= 1")
+    if order not in ("prototypical", "hash"):
+        raise ValueError(f"order must be 'prototypical' or 'hash', got {order!r}")
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_clusters, seed=seed)
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    assigned = ivf_assign(df, vec_col, centroids, bucket_col="cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        cosine_sim(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_arr, F.col("cluster") + 1),
+        ).alias("centroid_cos"),
+    )
+    if order == "prototypical":
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("centroid_cos").desc(), F.col(id_col).asc()
+        )
+    else:
+        h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_cluster_k)
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("centroid_cos"),
+        )
+    )

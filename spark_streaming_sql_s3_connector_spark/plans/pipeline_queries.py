@@ -4297,6 +4297,37 @@ LIMIT 120
 """
 
 
+def _cluster_balanced_docs(spark, sf):
+    """Cluster-balanced subset selection (operators/embeddings
+    .cluster_balanced_sample): KMeans the embedding space (bounded-
+    sample train), equal per-cluster quota filled by prototypicality,
+    WindowGroupLimit reduce. Rows-only by nature (KMeans); the slot
+    self-checks: per-cluster count ≤ quota and dense 1..n ranks, both
+    pinned true, ordering law in pytest."""
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    sel = cluster_balanced_sample(
+        emb, "embedding", "vec_id", n_clusters=8, per_cluster_k=20, seed=42
+    )
+    return (
+        sel.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.max("rank").alias("_max_rank"),
+        )
+        .select(
+            "cluster",
+            F.col("n_selected").cast("bigint").alias("n_selected"),
+            (F.col("n_selected") <= 20).alias("quota_ok"),
+            (F.col("_max_rank") == F.col("n_selected")).alias("ranks_dense"),
+        )
+        .orderBy("cluster")
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4510,4 +4541,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: DSIR importance resampling toward a target distribution
     # (decimal Δlogprob sums + md5-Gumbel top-k)
     "dsir_resample_docs": QuerySpec(_dsir_resample_docs, _DSIR_RESAMPLE_SQL),
+    # r8: cluster-balanced (topic-diversity) subset selection —
+    # rows-only (KMeans), quota/density self-check columns
+    "cluster_balanced_docs": QuerySpec(_cluster_balanced_docs, None),
 }

@@ -112,3 +112,123 @@ def test_plans_scan_local_and_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan_sim
     assert "SortMergeJoin" not in plan_sim and "Python" not in plan_sim
+
+
+# ------------------------------------------ cluster-balanced sampling ----
+
+from spark_streaming_sql_s3_connector_spark.operators.embeddings import (  # noqa: E402
+    cluster_balanced_sample,
+)
+
+
+def _clustered(spark, per_cluster=30, dim=8, n_clusters=4):
+    """Tight synthetic clusters: axis directions + small deterministic
+    jitter, so KMeans recovers them and prototypicality is meaningful."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.05 * ((vid * 7 + d * 3) % 5 - 2) for d in range(dim)]
+            v[c] = 10.0 + 0.1 * (j % 3)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_cluster_balanced_quota_and_coverage(spark):
+    df = _clustered(spark)
+    out = cluster_balanced_sample(
+        df, "embedding", "vec_id", n_clusters=4, per_cluster_k=10
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster, []).append(r)
+    assert len(per) == 4  # every planted topic covered
+    for c, rows in per.items():
+        assert len(rows) == 10
+        assert sorted(r.rank for r in rows) == list(range(1, 11))
+
+
+def test_cluster_balanced_prototypical_beats_unselected(spark):
+    """Law: within each cluster, every SELECTED row's centroid cosine
+    ≥ every unselected row's (the quota takes the most central)."""
+    df = _clustered(spark)
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        cosine_sim,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    cents = ivf_centroids(df, "embedding", n_centroids=4, seed=42)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]).cast("array<double>") for c in cents]
+    )
+    full = ivf_assign(df, "embedding", cents, bucket_col="cluster").select(
+        "vec_id",
+        "cluster",
+        cosine_sim(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cent_arr, F.col("cluster") + 1),
+        ).alias("cos"),
+    ).collect()
+    sel = {
+        r.vec_id
+        for r in cluster_balanced_sample(
+            df, "embedding", "vec_id", n_clusters=4, per_cluster_k=5
+        ).collect()
+    }
+    by_cluster = {}
+    for r in full:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for c, rows in by_cluster.items():
+        chosen = [r.cos for r in rows if r.vec_id in sel]
+        skipped = [r.cos for r in rows if r.vec_id not in sel]
+        if chosen and skipped:
+            assert min(chosen) >= max(skipped)
+
+
+def test_cluster_balanced_hash_mode_deterministic_and_rotates(spark, sf_dir):
+    """With SUPPLIED centroids the selection is partitioning-invariant
+    (in-function training samples partition heads, so it is only
+    fixed-layout stable — the docstring's documented caveat); a new
+    salt redraws the within-cluster sample."""
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, "embedding", n_centroids=8, seed=42)
+    a1 = cluster_balanced_sample(
+        emb, "embedding", "vec_id", 8, 5, order="hash", salt="a", centroids=cents
+    ).collect()
+    a2 = cluster_balanced_sample(
+        emb.repartition(11), "embedding", "vec_id", 8, 5, order="hash",
+        salt="a", centroids=cents,
+    ).collect()
+    b = cluster_balanced_sample(
+        emb, "embedding", "vec_id", 8, 5, order="hash", salt="b", centroids=cents
+    ).collect()
+    key = lambda rows: sorted((r.vec_id, r.cluster, r.rank) for r in rows)
+    assert key(a1) == key(a2)
+    assert {r.vec_id for r in a1} != {r.vec_id for r in b}
+
+
+def test_cluster_balanced_validation_and_plan(spark, sf_dir):
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, "embedding", "vec_id", 8, 0)
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, "embedding", "vec_id", 8, 5, order="nope")
+    plan = (
+        cluster_balanced_sample(emb, "embedding", "vec_id", 8, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
