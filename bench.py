@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     # r8: cluster-balanced subset selection (bounded KMeans train +
     # scan-local assign + WindowGroupLimit quota)
     "cluster_balanced_docs",
+    # r8: Gopher rule gate (scan-local integer booleans, zero shuffle)
+    "gopher_gate_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

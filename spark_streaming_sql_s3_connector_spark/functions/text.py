@@ -587,3 +587,111 @@ def bigram_nll_docs(
             ),
         )
     )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, App. A —
+    the published heuristic bundle RefinedWeb/Dolma reuse), as pure JVM
+    boolean expressions. Every ratio test is INTEGER cross-multiplied
+    (``3·n ≤ Σlen ≤ 10·n`` instead of ``3 ≤ Σlen/n ≤ 10``) so there is
+    no float boundary to disagree across engines — the booleans are
+    exactly oracle-portable.
+
+    Rules (key → pass condition):
+
+    - ``rule_word_count``    — ``min_words ≤ words ≤ max_words``;
+    - ``rule_mean_word_len`` — mean word length in [3, 10];
+    - ``rule_alpha_words``   — ≥ 80% of words contain a letter;
+    - ``rule_stop_words``    — ≥ 2 distinct stop words present;
+    - ``rule_symbol_ratio``  — (# + …) symbols ≤ 10% of words;
+    - ``rule_bullet_lines``  — ≤ 10% of lines start with a bullet;
+    - ``rule_ellipsis_lines``— ≤ 30% of lines end with an ellipsis;
+    - ``rule_dup_lines``     — duplicate-line fraction ≤ 30%;
+    - ``rule_dup_paras``     — duplicate-paragraph fraction ≤ 30%;
+    - ``gopher_keep``        — AND of all of the above.
+
+    Empty/NULL docs fail ``rule_word_count`` and are dropped. Lines and
+    paragraphs are the trimmed non-blank splits ``repetition_metrics``
+    uses; a line-less doc (no ``\\n``) is its single own line, so the
+    line-shape rules pass vacuously-correctly on one-line docs.
+    """
+    toks = tokenize(col)
+    n_words = F.coalesce(F.size(toks), F.lit(0))
+    sum_word_len = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(0),
+    )
+    n_alpha_words = F.coalesce(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))), F.lit(0)
+    )
+    n_stops = F.coalesce(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, lambda t: F.lower(t))),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ),
+        F.lit(0),
+    )
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = F.coalesce((hashes + ellipses).cast("bigint"), F.lit(0))
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(col, r"\n\s*\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    n_dl = F.coalesce(F.size(F.array_distinct(lines)), F.lit(0))
+    n_paras = F.coalesce(F.size(paras), F.lit(0))
+    n_dp = F.coalesce(F.size(F.array_distinct(paras)), F.lit(0))
+    n_bullet = F.coalesce(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-")
+                | x.startswith("*")
+                | x.startswith("•"),
+            )
+        ),
+        F.lit(0),
+    )
+    n_ell_lines = F.coalesce(
+        F.size(F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))),
+        F.lit(0),
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (F.lit(3) * n_words <= sum_word_len)
+        & (sum_word_len <= F.lit(10) * n_words)
+        & (n_words > 0),
+        "rule_alpha_words": F.lit(5) * n_alpha_words >= F.lit(4) * n_words,
+        "rule_stop_words": n_stops >= 2,
+        "rule_symbol_ratio": F.lit(10) * n_symbols <= n_words,
+        "rule_bullet_lines": F.lit(10) * n_bullet <= n_lines,
+        "rule_ellipsis_lines": F.lit(10) * n_ell_lines <= F.lit(3) * n_lines,
+        "rule_dup_lines": F.lit(10) * (n_lines - n_dl) <= F.lit(3) * n_lines,
+        "rule_dup_paras": F.lit(10) * (n_paras - n_dp) <= F.lit(3) * n_paras,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    out = dict(rules)
+    out["gopher_keep"] = keep
+    return out

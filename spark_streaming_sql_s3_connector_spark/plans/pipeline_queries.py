@@ -4328,6 +4328,74 @@ def _cluster_balanced_docs(spark, sf):
     )
 
 
+def _gopher_gate_docs(spark, sf):
+    """Published Gopher rule-set gate (functions/text.gopher_rules):
+    every rule is an integer-cross-multiplied boolean (no float ratio
+    boundaries), scan-local JVM expressions, zero shuffle. min_words
+    lowered to 20 so the synthetic corpus exercises both verdicts."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    rules = gopher_rules(F.col("text"), min_words=20)
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in rules.items()]
+    ).orderBy("doc_id")
+
+
+_GOPHER_GATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)), x -> x != '') END AS lines,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(list_transform(regexp_split_to_array(text, '\n\s*\n'), x -> trim(x)), x -> x != '') END AS paras,
+         COALESCE(len(text) - len(replace(text, '#', '')), 0) AS n_hash,
+         COALESCE(CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT), 0) AS n_ell
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS sum_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+         len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) AS n_stops,
+         n_hash + n_ell AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dl,
+         len(paras) AS n_paras,
+         len(list_distinct(paras)) AS n_dp,
+         len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
+         len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell_lines
+  FROM base
+)
+SELECT doc_id,
+       (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+       (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AND n_words > 0) AS rule_mean_word_len,
+       (5 * n_alpha_words >= 4 * n_words) AS rule_alpha_words,
+       (n_stops >= 2) AS rule_stop_words,
+       (10 * n_symbols <= n_words) AS rule_symbol_ratio,
+       (10 * n_bullet <= n_lines) AS rule_bullet_lines,
+       (10 * n_ell_lines <= 3 * n_lines) AS rule_ellipsis_lines,
+       (10 * (n_lines - n_dl) <= 3 * n_lines) AS rule_dup_lines,
+       (10 * (n_paras - n_dp) <= 3 * n_paras) AS rule_dup_paras,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AND n_words > 0)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stops >= 2)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet <= n_lines)
+        AND (10 * n_ell_lines <= 3 * n_lines)
+        AND (10 * (n_lines - n_dl) <= 3 * n_lines)
+        AND (10 * (n_paras - n_dp) <= 3 * n_paras)) AS gopher_keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4544,4 +4612,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: cluster-balanced (topic-diversity) subset selection —
     # rows-only (KMeans), quota/density self-check columns
     "cluster_balanced_docs": QuerySpec(_cluster_balanced_docs, None),
+    # r8: Gopher rule-set gate (integer-exact booleans, zero shuffle)
+    "gopher_gate_docs": QuerySpec(_gopher_gate_docs, _GOPHER_GATE_SQL),
 }

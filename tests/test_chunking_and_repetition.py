@@ -174,3 +174,90 @@ def test_redact_pii(spark):
     assert (by_id[1].nu, by_id[1].ne) == (1, 1)  # counts audit pre-redaction
     assert by_id[3].ni == 2
     assert (by_id[4].nu, by_id[4].ne, by_id[4].ni) == (0, 0, 0)
+
+
+# ------------------------------------------------- Gopher rule gate ----
+
+from spark_streaming_sql_s3_connector_spark.functions.text import (  # noqa: E402
+    gopher_rules,
+)
+
+
+def _gate(spark, text, min_words=3):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rules = gopher_rules(F.col("text"), min_words=min_words)
+    return df.select(*[c.alias(k) for k, c in rules.items()]).collect()[0]
+
+
+def test_gopher_clean_doc_passes_all(spark):
+    r = _gate(spark, "the cat and the dog walk to have fun with all of that")
+    assert all(v for v in r.asDict().values()), r
+
+
+def test_gopher_word_count_bounds(spark):
+    assert not _gate(spark, "the of and", min_words=4).rule_word_count
+    assert _gate(spark, "the of and that", min_words=4).rule_word_count
+    assert not _gate(spark, "", min_words=1).rule_word_count
+    assert not _gate(spark, None, min_words=1).gopher_keep
+
+
+def test_gopher_mean_word_len(spark):
+    # mean 1 char: too short; supercalifragilistic mean > 10: too long
+    assert not _gate(spark, "a b c d e f").rule_mean_word_len
+    assert not _gate(
+        spark, "supercalifragilistic expialidocious extraordinarily"
+    ).rule_mean_word_len
+    assert _gate(spark, "the cat and dog have fun").rule_mean_word_len
+
+
+def test_gopher_alpha_and_stops(spark):
+    r = _gate(spark, "12 34 56 78 90 11")
+    assert not r.rule_alpha_words and not r.rule_stop_words
+    r2 = _gate(spark, "the dog 12 and cat run")
+    assert r2.rule_alpha_words  # 5/6 words alphabetic > 80%? 5*5 >= 4*6
+    assert r2.rule_stop_words  # 'the' + 'and'
+
+
+def test_gopher_symbol_ratio(spark):
+    assert not _gate(spark, "the # cat # and # dog #").rule_symbol_ratio
+    assert _gate(
+        spark, " ".join(["the cat and dog have fun here now ok yes"] * 2)
+    ).rule_symbol_ratio
+    # ellipsis symbols count /3 chars
+    assert not _gate(spark, "wait... the... cat... and...").rule_symbol_ratio
+
+
+def test_gopher_line_shape_rules(spark):
+    bullets = "\n".join(["- item one"] * 5 + ["the cat and dog"])
+    assert not _gate(spark, bullets).rule_bullet_lines
+    ells = "\n".join(["the cat walks..."] * 5 + ["the dog"])
+    assert not _gate(spark, ells).rule_ellipsis_lines
+    dup = "\n".join(["same line here"] * 6 + ["unique one"])
+    r = _gate(spark, dup)
+    assert not r.rule_dup_lines
+    clean = "\n".join(f"line number {i} of the doc" for i in range(6))
+    assert _gate(spark, clean).rule_dup_lines
+
+
+def test_gopher_keep_is_conjunction(spark):
+    r = _gate(spark, "the # cat # and # dog #")
+    d = r.asDict()
+    keep = d.pop("gopher_keep")
+    assert keep == all(d.values())
+
+
+def test_gopher_plan_no_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = gopher_rules(F.col("text"))
+    plan = (
+        docs.select("doc_id", *[c.alias(k) for k, c in rules.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

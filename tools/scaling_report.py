@@ -68,6 +68,12 @@ QUERIES = [
     "source_overlap_docs",
     "nb_classifier_docs",
     "embedding_stats_docs",
+    # late-r8 retrieval + selection surface
+    "bm25_search_docs",
+    "tfidf_keywords_docs",
+    "hard_negatives_docs",
+    "dsir_resample_docs",
+    "cluster_balanced_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -94,6 +100,11 @@ HEAVY = [
     "snapshot_diff_docs",
     "source_overlap_docs",
     "nb_classifier_docs",
+    # late-r8: the two explode-shuffle members of the retrieval/
+    # selection surface (bm25 is scan-only; hard-negatives and
+    # cluster quota are broadcast + WindowGroupLimit)
+    "tfidf_keywords_docs",
+    "dsir_resample_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
