@@ -166,27 +166,30 @@ def tfidf_top_terms(
     seen in fewer than that many documents.
 
     tf = in-doc count, idf = ln(N / df) with df = docs containing the
-    term (so corpus-universal terms score 0 and never rank). One
-    explode + groupBy(doc, term) shuffle (map-side combined), a
-    (term, df) agg off that SAME relation, broadcast back, and a
-    per-doc rank window whose ``rank <= n`` predicate Spark turns into
+    term (so corpus-universal terms score 0 and never rank). ONE
+    explode + ONE groupBy(doc, term) shuffle (map-side combined); df
+    comes from a term-partitioned COUNT window over that same distinct
+    (doc, term) relation — a separate df-agg branch would re-run the
+    corpus explode (Catalyst duplicates the unpersisted subtree), so
+    the window trades a re-explode of the token stream for one shuffle
+    of the far smaller pair relation. N broadcasts as a one-row cross
+    join; the per-doc rank window's ``rank <= n`` predicate executes as
     WindowGroupLimit (map-side top-n pruning before the exchange).
     """
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= min_df)
-    )
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .where(F.col("df") >= min_df)
         .join(F.broadcast(n_docs))
         .select(
             "_id",
@@ -200,8 +203,6 @@ def tfidf_top_terms(
             .alias("_s"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_id").orderBy(F.col("_s").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
