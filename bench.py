@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "cluster_balanced_docs",
     # r8: Gopher rule gate (scan-local integer booleans, zero shuffle)
     "gopher_gate_docs",
+    # r8: hybrid retrieval (BM25 ∪ cosine lists, RRF fusion)
+    "hybrid_search_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

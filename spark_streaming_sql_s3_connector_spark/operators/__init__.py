@@ -44,7 +44,9 @@ from spark_streaming_sql_s3_connector_spark.operators.importance import (
 )
 from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
     bm25_search,
+    rrf_fuse,
     tfidf_top_terms,
+    with_rank,
 )
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
     brute_force_topk,
@@ -88,4 +90,6 @@ __all__ = [
     "dsir_log_weights",
     "dsir_resample",
     "cluster_balanced_sample",
+    "rrf_fuse",
+    "with_rank",
 ]

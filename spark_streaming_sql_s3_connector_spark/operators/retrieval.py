@@ -215,3 +215,71 @@ def tfidf_top_terms(
             F.round(F.col("_s"), 6).cast("double").alias("tfidf"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_lists,
+    id_col: str,
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack &
+    Clarke 2009 — the standard way to combine lexical BM25 with
+    semantic ANN into hybrid search): score(d) = Σ_lists 1/(k + rank).
+
+    Each input DataFrame must carry ``id_col`` and an integer ``rank``
+    (1-based). Returns ``<id_col> | rrf_score | n_lists`` for the
+    fused top-``top_k`` (score desc, id asc; ``n_lists`` = how many
+    lists proposed the doc).
+
+    Per-rank contributions are pre-rounded 9-dp decimals so the fused
+    sums are order-independent and engine-exact (ranks are small
+    integers — the double division is identical everywhere, and the
+    decimal grid makes the final ordering portable).
+
+    Scale: candidate lists are top-k outputs — driver-small by
+    construction; fusion is a union + one tiny groupBy. The heavy
+    lifting (corpus scans, index probes) stays in the upstream
+    retrievers.
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    if k < 1 or top_k < 1:
+        raise ValueError("k and top_k must be >= 1")
+    contribs = [
+        d.select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(k) + F.col("rank").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("_c"),
+        )
+        for d in ranked_lists
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    return (
+        unioned.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(
+            F.col(id_col),
+            F.col("_s").cast("double").alias("rrf_score"),
+            F.col("n_lists").cast("int").alias("n_lists"),
+        )
+    )
+
+
+def with_rank(df: DataFrame, order_cols, id_col: str) -> DataFrame:
+    """Attach a 1-based ``rank`` column by (order_cols…, id asc) — the
+    adapter between a top-k retriever's ordered output and
+    :func:`rrf_fuse`. Meant for ALREADY-REDUCED candidate lists (≤ a
+    few hundred rows), where the single-partition window is free."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols, F.col(id_col).asc())
+    return df.withColumn("rank", F.row_number().over(w).cast("int"))

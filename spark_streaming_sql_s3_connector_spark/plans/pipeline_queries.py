@@ -4396,6 +4396,107 @@ ORDER BY doc_id
 """
 
 
+def _hybrid_search_docs(spark, sf):
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): reciprocal-rank
+    fusion of the lexical BM25 top-20 and the semantic brute-cosine
+    top-20 (doc ids and vec ids share the synthetic id space). Both
+    lists re-rank on their PORTABLE outputs — (6-dp score, id) and
+    (raw parity double cosine, id) — so the fused decimal sums are
+    engine-exact. Fusion itself is a union of two ≤20-row frames +
+    one tiny groupBy; the corpus work lives in the retrievers."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        bm25_search,
+        rrf_fuse,
+        with_rank,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vector(spark, sf)
+    lex = with_rank(
+        bm25_search(
+            docs, "text", "doc_id", ["spark", "join", "stream", "vector"],
+            top_k=20,
+        ),
+        [F.col("score").desc()],
+        "doc_id",
+    )
+    sem = with_rank(
+        brute_force_topk(
+            emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=20
+        ).withColumnRenamed("neighbor_id", "doc_id"),
+        [F.col("cosine").desc()],
+        "doc_id",
+    )
+    return rrf_fuse([lex, sem], "doc_id", k=60, top_k=15)
+
+
+_HYBRID_SEARCH_SQL = (
+    r"""
+WITH narrow AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'join'))   AS tf_0,
+         len(list_filter(t, x -> x = 'spark'))  AS tf_1,
+         len(list_filter(t, x -> x = 'stream')) AS tf_2,
+         len(list_filter(t, x -> x = 'vector')) AS tf_3
+  FROM narrow
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+         SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+  FROM base
+), bscored AS (
+  SELECT doc_id,
+    ("""
+    + "+".join(_bm25_contrib_sql(i) for i in range(4))
+    + r""") AS s,
+    (CASE WHEN tf_0>0 THEN 1 ELSE 0 END + CASE WHEN tf_1>0 THEN 1 ELSE 0 END
+     + CASE WHEN tf_2>0 THEN 1 ELSE 0 END + CASE WHEN tf_3>0 THEN 1 ELSE 0 END) AS n_matched,
+    dl
+  FROM base, stats
+), btop AS (
+  SELECT doc_id, CAST(ROUND(s, 6) AS DOUBLE) AS score
+  FROM bscored WHERE n_matched > 0
+  ORDER BY s DESC, doc_id ASC LIMIT 20
+), lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM btop
+), qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+stop AS (
+  SELECT b.vec_id AS doc_id,
+         list_dot_product(b.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings b, qv q
+  WHERE b.vec_id != 0
+  ORDER BY cosine DESC, b.vec_id ASC LIMIT 20
+), sem AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+  FROM stop
+), unioned AS (
+  SELECT doc_id, CAST(ROUND(1.0/(60 + rank), 9) AS DECIMAL(18,9)) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(ROUND(1.0/(60 + rank), 9) AS DECIMAL(18,9)) AS c FROM sem
+)
+SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+       CAST(COUNT(*) AS INT) AS n_lists
+FROM unioned
+GROUP BY doc_id
+ORDER BY SUM(c) DESC, doc_id ASC
+LIMIT 15
+"""
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4614,4 +4715,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "cluster_balanced_docs": QuerySpec(_cluster_balanced_docs, None),
     # r8: Gopher rule-set gate (integer-exact booleans, zero shuffle)
     "gopher_gate_docs": QuerySpec(_gopher_gate_docs, _GOPHER_GATE_SQL),
+    # r8: hybrid retrieval — RRF fusion of BM25 + brute cosine lists
+    "hybrid_search_docs": QuerySpec(_hybrid_search_docs, _HYBRID_SEARCH_SQL),
 }

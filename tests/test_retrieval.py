@@ -288,3 +288,91 @@ def test_hard_negatives_k_validation(spark):
     df = _emb(spark, [(0, [1.0, 0.0], 0)])
     with pytest.raises(ValueError):
         hard_negatives(df, df, "embedding", "vec_id", "label", k=0)
+
+
+# ------------------------------------------------------- RRF fusion ----
+
+from spark_streaming_sql_s3_connector_spark.operators.retrieval import (  # noqa: E402
+    rrf_fuse,
+    with_rank,
+)
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id bigint, rank int")
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _ranked(spark, [(1, 3), (4, 1), (5, 2)])
+    out = rrf_fuse([lex, sem], "doc_id", k=60, top_k=10).collect()
+    by = {r.doc_id: r for r in out}
+    # doc 1 appears in both lists: must outrank every single-list doc
+    assert out[0].doc_id == 1 and by[1].n_lists == 2
+    assert all(by[d].n_lists == 1 for d in (2, 3, 4, 5))
+    # exact arithmetic: 1/61 + 1/63 on the 9-dp grid
+    assert abs(by[1].rrf_score - (round(1 / 61, 9) + round(1 / 63, 9))) < 1e-12
+
+
+def test_rrf_rank_order_within_single_list(spark):
+    lst = _ranked(spark, [(i, i) for i in range(1, 8)])
+    out = rrf_fuse([lst], "doc_id", k=60, top_k=5).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3, 4, 5]
+    assert all(a.rrf_score > b.rrf_score for a, b in zip(out, out[1:]))
+
+
+def test_rrf_validation(spark):
+    lst = _ranked(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError):
+        rrf_fuse([lst], "doc_id", k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([lst], "doc_id", top_k=0)
+
+
+def test_with_rank_matches_order(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)], "doc_id bigint, score double"
+    )
+    got = {
+        r.doc_id: r.rank
+        for r in with_rank(df, [F.col("score").desc()], "doc_id").collect()
+    }
+    assert got == {2: 1, 3: 2, 1: 3, 4: 4}  # tie 0.9 breaks id-asc
+
+
+def test_hybrid_fusion_end_to_end(spark, sf_dir):
+    """Composition smoke: BM25 ∪ brute-cosine fused — every output doc
+    must come from at least one list and n_lists is honest."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        bm25_search,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.where("vec_id = 0").collect()[0].embedding
+    ]
+    lex = with_rank(
+        bm25_search(docs, "text", "doc_id", ["spark", "join"], top_k=10),
+        [F.col("score").desc()],
+        "doc_id",
+    )
+    sem = with_rank(
+        brute_force_topk(
+            emb.where("vec_id != 0"), "embedding", "vec_id", q, k=10
+        ).withColumnRenamed("neighbor_id", "doc_id"),
+        [F.col("cosine").desc()],
+        "doc_id",
+    )
+    lex_ids = {r.doc_id for r in lex.collect()}
+    sem_ids = {r.doc_id for r in sem.collect()}
+    out = rrf_fuse([lex, sem], "doc_id", top_k=10).collect()
+    for r in out:
+        expected = (r.doc_id in lex_ids) + (r.doc_id in sem_ids)
+        assert r.n_lists == expected and expected >= 1
