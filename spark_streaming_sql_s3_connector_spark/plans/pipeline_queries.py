@@ -4497,6 +4497,36 @@ LIMIT 15
 )
 
 
+def _streaming_bm25_docs(spark, sf):
+    """BM25 served from STREAMING-maintained statistics
+    (streaming/term_stats.py): the corpus arrives as 3 doc-id-range
+    batches WITH a replay of batch 1 (overwrite-by-batch ⇒ converges),
+    stats are compacted mid-sequence, and the query serves from state
+    with ONE corpus scan. Docs are batch-unique (the upstream
+    exactly-once contract), so the BATCH BM25 oracle applies verbatim
+    — same SQL as bm25_search_docs."""
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_indexed,
+        compact_term_stats,
+        term_stats_batch,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sink = tempfile.mkdtemp(prefix="s3conn-bm25-stats-")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    term_stats_batch(batches[0], 0, sink, "text", "doc_id")
+    term_stats_batch(batches[1], 1, sink, "text", "doc_id")
+    compact_term_stats(spark, sink, upto_batch=1)
+    term_stats_batch(batches[2], 2, sink, "text", "doc_id")
+    term_stats_batch(batches[1], 1, sink, "text", "doc_id")  # replay
+    return bm25_search_indexed(
+        docs, "text", "doc_id", ["spark", "join", "stream", "vector"],
+        sink, k1=1.2, b=0.75, top_k=20,
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4717,4 +4747,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "gopher_gate_docs": QuerySpec(_gopher_gate_docs, _GOPHER_GATE_SQL),
     # r8: hybrid retrieval — RRF fusion of BM25 + brute cosine lists
     "hybrid_search_docs": QuerySpec(_hybrid_search_docs, _HYBRID_SEARCH_SQL),
+    # r8: BM25 from streaming-maintained stats (range-ordered batches +
+    # replay + mid-sequence compaction ⇒ the batch oracle applies).
+    # Multi-job orchestration — gate/local-gate key, out of bench.
+    "streaming_bm25_docs": QuerySpec(_streaming_bm25_docs, _BM25_SEARCH_SQL),
 }

@@ -1,0 +1,202 @@
+"""Laws for the streaming BM25 statistics maintenance
+(streaming/term_stats.py): incremental == batch, replay convergence,
+compaction preservation, and serve-from-state == batch BM25."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.operators.retrieval import bm25_search
+from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+    bm25_search_indexed,
+    compact_term_stats,
+    read_corpus_stats,
+    read_term_stats,
+    term_stats_batch,
+)
+
+TERMS = ["spark", "join", "stream", "vector"]
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _batches(docs, n=3):
+    """Disjoint doc-id thirds — the exactly-once upstream contract."""
+    return [docs.where(F.col("doc_id") % n == i) for i in range(n)]
+
+
+def _batch_stats(docs):
+    from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
+
+    toks = tokenize(F.lower(F.col("text")))
+    terms = {
+        r.term: r.df
+        for r in docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return terms, int(tot.n), int(tot.s)
+
+
+def test_incremental_stats_match_batch(spark, docs, tmp_path):
+    sink = str(tmp_path / "ts")
+    for i, b in enumerate(_batches(docs)):
+        term_stats_batch(b, i, sink, "text", "doc_id")
+    got_terms = {
+        r.term: r.df for r in read_term_stats(spark, sink).collect()
+    }
+    tot = read_corpus_stats(spark, sink).collect()[0]
+    want_terms, want_n, want_s = _batch_stats(docs)
+    assert got_terms == want_terms
+    assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
+
+
+def test_replay_converges_and_compaction_preserves(spark, docs, tmp_path):
+    sink = str(tmp_path / "ts")
+    batches = _batches(docs)
+    for i, b in enumerate(batches):
+        term_stats_batch(b, i, sink, "text", "doc_id")
+    term_stats_batch(batches[1], 1, sink, "text", "doc_id")  # replay
+    want_terms, want_n, want_s = _batch_stats(docs)
+    assert {
+        r.term: r.df for r in read_term_stats(spark, sink).collect()
+    } == want_terms
+    compact_term_stats(spark, sink)
+    got_terms = {
+        r.term: r.df for r in read_term_stats(spark, sink).collect()
+    }
+    tot = read_corpus_stats(spark, sink).collect()[0]
+    assert got_terms == want_terms
+    assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
+    # appends after compaction keep folding
+    extra = docs.limit(0)
+    term_stats_batch(extra, 7, sink, "text", "doc_id")
+    assert {
+        r.term: r.df for r in read_term_stats(spark, sink).collect()
+    } == want_terms
+
+
+def test_indexed_bm25_equals_batch_bm25(spark, docs, tmp_path):
+    sink = str(tmp_path / "ts")
+    for i, b in enumerate(_batches(docs)):
+        term_stats_batch(b, i, sink, "text", "doc_id")
+    want = [
+        tuple(r)
+        for r in bm25_search(docs, "text", "doc_id", TERMS, top_k=15).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_indexed(
+            docs, "text", "doc_id", TERMS, sink, top_k=15
+        ).collect()
+    ]
+    assert got == want
+    compact_term_stats(spark, sink)
+    got2 = [
+        tuple(r)
+        for r in bm25_search_indexed(
+            docs, "text", "doc_id", TERMS, sink, top_k=15
+        ).collect()
+    ]
+    assert got2 == want
+
+
+def test_indexed_bm25_single_corpus_scan(spark, docs, tmp_path):
+    """The point of the state: serving scans the corpus ONCE (batch
+    bm25 pays a second stats scan)."""
+    sink = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, sink, "text", "doc_id")
+    plan = (
+        bm25_search_indexed(docs, "text", "doc_id", TERMS, sink, top_k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Generate" not in plan and "Window" not in plan
+
+
+def test_indexed_bm25_unknown_terms(spark, docs, tmp_path):
+    sink = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, sink, "text", "doc_id")
+    out = bm25_search_indexed(
+        docs, "text", "doc_id", ["zzzznotaword"], sink
+    ).collect()
+    assert out == []
+    with pytest.raises(ValueError):
+        bm25_search_indexed(docs, "text", "doc_id", [], sink)
+
+
+def test_streaming_term_stats_through_connector(spark, tmp_path, sf_dir):
+    """End-to-end: docs arrive as files through the s3-connector source
+    with a DUPLICATE re-delivery; stats equal the batch stats (the
+    connector's exactly-once makes the one-batch-per-doc precondition
+    hold)."""
+    import os
+
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import (
+        register,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        streaming_term_stats,
+    )
+
+    register(spark)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    work = tmp_path / "work"
+    data = work / "data"
+    qdir = work / "q"
+    sink = str(work / "ts")
+    ckpt = str(work / "ckpt")
+    os.makedirs(data)
+    paths = []
+    for i in range(3):
+        p = str(data / f"part{i}.parquet")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    client = LocalFileQueueClient(f"local://{qdir}")
+    for p in paths:
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                client.send_file_event(os.path.join(p, f), 1_700_000_000_000)
+    # duplicate re-delivery of batch 0's file
+    for f in os.listdir(paths[0]):
+        if f.endswith(".parquet"):
+            client.send_file_event(os.path.join(paths[0], f), 1_700_000_000_000)
+    stream = (
+        spark.readStream.format("s3-connector")
+        .schema(docs.schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{qdir}")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.metadataPath", str(work / "meta"))
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .load()
+    )
+    q = streaming_term_stats(
+        stream, sink, ckpt, "text", "doc_id", trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    want_terms, want_n, want_s = _batch_stats(docs)
+    got = {r.term: r.df for r in read_term_stats(spark, sink).collect()}
+    tot = read_corpus_stats(spark, sink).collect()[0]
+    assert got == want_terms
+    assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
