@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "gopher_gate_docs",
     # r8: hybrid retrieval (BM25 ∪ cosine lists, RRF fusion)
     "hybrid_search_docs",
+    # r8: C4 doc-level rule gate (scan-local booleans, zero shuffle)
+    "c4_gate_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

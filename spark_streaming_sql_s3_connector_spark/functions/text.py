@@ -695,3 +695,64 @@ def gopher_rules(
     out = dict(rules)
     out["gopher_keep"] = keep
     return out
+
+
+_C4_POLICY = ["lorem ipsum", "terms of use", "privacy policy", "cookie policy", "javascript"]
+
+
+def c4_rules(col: Column, min_words: int = 5, min_sentence_lines: int = 0) -> dict[str, Column]:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2 — the other
+    canonical published web filter, complementing :func:`gopher_rules`).
+    Scan-local JVM booleans; integer comparisons only, so exactly
+    oracle-portable. Document-level verdict (`c4_keep`) — C4's
+    line-level retention is the ``strip_boilerplate`` /
+    ``dedup_lines_keep_first`` family in this repo; here we gate whole
+    docs the way C4's doc-level rules do.
+
+    - ``rule_min_words``      — ≥ ``min_words`` words;
+    - ``rule_no_policy``      — none of the policy phrases
+      (lorem ipsum / terms of use / privacy policy / cookie policy /
+      javascript), case-insensitive;
+    - ``rule_no_braces``      — no ``{`` (C4 drops code-ish pages);
+    - ``rule_terminal_lines`` — ≥ ``min_sentence_lines`` lines ending
+      in terminal punctuation (. ! ? ") — C4 keeps only such lines;
+      the default 0 records the count rule without gating, since the
+      threshold is corpus-dependent;
+    - ``c4_keep``             — AND of the above.
+    """
+    toks = tokenize(col)
+    n_words = F.coalesce(F.size(toks), F.lit(0))
+    low = F.lower(col)
+    no_policy = None
+    for p in _C4_POLICY:
+        c = ~F.coalesce(low.contains(p), F.lit(False))
+        no_policy = c if no_policy is None else (no_policy & c)
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_terminal = F.coalesce(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.endswith(".")
+                | x.endswith("!")
+                | x.endswith("?")
+                | x.endswith('"'),
+            )
+        ),
+        F.lit(0),
+    )
+    rules = {
+        "rule_min_words": n_words >= min_words,
+        "rule_no_policy": no_policy,
+        "rule_no_braces": ~F.coalesce(col.contains("{"), F.lit(False)),
+        "rule_terminal_lines": n_terminal >= min_sentence_lines,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    out = dict(rules)
+    out["n_terminal_lines"] = n_terminal.cast("bigint")
+    out["c4_keep"] = keep
+    return out

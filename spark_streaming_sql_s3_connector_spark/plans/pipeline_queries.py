@@ -4527,6 +4527,51 @@ def _streaming_bm25_docs(spark, sf):
     )
 
 
+def _c4_gate_docs(spark, sf):
+    """C4 cleaning rules (functions/text.c4_rules): doc-level verdicts
+    as scan-local integer-exact booleans, zero shuffle — the sibling of
+    gopher_gate_docs for the other canonical published filter."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import c4_rules
+
+    docs = load_table(spark, sf, "documents")
+    rules = c4_rules(F.col("text"), min_words=20)
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in rules.items()]
+    ).orderBy("doc_id")
+
+
+_C4_GATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)), x -> x != '') END AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         NOT COALESCE(contains(lower(text), 'lorem ipsum'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'terms of use'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'privacy policy'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'cookie policy'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'javascript'), FALSE) AS rule_no_policy,
+         NOT COALESCE(contains(text, '{'), FALSE) AS rule_no_braces,
+         len(list_filter(lines, x -> ends_with(x, '.') OR ends_with(x, '!')
+             OR ends_with(x, '?') OR ends_with(x, '"'))) AS n_terminal
+  FROM base
+)
+SELECT doc_id,
+       (n_words >= 20) AS rule_min_words,
+       rule_no_policy,
+       rule_no_braces,
+       (n_terminal >= 0) AS rule_terminal_lines,
+       CAST(n_terminal AS BIGINT) AS n_terminal_lines,
+       ((n_words >= 20) AND rule_no_policy AND rule_no_braces AND (n_terminal >= 0)) AS c4_keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4751,4 +4796,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # replay + mid-sequence compaction ⇒ the batch oracle applies).
     # Multi-job orchestration — gate/local-gate key, out of bench.
     "streaming_bm25_docs": QuerySpec(_streaming_bm25_docs, _BM25_SEARCH_SQL),
+    # r8: C4 doc-level cleaning rules (integer-exact, zero shuffle)
+    "c4_gate_docs": QuerySpec(_c4_gate_docs, _C4_GATE_SQL),
 }

@@ -261,3 +261,62 @@ def test_gopher_plan_no_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------- C4 rule gate ----
+
+from spark_streaming_sql_s3_connector_spark.functions.text import (  # noqa: E402
+    c4_rules,
+)
+
+
+def _c4(spark, text, **kw):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rules = c4_rules(F.col("text"), **kw)
+    return df.select(*[c.alias(k) for k, c in rules.items()]).collect()[0]
+
+
+def test_c4_policy_phrases_and_braces(spark):
+    assert not _c4(spark, "read our Privacy Policy today").rule_no_policy
+    assert not _c4(spark, "enable JavaScript to continue").rule_no_policy
+    assert not _c4(spark, "function f() { return 1; }").rule_no_braces
+    clean = _c4(spark, "the cat sat on the mat.")
+    assert clean.rule_no_policy and clean.rule_no_braces
+
+
+def test_c4_min_words_and_terminal_lines(spark):
+    r = _c4(spark, "one two three", min_words=5)
+    assert not r.rule_min_words and not r.c4_keep
+    t = _c4(spark, 'A line ends here.\nAnd this one!\nno punct line\nQuoted."')
+    assert t.n_terminal_lines == 3
+    gated = _c4(
+        spark, "no punctuation at all\nstill none", min_sentence_lines=1
+    )
+    assert not gated.rule_terminal_lines and not gated.c4_keep
+
+
+def test_c4_null_and_keep_conjunction(spark):
+    r = _c4(spark, None, min_words=1)
+    assert not r.rule_min_words and not r.c4_keep
+    ok = _c4(spark, "the cat sat on the mat and slept well.", min_words=5)
+    d = ok.asDict()
+    keep = d.pop("c4_keep")
+    d.pop("n_terminal_lines")
+    assert keep == all(d.values()) == True  # noqa: E712
+
+
+def test_c4_plan_no_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = c4_rules(F.col("text"))
+    plan = (
+        docs.select("doc_id", *[c.alias(k) for k, c in rules.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
