@@ -74,6 +74,9 @@ QUERIES = [
     "hard_negatives_docs",
     "dsir_resample_docs",
     "cluster_balanced_docs",
+    "gopher_gate_docs",
+    "c4_gate_docs",
+    "hybrid_search_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
