@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "hybrid_search_docs",
     # r8: C4 doc-level rule gate (scan-local booleans, zero shuffle)
     "c4_gate_docs",
+    # r8: surgical span decontamination (broadcast bench grams; only
+    # contaminated (doc, pos) rows shuffle; JVM piece rebuild)
+    "span_decontaminate_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

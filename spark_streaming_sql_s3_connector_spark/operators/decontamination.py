@@ -178,3 +178,153 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+# Record separator (U+001E) — cannot occur in screen-normalized text
+# (alphanumerics + single spaces only), so it is a safe piece-break
+# marker inside the rebuilt word stream.
+_BREAK = ""
+
+
+def span_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    margin: int = 0,
+    min_piece_words: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Surgical (span-level) decontamination, GPT-3 appendix-C style.
+
+    Whole-document dropping (:func:`decontaminate`) throws away every
+    clean word of a long document because one sentence overlaps an eval
+    benchmark. The surgical recipe instead removes only the overlapping
+    window and SPLITS the document at the removed spans:
+
+    - work in screen-normalized word space (both sides — same
+      normalization as the whole-doc screen, so the two compose);
+    - a word is contaminated iff it lies inside ``[p - margin,
+      p + n - 1 + margin]`` for some position ``p`` where the doc's
+      positional ``n``-gram hits the benchmark n-gram set;
+    - the surviving words form maximal runs; each run becomes a PIECE
+      (one output row). Splitting — not re-joining — matters: gluing
+      the words on either side of a removed span together can fabricate
+      brand-new n-grams that were never in the document.
+
+    Docs shorter than ``n`` words contribute their whole text as one
+    positional gram at position 0 (the ``benchmark_ngram_set``
+    convention, so short eval docs still screen). Pieces shorter than
+    ``min_piece_words`` are dropped (GPT-3 used a minimum piece length
+    to discard unusable fragments).
+
+    Returns one row per surviving piece: ``(id_col, piece_id,
+    piece_text, n_piece_words, n_doc_words, n_removed)`` — ``piece_id``
+    is the 1-based position of the piece within its doc, assigned
+    BEFORE the ``min_piece_words`` filter (dropped fragments leave
+    gaps, so surviving ids are stable under threshold changes);
+    ``n_removed`` counts the doc's removed words. Uncontaminated docs yield exactly
+    one piece carrying the full normalized text. Docs whose words are
+    all removed (or empty docs) yield no rows.
+
+    Scale shape (the 100 TB design): the benchmark n-gram set is
+    broadcast (eval suites are tiny next to a training corpus); the
+    positional-gram explode is consumed map-side by the broadcast inner
+    join, so only CONTAMINATED ``(doc, position)`` rows — a sliver of
+    the corpus — cross the one aggregation shuffle. The hit lists then
+    join back to the corpus on the doc id; that side is small and
+    AQE-broadcastable at runtime. Everything after the join is pure
+    JVM array expressions per row (no explode of kept words, no Python
+    UDF): contaminated-index test, run-splitting via an interleaved
+    U+001E marker, piece explode. Per-word removal testing is
+    ``O(words × hits)`` per doc — bounded by doc length and by the
+    sparsity of real contamination.
+    """
+    if n < 1 or margin < 0 or min_piece_words < 1:
+        raise ValueError(
+            "span_decontaminate: need n >= 1, margin >= 0, min_piece_words >= 1"
+        )
+    _guard_columns(docs, "docs")
+    bench_set = benchmark_ngram_set(bench, bench_text_col or text_col, n)
+    if broadcast_benchmark:
+        bench_set = F.broadcast(bench_set)
+
+    words = F.when(
+        screen_normalize(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(screen_normalize(F.col(text_col)), " "))
+    base = _spread(docs).select(
+        _non_null_id(id_col).alias("_id"), words.alias("_w")
+    )
+
+    # Positional n-grams: sequence(0, size-n) when the doc is long
+    # enough, else the single whole-text gram at position 0 (slice
+    # truncates past the array end, matching the benchmark convention).
+    grams = base.where(F.size("_w") > 0).select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+                f"i -> struct(i AS pos, concat_ws(' ', slice(_w, i + 1, {n})) AS shingle))"
+            )
+        ).alias("g"),
+    ).select("_id", F.col("g.pos").alias("_pos"), F.col("g.shingle").alias("shingle"))
+    hits = (
+        grams.join(bench_set, "shingle")
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_hits"))
+    )
+
+    lo, hi = margin, n - 1 + margin
+    pieced = (
+        base.join(hits, "_id", "left")
+        .withColumn(
+            "_hits", F.coalesce(F.col("_hits"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "_kept",
+            F.expr(
+                f"filter(transform(_w, (x, j) -> j), "
+                f"j -> !exists(_hits, p -> j >= p - {lo} AND j <= p + {hi}))"
+            ),
+        )
+        .withColumn(
+            # Interleave a piece-break marker before every kept word
+            # whose predecessor in the ORIGINAL doc was removed, then
+            # split the joined stream on the marker: one string op per
+            # doc, no per-word explode.
+            "_pieces",
+            F.split(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(_kept, (j, i) -> concat("
+                        f"if(i > 0 AND j != element_at(_kept, i) + 1, '{_BREAK} ', ''), "
+                        "element_at(_w, j + 1)))"
+                    ),
+                ),
+                f" {_BREAK} ",
+            ),
+        )
+    )
+    piece = F.posexplode(F.col("_pieces"))
+    out = (
+        pieced.select(
+            "_id",
+            F.size("_w").alias("n_doc_words"),
+            (F.size("_w") - F.size("_kept")).alias("n_removed"),
+            piece.alias("_p0", "piece_text"),
+        )
+        .where(F.col("piece_text") != "")
+        .withColumn("n_piece_words", F.size(F.split(F.col("piece_text"), " ")))
+        .where(F.col("n_piece_words") >= min_piece_words)
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        (F.col("_p0") + 1).alias("piece_id"),
+        "piece_text",
+        "n_piece_words",
+        "n_doc_words",
+        "n_removed",
+    )

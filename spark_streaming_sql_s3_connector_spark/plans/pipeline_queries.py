@@ -4572,6 +4572,92 @@ ORDER BY doc_id
 """
 
 
+def _span_decontaminate_docs(spark, sf):
+    """Surgical span-level decontamination
+    (operators/decontamination.span_decontaminate): same
+    benchmark/train split as `decontaminate_docs` (every 20th doc plays
+    the eval set), but instead of dropping contaminated docs, the
+    overlapping 3-gram windows (±1 word margin) are excised and each
+    doc is SPLIT into surviving pieces — the GPT-3 appendix-C recipe.
+    Output is one row per piece with doc-level removal stats, so this
+    slot pins positional-gram hit detection, margin widening, run
+    splitting, and the min-piece filter in one hash. Broadcast
+    benchmark set; only contaminated (doc, pos) rows cross the one
+    aggregation shuffle; piece rebuild is pure JVM array expressions."""
+    from spark_streaming_sql_s3_connector_spark.operators.decontamination import (
+        span_decontaminate,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    out = span_decontaminate(train, bench, "text", "doc_id", n=3, margin=1)
+    return out.select(
+        "doc_id",
+        "piece_id",
+        "piece_text",
+        "n_piece_words",
+        F.col("n_doc_words").cast("int").alias("n_doc_words"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    ).orderBy("doc_id", "piece_id")
+
+
+_SPAN_DECONTAMINATE_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(t, ' ') END AS w
+  FROM norm
+), bench AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) >= 3 THEN
+           [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM toks WHERE doc_id % 20 = 0
+), train AS (
+  SELECT doc_id, w FROM toks WHERE doc_id % 20 != 0
+), ex AS (
+  SELECT t.doc_id, u.i - 1 AS pos, array_to_string(w[u.i:u.i+2], ' ') AS gram
+  FROM train t, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+  WHERE len(w) > 0
+), hits AS (
+  SELECT e.doc_id, list(e.pos) AS hits
+  FROM ex e JOIN bench b ON e.gram = b.shingle
+  GROUP BY e.doc_id
+), kp AS (
+  SELECT t.doc_id, t.w, len(t.w) AS n_doc_words,
+         list_filter(range(0, len(t.w)),
+           j -> len(list_filter(COALESCE(h.hits, CAST([] AS BIGINT[])),
+                                p -> j >= p - 1 AND j <= p + 3)) = 0) AS kept
+  FROM train t LEFT JOIN hits h USING (doc_id)
+), pieces AS (
+  SELECT doc_id, n_doc_words,
+         CAST(n_doc_words - len(kept) AS INT) AS n_removed,
+         string_split(
+           array_to_string(
+             list_transform(generate_series(1, len(kept)),
+               i -> CASE WHEN i > 1 AND kept[i] != kept[i-1] + 1
+                         THEN chr(30) || ' ' || w[kept[i]+1]
+                         ELSE w[kept[i]+1] END),
+             ' '),
+           ' ' || chr(30) || ' ') AS ps
+  FROM kp
+)
+SELECT doc_id,
+       CAST(u.i AS INT) AS piece_id,
+       ps[u.i] AS piece_text,
+       CAST(len(string_split(ps[u.i], ' ')) AS INT) AS n_piece_words,
+       CAST(n_doc_words AS INT) AS n_doc_words,
+       n_removed
+FROM pieces, unnest(generate_series(1, len(ps))) AS u(i)
+WHERE ps[u.i] != ''
+ORDER BY doc_id, piece_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4798,4 +4884,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "streaming_bm25_docs": QuerySpec(_streaming_bm25_docs, _BM25_SEARCH_SQL),
     # r8: C4 doc-level cleaning rules (integer-exact, zero shuffle)
     "c4_gate_docs": QuerySpec(_c4_gate_docs, _C4_GATE_SQL),
+    # r8: surgical span-level decontamination (GPT-3 appendix-C —
+    # excise overlapping windows, split docs into pieces)
+    "span_decontaminate_docs": QuerySpec(
+        _span_decontaminate_docs, _SPAN_DECONTAMINATE_SQL
+    ),
 }

@@ -77,6 +77,7 @@ QUERIES = [
     "gopher_gate_docs",
     "c4_gate_docs",
     "hybrid_search_docs",
+    "span_decontaminate_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
