@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     # r8: surgical span decontamination (broadcast bench grams; only
     # contaminated (doc, pos) rows shuffle; JVM piece rebuild)
     "span_decontaminate_docs",
+    # r8: length-bucketed padded-batch assignment (one synthetic-strata
+    # window shuffle of (id, len) rows + batch-keyed partial agg)
+    "length_buckets_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

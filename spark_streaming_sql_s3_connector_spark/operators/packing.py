@@ -313,3 +313,118 @@ def pack_first_fit(
     return packed.select(
         F.col("_id").alias(id_col), "shard", "bin_id", "n_tokens"
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    token_col: str | None = None,
+    batch_size: int = 32,
+    bucket_width: int = 128,
+    boundaries: list[int] | None = None,
+    shards: int = 8,
+    salt: str = "lenbucket",
+) -> DataFrame:
+    """Length-bucketed training batches (padding-efficient batching).
+
+    Padded-batch training (seq2seq, rerankers, embedding models, any
+    non-packed fine-tune) pads every sequence in a batch to the batch
+    max; batching uniformly at random wastes compute proportional to
+    the length spread. The standard fix buckets sequences by length and
+    forms batches WITHIN a bucket, so each batch pads only to its
+    bucket's ceiling.
+
+    Assignment is fully deterministic and seed-stable (re-running on
+    the same corpus reproduces every batch):
+
+    - ``bucket_id``: ``floor(len / bucket_width)``, or with explicit
+      sorted ``boundaries`` ``[b1, …, bk]`` the count of boundaries
+      ``<= len`` (k+1 buckets);
+    - ``shard``: salted-md5 hash of the id into ``shards`` slots — the
+      parallelism knob (see scale note);
+    - within ``(bucket, shard)`` rows are ordered by a second salted
+      md5 (hex-string order, engine-portable) and cut into consecutive
+      ``batch_size`` groups: ``batch_seq`` numbers the batches,
+      ``seq_in_batch`` the row's slot. The hash order makes batches a
+      uniform random-but-reproducible draw from the bucket, so batch
+      statistics are unbiased without a global shuffle.
+
+    Returns one row per input row: ``(id_col, n_tokens, bucket_id,
+    shard, batch_seq, seq_in_batch)``; a batch's identity is
+    ``(bucket_id, shard, batch_seq)`` and the last batch of each
+    (bucket, shard) may be short.
+
+    Scale shape (the 100 TB design): ONE shuffle — the window
+    partitions by ``(bucket_id, shard)``, so parallelism is
+    buckets × shards and per-task sort size is corpus/(buckets×shards),
+    tunable to the cluster without touching batch semantics (a batch
+    never crosses shards, so changing cluster size never changes batch
+    membership — only ``shards`` does, and that is an explicit,
+    recorded parameter). This is deliberately NOT the per-stratum
+    window of `keep_top_fraction` (whose strata are data-given, few,
+    and serialize); here the strata are synthetic and sized to the
+    cluster. Only (id, n_tokens) columns flow through the shuffle —
+    text never moves.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if shards < 1 or shards > 10000:
+        raise ValueError("shards must be in [1, 10000] (md5 bucket space)")
+    if boundaries is not None:
+        if not boundaries or sorted(boundaries) != list(boundaries):
+            raise ValueError("boundaries must be a non-empty sorted list")
+    elif bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    base, tok = _with_tokens(df, text_col, token_col)
+    n_tokens = tok.cast("bigint")
+    if boundaries is not None:
+        blit = F.array(*[F.lit(int(b)).cast("bigint") for b in boundaries])
+        bucket = F.filter(blit, lambda b: b <= n_tokens)
+        bucket = F.size(bucket)
+    else:
+        bucket = F.floor(n_tokens / F.lit(bucket_width)).cast("int")
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        _hash_bucket,
+    )
+
+    sized = base.select(
+        F.col(id_col).alias("_id"),
+        n_tokens.alias("n_tokens"),
+        bucket.cast("int").alias("bucket_id"),
+        (_hash_bucket(F.col(id_col), salt) % shards).cast("int").alias("shard"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt + "#o"))).alias(
+            "_ord"
+        ),
+    )
+    w = Window.partitionBy("bucket_id", "shard").orderBy("_ord", "_id")
+    rn = F.row_number().over(w) - 1
+    return sized.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "bucket_id",
+        "shard",
+        (rn / batch_size).cast("int").alias("batch_seq"),
+        (rn % batch_size).cast("int").alias("seq_in_batch"),
+    )
+
+
+def batch_padding_stats(assigned: DataFrame) -> DataFrame:
+    """Per-batch padding accounting over `length_bucket_batches` output:
+    ``(bucket_id, shard, batch_seq, n_seqs, batch_len, sum_tokens,
+    pad_tokens)`` where ``batch_len`` is the batch's max length (what
+    every row pads to) and ``pad_tokens = n_seqs·batch_len −
+    sum_tokens`` is the wasted compute. Integer-exact (hash-stable);
+    one partial-aggregated shuffle keyed by the batch identity."""
+    return (
+        assigned.groupBy("bucket_id", "shard", "batch_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("n_tokens").alias("batch_len"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            F.col("n_seqs") * F.col("batch_len") - F.col("sum_tokens"),
+        )
+    )

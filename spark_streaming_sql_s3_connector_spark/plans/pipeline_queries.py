@@ -4658,6 +4658,84 @@ ORDER BY doc_id, piece_id
 """
 
 
+def _length_buckets_docs(spark, sf):
+    """Length-bucketed padded-batch assignment
+    (operators/packing.length_bucket_batches + batch_padding_stats):
+    whitespace token counts → 64-wide length buckets → salted-md5
+    4-shard split → deterministic hash-ordered batches of 16 within
+    each (bucket, shard), joined to the per-batch padding accounting so
+    one hash pins bucket math, shard hashing, batch cutting AND the
+    padding stats. One (bucket, shard) window shuffle of (id, len)
+    rows + one batch-keyed partial agg; text never shuffles."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        batch_padding_stats,
+        length_bucket_batches,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    asg = length_bucket_batches(
+        docs,
+        "doc_id",
+        text_col="text",
+        batch_size=16,
+        bucket_width=64,
+        shards=4,
+    )
+    stats = batch_padding_stats(asg)
+    return (
+        asg.join(stats, ["bucket_id", "shard", "batch_seq"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket_id",
+            "shard",
+            "batch_seq",
+            "seq_in_batch",
+            "n_seqs",
+            "batch_len",
+            "pad_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LENGTH_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+), a AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens // 64 AS INT) AS bucket_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'lenbucket'), 1, 8)
+              AS BIGINT) % 10000 % 4 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || 'lenbucket#o') AS o
+  FROM toks
+), rn AS (
+  SELECT doc_id, n_tokens, bucket_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY bucket_id, shard ORDER BY o, doc_id) - 1 AS r
+  FROM a
+), asg AS (
+  SELECT doc_id, n_tokens, bucket_id, shard,
+         CAST(r // 16 AS INT) AS batch_seq,
+         CAST(r % 16 AS INT) AS seq_in_batch
+  FROM rn
+), st AS (
+  SELECT bucket_id, shard, batch_seq,
+         COUNT(*) AS n_seqs, MAX(n_tokens) AS batch_len,
+         SUM(n_tokens) AS sum_tokens
+  FROM asg GROUP BY bucket_id, shard, batch_seq
+)
+SELECT asg.doc_id, asg.n_tokens, asg.bucket_id, asg.shard, asg.batch_seq,
+       asg.seq_in_batch, st.n_seqs, st.batch_len,
+       CAST(st.n_seqs * st.batch_len - st.sum_tokens AS BIGINT) AS pad_tokens
+FROM asg JOIN st USING (bucket_id, shard, batch_seq)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4889,4 +4967,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "span_decontaminate_docs": QuerySpec(
         _span_decontaminate_docs, _SPAN_DECONTAMINATE_SQL
     ),
+    # r8: length-bucketed padded-batch assignment + padding accounting
+    "length_buckets_docs": QuerySpec(_length_buckets_docs, _LENGTH_BUCKETS_SQL),
 }

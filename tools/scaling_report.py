@@ -78,6 +78,7 @@ QUERIES = [
     "c4_gate_docs",
     "hybrid_search_docs",
     "span_decontaminate_docs",
+    "length_buckets_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
