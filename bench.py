@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     # r8: length-bucketed padded-batch assignment (one synthetic-strata
     # window shuffle of (id, len) rows + batch-keyed partial agg)
     "length_buckets_docs",
+    # r8: PCA/whitening embedding post-processing (one-pass partial
+    # Gram fit + scan-local JVM projection)
+    "pca_embeddings",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

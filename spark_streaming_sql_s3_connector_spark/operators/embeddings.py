@@ -264,3 +264,174 @@ def cluster_balanced_sample(
             F.col("centroid_cos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PCA / whitening — the standard embedding post-processing before ANN
+# indexing (OPQ-style rotation, dimensionality reduction, whitening all
+# start from the same fitted basis).
+
+
+class PCAModel:
+    """Fitted PCA basis: ``mean`` (dim), ``components`` (k×dim rows =
+    top eigenvectors of the covariance, eigenvalue-descending),
+    ``eigenvalues`` (k), ``explained_variance_ratio`` (k), ``n`` (rows
+    fitted on). Plain lists — broadcastable as expression literals and
+    JSON-serializable for reuse (same philosophy as `ivf_centroids`:
+    train once, apply as scan-local JVM math)."""
+
+    def __init__(self, mean, components, eigenvalues, explained_variance_ratio, n):
+        self.mean = mean
+        self.components = components
+        self.eigenvalues = eigenvalues
+        self.explained_variance_ratio = explained_variance_ratio
+        self.n = n
+
+    def to_dict(self) -> dict:
+        return {
+            "mean": self.mean,
+            "components": self.components,
+            "eigenvalues": self.eigenvalues,
+            "explained_variance_ratio": self.explained_variance_ratio,
+            "n": self.n,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PCAModel":
+        return cls(
+            d["mean"],
+            d["components"],
+            d["eigenvalues"],
+            d["explained_variance_ratio"],
+            d["n"],
+        )
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
+    """Fit a ``k``-component PCA of the embedding column in ONE pass.
+
+    Distributed part: every partition folds its vectors into a single
+    Arrow-batched partial ``(n, Σx, ΣxxT)`` row (``mapInPandas`` over
+    numpy — dim + dim² doubles per PARTITION, not per row), so the
+    driver collects #partitions small rows, never vectors. Driver
+    part: combine partials in partition-id order (deterministic fold
+    order ⇒ bit-stable for a fixed layout), form the covariance
+    ``ΣxxT/n − mean·meanT``, ``eigh`` it, take the top ``k``
+    eigenpairs, and fix each component's sign so its
+    largest-magnitude coordinate is positive (eigenvectors are
+    sign-ambiguous; the convention makes refits reproducible).
+
+    Like `ivf_centroids`, the fit is deterministic for a FIXED
+    partition layout; across repartitions the float partial sums can
+    drift in the last ulps. Pass the fitted model around (it is tiny)
+    rather than refitting per stage.
+
+    Scale: one corpus scan; driver memory is #partitions × dim²
+    doubles (64-dim → 32 KB per partition row). For dim in the
+    thousands, raise `spark.sql.shuffle.partitions`-independent
+    partition sizes rather than this path — dim² stays driver-small
+    through ~4k dims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]], dtype=np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "pid": [int(pdf["_pid"].iloc[0])],
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    part = df.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(
+        _partials, "pid int, n long, s array<double>, g array<double>"
+    )
+    rows = sorted(part.collect(), key=lambda r: r["pid"])
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    dim = len(rows[0]["s"])
+    if k > dim:
+        raise ValueError(f"k={k} exceeds embedding dim={dim}")
+    n = 0
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in rows:
+        n += r["n"]
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    eigs = []
+    total = float(np.clip(evals, 0, None).sum()) or 1.0
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.abs(v).argmax())
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        eigs.append(float(max(evals[idx], 0.0)))
+    return PCAModel(
+        mean=[float(x) for x in mean],
+        components=comps,
+        eigenvalues=eigs,
+        explained_variance_ratio=[e / total for e in eigs],
+        n=int(n),
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    vec_col: str,
+    model: PCAModel,
+    out_col: str = "pc",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project the embedding column onto the fitted basis — scan-local
+    JVM expressions only (no Python on the hot path).
+
+    ``y_j = (x − mean)·w_j`` folds to ``x·w_j − offset_j`` with
+    ``offset_j = mean·w_j`` precomputed driver-side, so each output
+    coordinate is ONE literal-weighted dot product
+    (``aggregate(zip_with(...))``) plus a constant subtract —
+    whole-stage-codegen friendly, zero shuffle, zero UDF. With
+    ``whiten=True`` each coordinate divides by ``sqrt(eigenvalue)``
+    (floored at ``eps``), giving unit variance per component on the
+    fitted corpus."""
+    outs = []
+    for j, w in enumerate(model.components):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        offset = float(sum(m * x for m, x in zip(model.mean, w)))
+        y = (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    wlit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            - F.lit(offset)
+        )
+        if whiten:
+            y = y / F.lit(float(max(model.eigenvalues[j], eps) ** 0.5))
+        outs.append(y)
+    return df.withColumn(out_col, F.array(*outs))

@@ -4736,6 +4736,40 @@ ORDER BY doc_id
 """
 
 
+def _pca_embeddings(spark, sf):
+    """PCA + whitening over the embeddings table
+    (operators/embeddings.pca_fit / pca_transform): one-pass partial
+    (n, Σx, ΣxxT) fit (Arrow-batched per-partition partials, driver
+    eigh, deterministic sign convention) then a scan-local JVM
+    projection to 8 whitened components — zero shuffle, zero Python on
+    the hot path. Rows-only (eigendecomposition is not
+    SQL-expressible); the self-check columns pin orthonormality and
+    eigenvalue ordering of the fitted basis inside the gate, and the
+    numpy-agreement / unit-variance laws live in test_pca.py."""
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, "embedding", k=8)
+    w = np.asarray(model.components)
+    ortho_ok = bool(np.allclose(w @ w.T, np.eye(len(w)), atol=1e-8))
+    desc_ok = all(
+        a >= b
+        for a, b in zip(model.eigenvalues, model.eigenvalues[1:])
+    )
+    pc = pca_transform(emb, "embedding", model, whiten=True)
+    return pc.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
+        F.lit(ortho_ok).alias("orthonormal_ok"),
+        F.lit(bool(desc_ok)).alias("eigs_desc_ok"),
+    ).orderBy("vec_id")
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -4969,4 +5003,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     ),
     # r8: length-bucketed padded-batch assignment + padding accounting
     "length_buckets_docs": QuerySpec(_length_buckets_docs, _LENGTH_BUCKETS_SQL),
+    # r8: PCA/whitening embedding post-processing — rows-only
+    # (driver eigh), orthonormality/ordering self-check columns
+    "pca_embeddings": QuerySpec(_pca_embeddings, None),
 }

@@ -79,6 +79,7 @@ QUERIES = [
     "hybrid_search_docs",
     "span_decontaminate_docs",
     "length_buckets_docs",
+    "pca_embeddings",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
