@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     # r8: PCA/whitening embedding post-processing (one-pass partial
     # Gram fit + scan-local JVM projection)
     "pca_embeddings",
+    # r8: zlib compressibility signal (one Arrow-batched scan)
+    "compression_signal_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

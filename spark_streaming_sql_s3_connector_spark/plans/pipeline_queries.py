@@ -4770,6 +4770,30 @@ def _pca_embeddings(spark, sf):
     ).orderBy("vec_id")
 
 
+def _compression_signal_docs(spark, sf):
+    """Compressibility quality signal (functions/text.compression_ratio):
+    zlib ratio per doc + two-tail band flags — the Gopher-lineage
+    repetition/entropy screen. Rows-only (no DEFLATE in SQL engines);
+    the zlib-parity and tail-ordering laws live in
+    test_compression_signal.py; the in-gate self-check pins the ratio
+    into its sane band. One Arrow-batched scan, zero shuffle before
+    the ordering sort."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        compression_ratio,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    r = compression_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).alias("raw_bytes"),
+        F.round(r, 6).alias("ratio"),
+        (r < 0.25).alias("too_compressible"),
+        (r > 0.9).alias("too_random"),
+        ((r > 0) & (r < 2.0)).alias("ratio_sane"),
+    ).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5006,4 +5030,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: PCA/whitening embedding post-processing — rows-only
     # (driver eigh), orthonormality/ordering self-check columns
     "pca_embeddings": QuerySpec(_pca_embeddings, None),
+    # r8: zlib compressibility quality signal — rows-only (no DEFLATE
+    # in SQL), ratio-band self-check column
+    "compression_signal_docs": QuerySpec(_compression_signal_docs, None),
 }

@@ -80,6 +80,7 @@ QUERIES = [
     "span_decontaminate_docs",
     "length_buckets_docs",
     "pca_embeddings",
+    "compression_signal_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
