@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "pca_embeddings",
     # r8: zlib compressibility signal (one Arrow-batched scan)
     "compression_signal_docs",
+    # r8: tokenizer fertility profile (one scan + |langs|-row agg)
+    "tokenizer_fertility_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -4794,6 +4794,67 @@ def _compression_signal_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def _tokenizer_fertility_docs(spark, sf):
+    """Tokenizer fertility / compression-rate profile per language
+    (functions/text.token_count + bpe_ish_token_count): the standard
+    tokenizer-eval table — subword-ish tokens per whitespace word
+    (fertility; >1 means words split) and UTF-8 bytes per token —
+    computed from EXACT integer sums (one partial-agg shuffle of
+    |langs| rows), divided once and rounded 6 dp so both engines emit
+    identical doubles. One column-pruned scan, scan-local JVM regex
+    counting, zero Python."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf, "documents").select("lang", "text")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_words"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+        F.sum(F.length(F.encode("text", "UTF-8"))).alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
+        ).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+_TOKENIZER_FERTILITY_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+         len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^\sA-Za-z0-9'']')) AS t,
+         octet_length(encode(text)) AS b
+  FROM documents
+), a AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(t) AS BIGINT) AS n_tokens,
+         CAST(SUM(b) AS BIGINT) AS n_bytes
+  FROM m GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+       CASE WHEN n_words > 0 THEN ROUND(n_tokens / n_words, 6) END AS fertility,
+       CASE WHEN n_tokens > 0 THEN ROUND(n_bytes / n_tokens, 6) END AS bytes_per_token
+FROM a
+ORDER BY lang NULLS FIRST
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5033,4 +5094,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: zlib compressibility quality signal — rows-only (no DEFLATE
     # in SQL), ratio-band self-check column
     "compression_signal_docs": QuerySpec(_compression_signal_docs, None),
+    # r8: tokenizer fertility / bytes-per-token profile per language
+    "tokenizer_fertility_docs": QuerySpec(
+        _tokenizer_fertility_docs, _TOKENIZER_FERTILITY_SQL
+    ),
 }

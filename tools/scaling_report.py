@@ -81,6 +81,7 @@ QUERIES = [
     "length_buckets_docs",
     "pca_embeddings",
     "compression_signal_docs",
+    "tokenizer_fertility_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
