@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "compression_signal_docs",
     # r8: tokenizer fertility profile (one scan + |langs|-row agg)
     "tokenizer_fertility_docs",
+    # r8: UniMax epoch-capped mixture (broadcast plan + scan-local
+    # explode replication)
+    "unimax_mix_docs",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -461,3 +461,113 @@ def quantile_gate_approx(
         .where(F.col(value_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def unimax_plan(
+    totals: dict[str, int], token_budget: int, max_epochs: int
+) -> dict[str, float]:
+    """UniMax budget allocation (Chung et al. 2023): spread
+    ``token_budget`` across groups as UNIFORMLY as possible, capping
+    each group at ``max_epochs`` passes over its data — the
+    principled alternative to temperature sampling (no α to tune, and
+    tail groups are never repeated past the cap).
+
+    Water-filling closed form, chosen over the equivalent greedy loop
+    because it does ONE division: sort caps ``cap_g = total_g ·
+    max_epochs`` ascending, find the first boundary where the level
+    ``θ_k = (B − Σ_{i≤k} cap_i)/(L−k)`` fits under the next cap, then
+    ``alloc_g = min(cap_g, θ)``. All inputs are exact integers, so θ
+    and every allocation are bit-identical in any engine that sorts
+    the same way (ties break on the group key) — the property the
+    DuckDB oracle relies on. Returns epochs per group
+    (``alloc_g / total_g``, rounded 12 dp), in (0, max_epochs].
+
+    Groups with zero/negative totals are excluded (nothing to
+    allocate)."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    items = sorted(
+        ((int(t) * max_epochs, str(g), int(t)) for g, t in totals.items() if t and t > 0),
+        key=lambda x: (x[0], x[1]),
+    )
+    if not items:
+        raise ValueError("no group has positive token mass")
+    n = len(items)
+    caps = [c for c, _, _ in items]
+    prefix = 0
+    theta = None
+    for k in range(n):  # boundary BEFORE group k (k groups saturated)
+        level = (token_budget - prefix) / (n - k)
+        if level <= caps[k]:
+            theta = level
+            break
+        prefix += caps[k]
+    # theta None ⇒ budget ≥ Σ caps: every group saturates at max_epochs
+    out = {}
+    for cap, g, total in items:
+        alloc = cap if theta is None else min(cap, theta)
+        out[g] = round(alloc / total, 12)
+    return out
+
+
+def unimax_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    token_budget: int,
+    max_epochs: int = 2,
+    salt: str = "unimax",
+) -> DataFrame:
+    """Materialized UniMax mixture: one output row per (kept row,
+    epoch). A group assigned ``e`` epochs replicates each of its rows
+    ``floor(e)`` times (``epoch`` = 1..floor(e)) and keeps a
+    hash-stable ``frac(e)`` of rows one extra epoch — so expected
+    token mass per group is ``e · total_g`` and the total hits the
+    budget (up to the 1e-4 hash-bucket resolution
+    :func:`deterministic_sample` has everywhere else).
+
+    NULL-group and zero-mass rows are dropped (label sources first,
+    same contract as :func:`temperature_mix`).
+
+    Scale shape: ONE |groups|-row exact-integer aggregate to the
+    driver for the plan; membership/replication is then a broadcast
+    map lookup + scan-local ``explode(sequence)`` — the corpus never
+    shuffles, and replication multiplies rows only where the plan
+    says (bounded by ``max_epochs``)."""
+    totals = {
+        r["_g"]: r["_t"]
+        for r in (
+            df.where(F.col(group_col).isNotNull())
+            .groupBy(F.col(group_col).cast("string").alias("_g"))
+            .agg(F.sum(F.col(token_col).cast("bigint")).alias("_t"))
+            .collect()
+        )
+    }
+    plan = unimax_plan(totals, token_budget, max_epochs)
+    items = []
+    for g, e in sorted(plan.items()):
+        items.extend([F.lit(g), F.lit(float(e))])
+    emap = F.create_map(*items)
+    e = emap[F.col(group_col).cast("string")]
+    n_full = F.floor(e).cast("int")
+    cut = F.floor((e - n_full) * _BUCKETS).cast("long")
+    extra = (_hash_bucket(F.col(id_col), salt) < cut).cast("int")
+    n_epochs = (n_full + extra).alias("_n")
+    return (
+        df.where(F.col(group_col).isNotNull())
+        .withColumn("epochs_assigned", e)
+        .where(F.col("epochs_assigned").isNotNull())
+        .withColumn("_n", n_epochs)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_n")
+    )

@@ -4855,6 +4855,74 @@ ORDER BY lang NULLS FIRST
 """
 
 
+def _unimax_mix_docs(spark, sf):
+    """UniMax epoch-capped mixture (operators/sampling.unimax_mix /
+    unimax_plan): water-fill a 230k-char budget across languages with
+    a 2-epoch cap — at sf0.01 four tail languages saturate at exactly
+    2.0 epochs and the head (en) water-levels to a fractional pass, so
+    the slot pins the closed-form level selection, saturation, epoch
+    replication AND the fractional-epoch hash membership in one hash.
+    One |langs|-row integer aggregate → broadcast plan map →
+    scan-local explode; the corpus never shuffles."""
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_mix,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    out = unimax_mix(
+        docs, "doc_id", "lang", "n_chars", token_budget=230000, max_epochs=2
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("epochs_assigned", 12).alias("epochs_assigned"),
+        "epoch",
+    ).orderBy("doc_id", "epoch")
+
+
+_UNIMAX_MIX_SQL = r"""
+WITH totals AS (
+  SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS total
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang HAVING SUM(n_chars) > 0
+), s AS (
+  SELECT g, total, total * 2 AS cap,
+         ROW_NUMBER() OVER (ORDER BY total * 2, g) AS i,
+         COUNT(*) OVER () AS L,
+         COALESCE(SUM(total * 2) OVER (ORDER BY total * 2, g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref
+  FROM totals
+), lvl AS (
+  SELECT MIN(i) AS istar
+  FROM s WHERE (230000 - pref) / (L - i + 1) <= cap
+), plan AS (
+  SELECT s.g, s.total,
+         ROUND(
+           COALESCE(
+             LEAST(CAST(s.cap AS DOUBLE),
+                   (SELECT (230000 - s2.pref) / (s2.L - s2.i + 1)
+                    FROM s s2, lvl WHERE s2.i = lvl.istar)),
+             CAST(s.cap AS DOUBLE)) / s.total, 12) AS e
+  FROM s
+), m AS (
+  SELECT d.doc_id, d.lang, p.e,
+         CAST(FLOOR(p.e) AS INT) AS n_full,
+         CAST(FLOOR((p.e - FLOOR(p.e)) * 10000) AS BIGINT) AS cut
+  FROM documents d JOIN plan p ON d.lang = p.g
+), n AS (
+  SELECT doc_id, lang, e,
+         n_full + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || 'unimax'), 1, 8) AS BIGINT) % 10000 < cut
+                  THEN 1 ELSE 0 END AS n_ep
+  FROM m
+)
+SELECT doc_id, lang, e AS epochs_assigned, CAST(u.i AS INT) AS epoch
+FROM n, unnest(generate_series(1, n_ep)) AS u(i)
+WHERE n_ep >= 1
+ORDER BY doc_id, epoch
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5098,4 +5166,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "tokenizer_fertility_docs": QuerySpec(
         _tokenizer_fertility_docs, _TOKENIZER_FERTILITY_SQL
     ),
+    # r8: UniMax epoch-capped mixture (water-filling allocation +
+    # epoch replication + fractional-epoch hash membership)
+    "unimax_mix_docs": QuerySpec(_unimax_mix_docs, _UNIMAX_MIX_SQL),
 }

@@ -166,3 +166,96 @@ def test_temperature_mix_laws(spark):
         temperature_mix(
             df.where(F.col("src").isNull()), "doc_id", "src", "toks", 500
         )
+
+
+# ---------------------------------------------------------------------------
+# UniMax (operators/sampling.unimax_plan / unimax_mix)
+
+
+def test_unimax_plan_water_filling_exact():
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_plan,
+    )
+
+    totals = {"de": 100, "en": 1000, "fr": 150}
+    # budget below all caps: uniform level B/3, nobody saturates
+    plan = unimax_plan(totals, 150, max_epochs=2)
+    assert plan["de"] == round(50 / 100, 12)
+    assert plan["en"] == round(50 / 1000, 12)
+    assert plan["fr"] == round(50 / 150, 12)
+    # mixed: de saturates at cap 200, rest split the remainder
+    plan = unimax_plan(totals, 1000, max_epochs=2)
+    assert plan["de"] == 2.0
+    assert plan["fr"] == round(400 / 150, 12) if 400 / 150 <= 2 else True
+    # budget >= sum of caps: everyone at max_epochs exactly
+    plan = unimax_plan(totals, 10**9, max_epochs=3)
+    assert plan == {"de": 3.0, "en": 3.0, "fr": 3.0}
+    # allocation never exceeds the cap and fills the budget when it can
+    plan = unimax_plan(totals, 1000, max_epochs=2)
+    alloc = sum(plan[g] * totals[g] for g in plan)
+    assert alloc == pytest.approx(min(1000, 2 * sum(totals.values())))
+    assert all(0 < e <= 2 for e in plan.values())
+
+
+def test_unimax_plan_validation():
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_plan,
+    )
+
+    with pytest.raises(ValueError):
+        unimax_plan({"a": 10}, 0, 2)
+    with pytest.raises(ValueError):
+        unimax_plan({"a": 10}, 100, 0)
+    with pytest.raises(ValueError):
+        unimax_plan({"a": 0}, 100, 2)
+
+
+def test_unimax_mix_replication_law(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_mix,
+        unimax_plan,
+    )
+
+    rows = [(i, "tail" if i < 20 else "head", 10) for i in range(220)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "toks"])
+    out = unimax_mix(df, "doc_id", "src", "toks", token_budget=1500, max_epochs=3)
+    plan = unimax_plan({"tail": 200, "head": 2000}, 1500, 3)
+    got = out.groupBy("doc_id", "src").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx")
+    )
+    import math
+
+    for r in got.collect():
+        e = plan[r["src"]]
+        # every kept doc appears floor(e) or ceil(e) times, epochs 1..n
+        assert r["n"] in (math.floor(e), math.ceil(e))
+        assert r["mx"] == r["n"]
+    # group-level token mass ≈ e · total (hash resolution 1e-4)
+    mass = {
+        r["src"]: r["m"]
+        for r in out.groupBy("src").agg(F.sum("toks").alias("m")).collect()
+    }
+    for g, total in (("tail", 200), ("head", 2000)):
+        assert mass.get(g, 0) == pytest.approx(plan[g] * total, rel=0.15)
+    # deterministic
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            unimax_mix(
+                df, "doc_id", "src", "toks", token_budget=1500, max_epochs=3
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_unimax_mix_drops_null_groups(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_mix,
+    )
+
+    rows = [(1, "a", 10), (2, None, 10), (3, "a", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "toks"])
+    out = unimax_mix(df, "doc_id", "src", "toks", token_budget=100, max_epochs=2)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}

@@ -82,6 +82,7 @@ QUERIES = [
     "pca_embeddings",
     "compression_signal_docs",
     "tokenizer_fertility_docs",
+    "unimax_mix_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
