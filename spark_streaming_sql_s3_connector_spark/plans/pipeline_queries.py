@@ -4923,6 +4923,186 @@ ORDER BY doc_id, epoch
 """
 
 
+def _published_pipeline_docs(spark, sf):
+    """The late-r8 surface composed end-to-end under ONE oracle hash:
+    C4 gate ∧ Gopher gate (published rule sets) → exact keep-first
+    dedup → UniMax epoch-capped mixture → length-bucketed batch
+    manifest. Every stage reuses its standalone operator (and its
+    standalone key's SQL mirror is reused in this slot's composed CTE
+    chain), so a regression in any stage — or in how they hand rows to
+    each other — reddens this one hash. Plan: two scan-local gate
+    filters fused into the scan, one 16-byte-key dedup shuffle, a
+    |langs|-row plan aggregate, scan-local epoch explode, one
+    (bucket, shard) window — the corpus shuffles twice total (dedup,
+    bucketing), both on narrow keys."""
+    from spark_streaming_sql_s3_connector_spark.functions.text import (
+        c4_rules,
+        gopher_rules,
+        token_count,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import dedup_exact
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        length_bucket_batches,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import unimax_mix
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    # conjoin every Gopher rule EXCEPT the English stop-word rule: the
+    # synthetic multilingual corpus contains no English stopwords at
+    # all (even its 'en' docs are word salad), so that one rule would
+    # empty the pipeline — a corpus property, not an operator choice;
+    # the full verdict incl. stop words stays pinned by gopher_gate_docs
+    g = gopher_rules(F.col("text"), min_words=20)
+    keep = c4_rules(F.col("text"), min_words=20)["c4_keep"]
+    for name, col in g.items():
+        if name not in ("rule_stop_words", "gopher_keep"):
+            keep = keep & col
+    gated = docs.where(keep)
+    keepers = dedup_exact(gated, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = gated.join(keepers, "doc_id").withColumn(
+        "n_toks", token_count(F.col("text")).cast("bigint")
+    )
+    mixed = unimax_mix(
+        kept.select("doc_id", "lang", "n_toks"),
+        "doc_id",
+        "lang",
+        "n_toks",
+        token_budget=100000,
+        max_epochs=2,
+    )
+    seqs = mixed.select(
+        F.concat_ws("#", F.col("doc_id"), F.col("epoch")).alias("seq_id"),
+        "n_toks",
+    )
+    asg = length_bucket_batches(
+        seqs,
+        "seq_id",
+        token_col="n_toks",
+        batch_size=16,
+        bucket_width=64,
+        shards=4,
+    )
+    return asg.select(
+        "seq_id", "n_tokens", "bucket_id", "shard", "batch_seq", "seq_in_batch"
+    ).orderBy("seq_id")
+
+
+_PUBLISHED_PIPELINE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)), x -> x != '') END AS lines,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(list_transform(regexp_split_to_array(text, '\n\s*\n'), x -> trim(x)), x -> x != '') END AS paras,
+         COALESCE(len(text) - len(replace(text, '#', '')), 0) AS n_hash,
+         COALESCE(CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT), 0) AS n_ell
+  FROM documents
+), gm AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS sum_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+         n_hash + n_ell AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dl,
+         len(paras) AS n_paras,
+         len(list_distinct(paras)) AS n_dp,
+         len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
+         len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell_lines,
+         NOT COALESCE(contains(lower(text), 'lorem ipsum'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'terms of use'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'privacy policy'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'cookie policy'), FALSE)
+         AND NOT COALESCE(contains(lower(text), 'javascript'), FALSE) AS rule_no_policy,
+         NOT COALESCE(contains(text, '{'), FALSE) AS rule_no_braces,
+         len(list_filter(lines, x -> ends_with(x, '.') OR ends_with(x, '!')
+             OR ends_with(x, '?') OR ends_with(x, '"'))) AS n_terminal
+  FROM base
+), gated AS (
+  SELECT b.doc_id, b.lang, b.text
+  FROM base b JOIN gm USING (doc_id)
+  WHERE (gm.n_words >= 20 AND gm.n_words <= 100000)
+    AND (3 * gm.n_words <= gm.sum_word_len AND gm.sum_word_len <= 10 * gm.n_words AND gm.n_words > 0)
+    AND (5 * gm.n_alpha_words >= 4 * gm.n_words)
+    AND (10 * gm.n_symbols <= gm.n_words)
+    AND (10 * gm.n_bullet <= gm.n_lines)
+    AND (10 * gm.n_ell_lines <= 3 * gm.n_lines)
+    AND (10 * (gm.n_lines - gm.n_dl) <= 3 * gm.n_lines)
+    AND (10 * (gm.n_paras - gm.n_dp) <= 3 * gm.n_paras)
+    AND (gm.n_words >= 20) AND gm.rule_no_policy AND gm.rule_no_braces
+    AND (gm.n_terminal >= 0)
+), ded AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM gated
+  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+), kept AS (
+  SELECT g.doc_id, g.lang,
+         CAST(CASE WHEN trim(g.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(g.text), '\s+')) END AS BIGINT) AS n_toks
+  FROM gated g JOIN ded USING (doc_id)
+), totals AS (
+  SELECT lang AS g, CAST(SUM(n_toks) AS BIGINT) AS total
+  FROM kept WHERE lang IS NOT NULL
+  GROUP BY lang HAVING SUM(n_toks) > 0
+), s AS (
+  SELECT g, total, total * 2 AS cap,
+         ROW_NUMBER() OVER (ORDER BY total * 2, g) AS i,
+         COUNT(*) OVER () AS L,
+         COALESCE(SUM(total * 2) OVER (ORDER BY total * 2, g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref
+  FROM totals
+), lvl AS (
+  SELECT MIN(i) AS istar
+  FROM s WHERE (100000 - pref) / (L - i + 1) <= cap
+), plan AS (
+  SELECT s.g,
+         ROUND(
+           COALESCE(
+             LEAST(CAST(s.cap AS DOUBLE),
+                   (SELECT (100000 - s2.pref) / (s2.L - s2.i + 1)
+                    FROM s s2, lvl WHERE s2.i = lvl.istar)),
+             CAST(s.cap AS DOUBLE)) / s.total, 12) AS e
+  FROM s
+), pm AS (
+  SELECT k.doc_id, k.n_toks, p.e,
+         CAST(FLOOR(p.e) AS INT) AS n_full,
+         CAST(FLOOR((p.e - FLOOR(p.e)) * 10000) AS BIGINT) AS cut
+  FROM kept k JOIN plan p ON k.lang = p.g
+), pn AS (
+  SELECT doc_id, n_toks,
+         n_full + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || 'unimax'), 1, 8) AS BIGINT) % 10000 < cut
+                  THEN 1 ELSE 0 END AS n_ep
+  FROM pm
+), seqs AS (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(u.i AS VARCHAR) AS seq_id,
+         n_toks AS n_tokens
+  FROM pn, unnest(generate_series(1, n_ep)) AS u(i)
+  WHERE n_ep >= 1
+), a AS (
+  SELECT seq_id, n_tokens,
+         CAST(n_tokens // 64 AS INT) AS bucket_id,
+         CAST(CAST('0x' || substr(md5(seq_id || 'lenbucket'), 1, 8)
+              AS BIGINT) % 10000 % 4 AS INT) AS shard,
+         md5(seq_id || 'lenbucket#o') AS o
+  FROM seqs
+), rn AS (
+  SELECT seq_id, n_tokens, bucket_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY bucket_id, shard ORDER BY o, seq_id) - 1 AS r
+  FROM a
+)
+SELECT seq_id, n_tokens, bucket_id, shard,
+       CAST(r // 16 AS INT) AS batch_seq,
+       CAST(r % 16 AS INT) AS seq_in_batch
+FROM rn
+ORDER BY seq_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5169,4 +5349,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r8: UniMax epoch-capped mixture (water-filling allocation +
     # epoch replication + fractional-epoch hash membership)
     "unimax_mix_docs": QuerySpec(_unimax_mix_docs, _UNIMAX_MIX_SQL),
+    # r8: the late-r8 surface composed end-to-end (gates → dedup →
+    # UniMax → length buckets) under one composed CTE oracle
+    "published_pipeline_docs": QuerySpec(
+        _published_pipeline_docs, _PUBLISHED_PIPELINE_SQL
+    ),
 }

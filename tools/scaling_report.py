@@ -83,6 +83,7 @@ QUERIES = [
     "compression_signal_docs",
     "tokenizer_fertility_docs",
     "unimax_mix_docs",
+    "published_pipeline_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
