@@ -775,6 +775,7 @@ def ann_index_topk(
     k: int = 10,
     n_probe: int = 4,
     meta: Optional[dict] = None,
+    id_filter: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Serve top-k from a persisted index: NO training, NO encoding, NO
     vector reads. The driver picks the ``n_probe`` nearest coarse
@@ -783,13 +784,38 @@ def ann_index_topk(
     so the ``isin`` filter is a PartitionFilter and pruning happens at
     file granularity before any IO. Rows are ranked by the broadcast
     ADC lookup table (same scoring as ``similarity.pq_topk``);
-    TakeOrderedAndProject merges per-partition top-k."""
+    TakeOrderedAndProject merges per-partition top-k.
+
+    ``id_filter`` (one-column DataFrame of ids, any column name) makes
+    the search FILTERED — vector-DB metadata filtering: candidates are
+    semi-joined against the id set BEFORE scoring, so the k survivors
+    are the true top-k OF THE ALLOWED SET, not a post-filtered (and
+    possibly short) slice of the global top-k. PRE-filter semantics
+    chosen deliberately: post-filtering under-returns exactly when the
+    filter is selective — the case filtered search exists for. Derive
+    the id set from any predicate on your metadata table
+    (``meta_df.where(...).select("id")``); Catalyst/AQE picks the join
+    strategy (broadcast for small sets, shuffle for huge ones — the
+    candidate side is already bucket-pruned)."""
     if meta is None:
         meta = load_index_meta(index_dir)
     probes = _probe_buckets(meta["centroids"], query_vec, n_probe)
     corpus = read_index_corpus(spark, index_dir, meta).where(
         F.col("ivf_bucket").isin(probes)
     )
+    if id_filter is not None:
+        if len(id_filter.columns) != 1:
+            raise ValueError(
+                "id_filter must have exactly one column (the allowed ids)"
+            )
+        # cast the filter to the INDEX's id type (analyzer coercion on a
+        # mixed-type equi-join would cast both sides to double, corrupting
+        # large int ids)
+        id_type = dict(corpus.dtypes)["id"]
+        allowed = id_filter.select(
+            F.col(id_filter.columns[0]).cast(id_type).alias("id")
+        )
+        corpus = corpus.join(allowed, "id", "left_semi")
     return pq_topk(
         corpus,
         vec_col="",  # unused: ranking is lookup-only over pre-encoded codes

@@ -721,3 +721,34 @@ def test_compaction_pointer_on_mock_object_store(monkeypatch):
     )
     ptr = mod._read_compaction_pointer(uri)
     assert ptr == {"base": "base-2", "upto": 2}
+
+
+def test_filtered_serve_pre_filter_semantics(spark, built):
+    rows, df, idx, meta = built
+    q = rows[21][1]
+    # allow only even ids — about half the corpus
+    allowed = spark.createDataFrame(
+        [(i,) for i, _ in rows if i % 2 == 0], ["any_name"]
+    )
+    got = ann_index_topk(
+        spark, idx, q, k=5, n_probe=8, id_filter=allowed
+    ).collect()
+    # (a) every hit respects the filter; (b) full k returned (pre-filter,
+    # not a post-filtered short list); (c) exactly the in-memory ranking
+    # of the allowed subset — same artifacts, same ADC arithmetic
+    assert len(got) == 5
+    assert all(int(r.neighbor_id) % 2 == 0 for r in got)
+    in_mem = ivf_pq_topk(
+        df.where(F.col("vec_id") % 2 == 0), "embedding", "vec_id", q, k=5,
+        centroids=meta["centroids"], codebooks=meta["codebooks"], n_probe=8,
+    ).collect()
+    assert [(r.neighbor_id, r.adc_score) for r in got] == [
+        (r.neighbor_id, r.adc_score) for r in in_mem
+    ]
+
+
+def test_filtered_serve_validates_filter_shape(spark, built):
+    _rows, _df, idx, _meta = built
+    bad = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="one column"):
+        ann_index_topk(spark, idx, [0.0] * 16, id_filter=bad)
