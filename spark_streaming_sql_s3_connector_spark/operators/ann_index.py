@@ -430,6 +430,7 @@ def ann_index_topk_batch(
     n_probe: int = 4,
     meta: Optional[dict] = None,
     upto_batch: Optional[int] = None,
+    id_filter: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-k for EVERY query in ``queries`` in ONE job — the batch
     retrieval shape (SemDeDup-style curation, eval-set contamination
@@ -490,6 +491,9 @@ def ann_index_topk_batch(
         if meta.get("format_version") != _FORMAT_VERSION:
             raise ValueError("upto_batch requires a batch-keyed (v2) index")
         corpus = corpus.where(_horizon_filter(upto_batch))
+    # shared-filter semantics: one allowed-id set constrains EVERY query
+    # in the batch (per-query filters = per-query calls)
+    corpus = _apply_id_filter(corpus, id_filter)
     bc = spark.sparkContext.broadcast((tables, bucket_to_q, qids))
     kk = int(k)
 
@@ -759,6 +763,28 @@ def read_semantic_dedup_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _apply_id_filter(corpus: DataFrame, id_filter: Optional[DataFrame]) -> DataFrame:
+    """Vector-DB metadata filtering, PRE-filter semantics: semi-join the
+    bucket-pruned candidates against the allowed-id set BEFORE scoring,
+    so the k survivors are the true top-k OF THE ALLOWED SET — a
+    post-filtered global top-k under-returns exactly when the filter is
+    selective, the case filtered search exists for. The filter is cast
+    to the INDEX's id type (analyzer coercion on a mixed-type equi-join
+    would cast both sides to double, corrupting large int ids);
+    Catalyst/AQE picks the join strategy."""
+    if id_filter is None:
+        return corpus
+    if len(id_filter.columns) != 1:
+        raise ValueError(
+            "id_filter must have exactly one column (the allowed ids)"
+        )
+    id_type = dict(corpus.dtypes)["id"]
+    allowed = id_filter.select(
+        F.col(id_filter.columns[0]).cast(id_type).alias("id")
+    )
+    return corpus.join(allowed, "id", "left_semi")
+
+
 def _probe_buckets(centroids: list[list[float]], query_vec: Sequence[float], n_probe: int) -> list[int]:
     q = [float(x) for x in query_vec]
     dists = [
@@ -803,19 +829,7 @@ def ann_index_topk(
     corpus = read_index_corpus(spark, index_dir, meta).where(
         F.col("ivf_bucket").isin(probes)
     )
-    if id_filter is not None:
-        if len(id_filter.columns) != 1:
-            raise ValueError(
-                "id_filter must have exactly one column (the allowed ids)"
-            )
-        # cast the filter to the INDEX's id type (analyzer coercion on a
-        # mixed-type equi-join would cast both sides to double, corrupting
-        # large int ids)
-        id_type = dict(corpus.dtypes)["id"]
-        allowed = id_filter.select(
-            F.col(id_filter.columns[0]).cast(id_type).alias("id")
-        )
-        corpus = corpus.join(allowed, "id", "left_semi")
+    corpus = _apply_id_filter(corpus, id_filter)
     return pq_topk(
         corpus,
         vec_col="",  # unused: ranking is lookup-only over pre-encoded codes

@@ -752,3 +752,27 @@ def test_filtered_serve_validates_filter_shape(spark, built):
     bad = spark.createDataFrame([(1, 2)], ["a", "b"])
     with pytest.raises(ValueError, match="one column"):
         ann_index_topk(spark, idx, [0.0] * 16, id_filter=bad)
+
+
+def test_filtered_batch_serve_matches_filtered_single(spark, built):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_batch,
+    )
+
+    rows, _df, idx, _meta = built
+    allowed = spark.createDataFrame(
+        [(i,) for i, _ in rows if i % 2 == 0], ["vec_id"]
+    )
+    queries = [("qa", rows[21][1]), ("qb", rows[140][1])]
+    got = ann_index_topk_batch(
+        spark, idx, queries, k=4, n_probe=8, id_filter=allowed
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_score))
+    for qid, vec in queries:
+        single = ann_index_topk(
+            spark, idx, vec, k=4, n_probe=8, id_filter=allowed
+        ).collect()
+        assert by_q[qid] == [(r.neighbor_id, r.adc_score) for r in single]
+        assert all(int(i) % 2 == 0 for i, _ in by_q[qid])
