@@ -513,3 +513,50 @@ def test_quality_gate_approx_no_window_no_sort(spark):
     assert "Window" not in plan
     assert "Sort" not in plan  # also excludes SortMergeJoin / SortAggregate
     assert "BroadcastHashJoin" in plan  # thresholds broadcast, corpus never shuffles
+
+
+def test_span_decontaminate_broadcasts_and_never_shuffles_corpus(spark):
+    """Surgical decontamination's scale contract: the benchmark gram set
+    is BROADCAST (inner hit join and the hits-back join both
+    BroadcastHashJoin — the corpus side never SortMergeJoins), the doc
+    side's positional grams are JVM expressions (the only Python is the
+    shared Arrow shingler on the TINY benchmark side), and the only
+    non-broadcast Exchanges are the contaminated-(doc,pos) collect_list
+    agg, the benchmark distinct, the registry orderBy, and _spread's
+    round-robin."""
+    plan = formatted_plan(spark, "span_decontaminate_docs")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # doc-side gram explode is transform/sequence/slice, not Python
+    assert "transform(sequence(" in plan
+    body = plan.split("ArrowEvalPython")  # bench-side shingler only
+    assert len(body) <= 3  # one Arrow eval node (tree + detail sections)
+
+
+def test_length_buckets_single_window_shuffle_no_python(spark):
+    """Length bucketing's contract: ONE hash Exchange feeding ONE Window
+    over the synthetic (bucket, shard) strata, zero Python, and the
+    stats join broadcasts — batch semantics never depend on cluster
+    layout."""
+    plan = formatted_plan(spark, "length_buckets_docs")
+    assert "Python" not in plan
+    assert plan.count("Window") >= 1
+    # hash exchanges: the window partition + the stats agg; the
+    # stats-to-assignment join must broadcast, not SortMergeJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_unimax_mix_corpus_never_shuffles(spark):
+    """UniMax materialization: after the driver-side plan, membership +
+    epoch replication are scan-local (map lookup + explode(sequence));
+    the registry key's only Exchange is its orderBy. No joins at all —
+    the plan map is an expression literal."""
+    plan = formatted_plan(spark, "unimax_mix_docs")
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "Generate" in plan and "explode(" in plan  # epoch replication
+    # only the final rangepartitioning orderBy exchange
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("rangepartitioning") for e in exchanges), exchanges
