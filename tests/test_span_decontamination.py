@@ -153,3 +153,94 @@ def test_param_validation(spark, bench):
     for kw in (dict(n=0), dict(margin=-1), dict(min_piece_words=0)):
         with pytest.raises(ValueError):
             span_decontaminate(docs, bench, "text", "doc_id", **kw)
+
+
+def _reference(docs, bench, n, margin, min_piece):
+    """Pure-Python span decontamination — the independent oracle for the
+    randomized cross-check."""
+    import re
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+
+    bgrams = set()
+    for t in bench:
+        w = norm(t).split()
+        if not w:
+            continue
+        if len(w) >= n:
+            bgrams.update(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+        else:
+            bgrams.add(" ".join(w))
+    out = []
+    for did, t in docs:
+        nt = norm(t)
+        w = nt.split() if nt else []
+        if not w:
+            continue
+        npos = max(len(w) - n, 0) + 1
+        hits = [p for p in range(npos) if " ".join(w[p : p + n]) in bgrams]
+        removed = set()
+        for p in hits:
+            removed.update(range(max(0, p - margin), min(len(w), p + n + margin)))
+        kept = [j for j in range(len(w)) if j not in removed]
+        runs, cur, prev = [], [], None
+        for j in kept:
+            if prev is not None and j != prev + 1:
+                runs.append(cur)
+                cur = []
+            cur.append(j)
+            prev = j
+        if cur:
+            runs.append(cur)
+        for pid, run in enumerate(runs, 1):
+            if len(run) >= min_piece:
+                out.append(
+                    (
+                        did,
+                        pid,
+                        " ".join(w[j] for j in run),
+                        len(run),
+                        len(w),
+                        len(w) - len(kept),
+                    )
+                )
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "n,margin,min_piece,seed",
+    [(2, 0, 1, 1), (3, 1, 1, 2), (2, 2, 2, 3), (3, 0, 2, 4)],
+)
+def test_randomized_cross_check_vs_python_reference(
+    spark, n, margin, min_piece, seed
+):
+    """150 random docs over a 12-word vocab (dense gram collisions),
+    10 random benchmark docs, messy casing/punctuation — Spark output
+    must equal the independent pure-Python implementation EXACTLY."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "Gamma", "delta,", "EPS", "zeta", "eta!",
+             "theta", "iota", "kappa", "mu", "nu"]
+
+    def make(words):
+        return " ".join(rng.choice(vocab) for _ in range(words))
+
+    docs = [(i, make(rng.randint(0, 30)) if rng.random() > 0.05 else "")
+            for i in range(150)]
+    bench = [(1000 + i, make(rng.randint(1, 8))) for i in range(10)]
+    got = sorted(
+        tuple(r)
+        for r in span_decontaminate(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(bench, "doc_id long, text string"),
+            "text",
+            "doc_id",
+            n=n,
+            margin=margin,
+            min_piece_words=min_piece,
+        ).collect()
+    )
+    want = _reference(docs, [t for _, t in bench], n, margin, min_piece)
+    assert got == want
