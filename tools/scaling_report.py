@@ -115,6 +115,10 @@ HEAVY = [
     # cluster quota are broadcast + WindowGroupLimit)
     "tfidf_keywords_docs",
     "dsir_resample_docs",
+    # second-wave r8: the positional-gram hit-list member (linear in
+    # contaminated-pair volume) and the composed full-corpus chain
+    "span_decontaminate_docs",
+    "published_pipeline_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
