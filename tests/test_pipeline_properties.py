@@ -14,6 +14,7 @@ session (the Spark plumbing is covered by the example-based suites).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -98,3 +99,50 @@ def test_mix_fraction_laws(share, budget, total):
     assert 0.0 <= frac <= 1.0
     bigger = min(1.0, share * (budget * 2) / total)
     assert bigger >= frac  # monotone in budget
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling (operators/sampling.unimax_plan) — pure driver core
+
+
+_totals = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=10**7),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(totals=_totals, budget=st.integers(min_value=1, max_value=10**9),
+       epochs=st.integers(min_value=1, max_value=5))
+def test_unimax_water_fill_laws(totals, budget, epochs):
+    from spark_streaming_sql_s3_connector_spark.operators.sampling import (
+        unimax_plan,
+    )
+
+    plan = unimax_plan(totals, budget, epochs)
+    assert set(plan) == {str(g) for g in totals}
+    caps = {str(g): t * epochs for g, t in totals.items()}
+    alloc = {g: plan[g] * totals[g] for g in plan}
+    # (1) nobody exceeds the epoch cap (12-dp rounding slack)
+    for g in plan:
+        assert 0 < plan[g] <= epochs + 1e-9
+    # (2) the budget is filled exactly when fillable, else all saturate
+    # epochs are rounded to 12 dp, so per-group alloc carries an absolute
+    # slack of ~1e-12 × its total — scale every tolerance by the largest
+    # group, not by the level
+    slack = 1e-9 * max(totals.values()) + 1e-9
+    total_alloc = sum(alloc.values())
+    want = min(budget, sum(caps.values()))
+    assert total_alloc == pytest.approx(want, rel=1e-6, abs=len(plan) * slack)
+    # (3) water level: every UNSATURATED group gets the same allocation,
+    # and it is >= every saturated group's cap (the level sits above
+    # all saturated caps)
+    unsat = [g for g in plan if plan[g] < epochs - 1e-9]
+    if unsat:
+        levels = sorted(alloc[g] for g in unsat)
+        assert levels[-1] - levels[0] <= slack
+        sat_caps = [caps[g] for g in plan if g not in unsat]
+        if sat_caps:
+            assert max(sat_caps) <= levels[0] + slack
