@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     # r8: late-r8 surface composed end-to-end (gates → dedup →
     # UniMax → length buckets, one CTE oracle)
     "published_pipeline_docs",
+    # r8: TREC-style IR evaluation (broadcast queries × one scan +
+    # corpus-independent metric joins)
+    "retrieval_eval_embeddings",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

@@ -283,3 +283,67 @@ def with_rank(df: DataFrame, order_cols, id_col: str) -> DataFrame:
 
     w = Window.orderBy(*order_cols, F.col(id_col).asc())
     return df.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query IR evaluation — the measurement half of the retrieval
+    surface (evaluate BM25 / ANN / hybrid runs against labeled
+    relevance judgments, TREC-style):
+
+    - ``recall_at_k``   = relevant retrieved in the top k / all relevant
+    - ``precision_at_k`` = relevant retrieved in the top k / k
+    - ``reciprocal_rank`` = 1 / rank of the first relevant hit (0 if
+      none in the top k) — average it for MRR.
+
+    ``results``: one row per (query, doc) with a 1-based rank (a
+    retriever's output); rows past ``k`` are ignored. ``qrels``: the
+    relevant (query, doc) pairs (duplicates tolerated). Queries present
+    in ``results`` but absent from ``qrels`` are dropped (recall is
+    undefined without judgments); judged queries the retriever missed
+    entirely score 0. Every metric derives from integer counts with one
+    final division rounded 6 dp — engine-exact for oracle checking.
+
+    Scale shape: the top-k cut happens FIRST, so everything downstream
+    is ≤ |queries|·k rows; two query-keyed partial aggs + one join —
+    corpus-independent cost."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rels = qrels.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    rel_n = rels.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        results.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_r"),
+        )
+        .join(rels, ["_q", "_d"])
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("_r").alias("_first"))
+    )
+    return (
+        rel_n.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+            ).alias("reciprocal_rank"),
+        )
+    )

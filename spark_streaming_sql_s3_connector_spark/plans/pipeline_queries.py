@@ -5103,6 +5103,90 @@ ORDER BY seq_id
 """
 
 
+def _retrieval_eval_embeddings(spark, sf):
+    """IR evaluation over a label-judged retrieval run
+    (operators/retrieval.retrieval_metrics): every 100th vector plays a
+    query, its relevance judgments are all same-label vectors
+    (known-topic search), the run is brute cosine top-10 (6-dp-rounded
+    score, id tie-break — the rank-stable form), and the slot hashes
+    recall@10 / precision@10 / reciprocal-rank per query. Broadcast
+    query batch × one corpus scan (hard_negatives' shape) + the
+    corpus-independent metric joins."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        cosine_sim,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    ).where(F.col("qid") % 100 == 1)
+    paired = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    scored = paired.select(
+        "qid",
+        F.col("vec_id").alias("did"),
+        F.round(
+            cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("did").asc())
+    results = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank")
+    )
+    qrels = (
+        emb.crossJoin(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("qid")) & (F.col("label") == F.col("qlabel")))
+        .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("doc_id"))
+    )
+    return retrieval_metrics(results, qrels, "query_id", "doc_id", k=10).orderBy(
+        "query_id"
+    )
+
+
+_RETRIEVAL_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 100 = 1
+), scored AS (
+  SELECT q.qid, c.vec_id AS did,
+         ROUND(list_dot_product(c.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.qid
+), res AS (
+  SELECT qid, did, CAST(rank AS INT) AS rank FROM (
+    SELECT qid, did,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), qrels AS (
+  SELECT q.qid, c.vec_id AS did
+  FROM q, embeddings c WHERE c.vec_id != q.qid AND c.label = q.qlabel
+), reln AS (
+  SELECT qid, COUNT(*) AS n_rel FROM qrels GROUP BY qid
+), hits AS (
+  SELECT r.qid, COUNT(*) AS n_hits, MIN(r.rank) AS first_rank
+  FROM res r JOIN qrels u ON r.qid = u.qid AND r.did = u.did
+  GROUP BY r.qid
+)
+SELECT reln.qid AS query_id,
+       CAST(reln.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / reln.n_rel, 6) AS recall_at_k,
+       ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS precision_at_k,
+       ROUND(COALESCE(1.0 / h.first_rank, 0), 6) AS reciprocal_rank
+FROM reln LEFT JOIN hits h USING (qid)
+ORDER BY query_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5353,5 +5437,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # UniMax → length buckets) under one composed CTE oracle
     "published_pipeline_docs": QuerySpec(
         _published_pipeline_docs, _PUBLISHED_PIPELINE_SQL
+    ),
+    # r8: TREC-style IR evaluation of a label-judged retrieval run
+    "retrieval_eval_embeddings": QuerySpec(
+        _retrieval_eval_embeddings, _RETRIEVAL_EVAL_SQL
     ),
 }

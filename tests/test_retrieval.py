@@ -376,3 +376,62 @@ def test_hybrid_fusion_end_to_end(spark, sf_dir):
     for r in out:
         expected = (r.doc_id in lex_ids) + (r.doc_id in sem_ids)
         assert r.n_lists == expected and expected >= 1
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation (retrieval_metrics)
+
+
+def test_retrieval_metrics_exact_arithmetic(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    # q1: 3 relevant docs, run finds 2 of them at ranks 2 and 5
+    # q2: 1 relevant doc, run misses it entirely
+    # q3: judged but absent from the run (retriever returned nothing)
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 5), ("q1", "d", 11),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "b"), ("q1", "c"), ("q1", "z"), ("q1", "b"),  # dup tolerated
+         ("q2", "nope"), ("q3", "m")],
+        ["query_id", "doc_id"],
+    )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in retrieval_metrics(results, qrels, k=10).collect()
+    }
+    assert set(got) == {"q1", "q2", "q3"}
+    assert got["q1"]["n_rel"] == 3 and got["q1"]["n_hits"] == 2
+    assert got["q1"]["recall_at_k"] == round(2 / 3, 6)
+    assert got["q1"]["precision_at_k"] == 0.2
+    assert got["q1"]["reciprocal_rank"] == 0.5  # first hit at rank 2
+    for q in ("q2", "q3"):
+        assert got[q]["n_hits"] == 0
+        assert got[q]["recall_at_k"] == 0.0
+        assert got[q]["reciprocal_rank"] == 0.0
+    # rank-11 row never counts at k=10
+    assert got["q1"]["n_hits"] == 2
+
+
+def test_retrieval_metrics_k_cut_and_validation(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame([("q", "c")], ["query_id", "doc_id"])
+    at2 = retrieval_metrics(results, qrels, k=2).collect()[0]
+    assert at2["n_hits"] == 0 and at2["reciprocal_rank"] == 0.0
+    at3 = retrieval_metrics(results, qrels, k=3).collect()[0]
+    assert at3["n_hits"] == 1 and at3["reciprocal_rank"] == round(1 / 3, 6)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        retrieval_metrics(results, qrels, k=0)

@@ -84,6 +84,7 @@ QUERIES = [
     "tokenizer_fertility_docs",
     "unimax_mix_docs",
     "published_pipeline_docs",
+    "retrieval_eval_embeddings",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
