@@ -285,6 +285,16 @@ def with_rank(df: DataFrame, order_cols, id_col: str) -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def ndcg_discounts(k: int) -> list[int]:
+    """The nDCG rank-discount table ``1/log2(rank+1)`` for ranks 1..k,
+    as integer picounits (×10¹²) — the single source of truth embedded
+    as literals in both the Spark plan and any SQL oracle mirror, so
+    DCG sums are exact integer arithmetic everywhere."""
+    import math
+
+    return [int(round(1e12 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
 def retrieval_metrics(
     results: DataFrame,
     qrels: DataFrame,
@@ -300,7 +310,15 @@ def retrieval_metrics(
     - ``recall_at_k``   = relevant retrieved in the top k / all relevant
     - ``precision_at_k`` = relevant retrieved in the top k / k
     - ``reciprocal_rank`` = 1 / rank of the first relevant hit (0 if
-      none in the top k) — average it for MRR.
+      none in the top k) — average it for MRR
+    - ``ndcg_at_k`` = DCG/IDCG with binary gains: each hit contributes
+      ``1/log2(rank+1)``, the ideal stacks the ``min(n_rel, k)`` best
+      ranks. The k discount constants are computed ONCE driver-side as
+      integer picounits (``round(1e12/log2(i+1))``) and embedded as
+      literals, so DCG is an exact integer sum — order-independent and
+      bit-identical in any engine (JVM and C ``log2`` can disagree by
+      an ulp; a shared literal table cannot). Mirror the same constants
+      in a SQL oracle (see ``_RETRIEVAL_EVAL_SQL``).
 
     ``results``: one row per (query, doc) with a 1-based rank (a
     retriever's output); rows past ``k`` are ignored. ``qrels``: the
@@ -328,7 +346,24 @@ def retrieval_metrics(
         )
         .join(rels, ["_q", "_d"])
         .groupBy("_q")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("_r").alias("_first"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("_r").alias("_first"),
+            F.sum(
+                F.element_at(
+                    F.array(*[F.lit(d) for d in ndcg_discounts(k)]),
+                    F.col("_r").cast("int"),
+                )
+            ).alias("_dcg"),
+        )
+    )
+    # ideal DCG for r relevant docs at cut k: the best min(r, k) ranks
+    prefix = [0]
+    for d in ndcg_discounts(k):
+        prefix.append(prefix[-1] + d)
+    ideal = F.element_at(
+        F.array(*[F.lit(p) for p in prefix[1:]]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
     )
     return (
         rel_n.join(hits, "_q", "left")
@@ -345,5 +380,10 @@ def retrieval_metrics(
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
             ).alias("reciprocal_rank"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0)).cast("double")
+                / ideal.cast("double"),
+                6,
+            ).alias("ndcg_at_k"),
         )
     )

@@ -5172,7 +5172,12 @@ WITH q AS (
 ), reln AS (
   SELECT qid, COUNT(*) AS n_rel FROM qrels GROUP BY qid
 ), hits AS (
-  SELECT r.qid, COUNT(*) AS n_hits, MIN(r.rank) AS first_rank
+  -- DCG discounts: the same integer-picounit table
+  -- operators/retrieval.ndcg_discounts(10) embeds in the Spark plan
+  SELECT r.qid, COUNT(*) AS n_hits, MIN(r.rank) AS first_rank,
+         SUM(([1000000000000, 630929753571, 500000000000, 430676558073,
+               386852807235, 356207187108, 333333333333, 315464876786,
+               301029995664, 289064826318])[r.rank]) AS dcg
   FROM res r JOIN qrels u ON r.qid = u.qid AND r.did = u.did
   GROUP BY r.qid
 )
@@ -5181,7 +5186,12 @@ SELECT reln.qid AS query_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        ROUND(COALESCE(h.n_hits, 0) / reln.n_rel, 6) AS recall_at_k,
        ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS precision_at_k,
-       ROUND(COALESCE(1.0 / h.first_rank, 0), 6) AS reciprocal_rank
+       ROUND(COALESCE(1.0 / h.first_rank, 0), 6) AS reciprocal_rank,
+       ROUND(CAST(COALESCE(h.dcg, 0) AS DOUBLE)
+             / ([1000000000000, 1630929753571, 2130929753571, 2561606311644,
+                 2948459118879, 3304666305987, 3637999639320, 3953464516106,
+                 4254494511770, 4543559338088])[LEAST(reln.n_rel, 10)], 6)
+         AS ndcg_at_k
 FROM reln LEFT JOIN hits h USING (qid)
 ORDER BY query_id
 """

@@ -435,3 +435,44 @@ def test_retrieval_metrics_k_cut_and_validation(spark):
 
     with _p.raises(ValueError):
         retrieval_metrics(results, qrels, k=0)
+
+
+def test_retrieval_metrics_ndcg(spark):
+    import math
+
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        ndcg_discounts,
+        retrieval_metrics,
+    )
+
+    # q1: hits at ranks 1 and 3 of 2 relevant -> DCG = d1+d3, IDCG = d1+d2
+    # q2: hit at rank 2, 5 relevant, k=3 -> IDCG caps at d1+d2+d3
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q1", "c"),
+         ("q2", "y"), ("q2", "r1"), ("q2", "r2"), ("q2", "r3"), ("q2", "r4")],
+        ["query_id", "doc_id"],
+    )
+    got = {
+        r["query_id"]: r["ndcg_at_k"]
+        for r in retrieval_metrics(results, qrels, k=3).collect()
+    }
+    d = ndcg_discounts(3)
+    assert got["q1"] == round((d[0] + d[2]) / (d[0] + d[1]), 6)
+    assert got["q2"] == round(d[1] / (d[0] + d[1] + d[2]), 6)
+    # perfect run -> ndcg exactly 1.0
+    perfect = retrieval_metrics(
+        spark.createDataFrame([("q1", "a", 1), ("q1", "c", 2)],
+                              ["query_id", "doc_id", "rank"]),
+        spark.createDataFrame([("q1", "a"), ("q1", "c")],
+                              ["query_id", "doc_id"]),
+        k=3,
+    ).collect()[0]
+    assert perfect["ndcg_at_k"] == 1.0
+    # discount table is the real 1/log2 curve in picounits
+    for i, v in enumerate(ndcg_discounts(5), 1):
+        assert v == int(round(1e12 / math.log2(i + 1)))
