@@ -167,29 +167,46 @@ def tfidf_top_terms(
 
     tf = in-doc count, idf = ln(N / df) with df = docs containing the
     term (so corpus-universal terms score 0 and never rank). ONE
-    explode + ONE groupBy(doc, term) shuffle (map-side combined); df
-    comes from a term-partitioned COUNT window over that same distinct
-    (doc, term) relation — a separate df-agg branch would re-run the
-    corpus explode (Catalyst duplicates the unpersisted subtree), so
-    the window trades a re-explode of the token stream for one shuffle
-    of the far smaller pair relation. N broadcasts as a one-row cross
-    join; the per-doc rank window's ``rank <= n`` predicate executes as
-    WindowGroupLimit (map-side top-n pruning before the exchange).
+    explode + ONE groupBy(doc, term) shuffle (map-side combined) onto a
+    PERSISTED (doc, term, tf) relation shared by both consumers; df is
+    then ``tf.groupBy(term).count()`` — a partially-aggregated shuffle
+    whose hot-term traffic is map-side combined down to one partial per
+    task, so a stopword with df ≈ N never concentrates N rows in a
+    single task (the failure mode of the previous
+    ``COUNT().over(Window.partitionBy(term))`` shape: window partitions
+    are NOT partially aggregated, so one task would materialize every
+    (doc, term) row of the hottest term — a job-killer at 10¹⁰ docs).
+    The min_df-pruned V-row (term, df) table broadcast-joins back onto
+    tf, so the pair relation itself never reshuffles on term. The
+    persist is what makes the second consumer free — without it
+    Catalyst duplicates the unpersisted subtree and the corpus explode
+    runs twice (same pattern as classifier.py's counts relation). N
+    broadcasts as a one-row cross join; the per-doc rank window's
+    ``rank <= n`` predicate executes as WindowGroupLimit (map-side
+    top-n pruning before the exchange).
     """
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
-    w_term = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+    df_tab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
+    )
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
         .join(F.broadcast(n_docs))
         .select(
             "_id",

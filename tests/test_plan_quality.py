@@ -560,3 +560,21 @@ def test_unimax_mix_corpus_never_shuffles(spark):
 
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e.startswith("rangepartitioning") for e in exchanges), exchanges
+
+
+def test_tfidf_df_stage_has_no_term_window(spark):
+    """TF-IDF's df computation must be a partially-aggregated
+    groupBy(term), NOT a COUNT window partitioned by term (r8 verdict
+    task #1): window partitions are never map-side combined, so a
+    stopword with df ~ N docs would materialize every (doc, term) row
+    of that term in ONE task. The only Window allowed in the plan is
+    the per-doc rank (WindowGroupLimit-pruned); the V-row df table must
+    broadcast back onto the persisted tf relation."""
+    plan = formatted_plan(spark, "tfidf_keywords_docs")
+    # no window specification over term anywhere in the plan details
+    assert "windowspecdefinition(term" not in plan
+    # exactly one Window node: the per-doc rank, map-side pruned
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # df table + N broadcast back
+    assert "SortMergeJoin" not in plan  # tf never reshuffles on term
+    assert "InMemoryTableScan" in plan  # tf persisted, explode runs once
