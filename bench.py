@@ -239,6 +239,11 @@ BENCH_QUERIES = [
     # r8: TREC-style IR evaluation (broadcast queries × one scan +
     # corpus-independent metric joins)
     "retrieval_eval_embeddings",
+    # r9: serving-shape hybrid search (persisted term-stats BM25 — one
+    # corpus scan — fused with persisted-index ANN — zero corpus scans);
+    # compare against hybrid_search_docs' scan-twin median for the
+    # amortization win
+    "hybrid_search_indexed",
     # streaming_profile_docs stays a gate/local-gate key only (three
     # sequential batch writes + a state read — orchestration wall, not
     # per-row cost; same rationale as streaming_exact_dedup_docs).

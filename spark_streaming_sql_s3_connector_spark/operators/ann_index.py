@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+    brute_force_topk,
     ivf_assign,
     ivf_centroids,
     pq_encode,
@@ -838,4 +839,56 @@ def ann_index_topk(
         k=k,
         codebooks=meta["codebooks"],
         code_col="pq_code",
+    )
+
+
+def ann_index_topk_refined(
+    spark: SparkSession,
+    index_dir: str,
+    source_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    overfetch: int = 4,
+    meta: Optional[dict] = None,
+    id_filter: Optional[DataFrame] = None,
+) -> DataFrame:
+    """ADC over-fetch + exact refine — the faiss ``IndexRefineFlat`` /
+    DiskANN serving recipe: serve top-``k*overfetch`` candidates from
+    the persisted code-only index (bucket-pruned, no vector reads),
+    then re-rank ONLY those candidates with their true vectors and cut
+    to ``k``. PQ quantization error perturbs ADC *ranks* even when the
+    candidate *set* is right; the refine step removes the rank noise,
+    so the result order is exact-cosine over the captured set and the
+    only approximation left is candidate recall (tunable via
+    ``n_probe``/``overfetch``).
+
+    The candidate id list is ``k*overfetch`` rows — driver-bounded by
+    construction — and the vector fetch is an ``isin`` filter on
+    ``source_df`` (parquet row-group stats pruning; at cluster scale,
+    an id-keyed vector store lookup). Output schema matches
+    ``similarity.brute_force_topk`` (``neighbor_id | cosine``), so the
+    two are drop-in twins: with every bucket probed and
+    ``k*overfetch >= |corpus|`` the refined serve IS brute force
+    (law-tested)."""
+    if overfetch < 1:
+        raise ValueError("overfetch must be >= 1")
+    cands = ann_index_topk(
+        spark,
+        index_dir,
+        query_vec,
+        k=k * overfetch,
+        n_probe=n_probe,
+        meta=meta,
+        id_filter=id_filter,
+    )
+    cand_ids = [r.neighbor_id for r in cands.collect()]  # k*overfetch rows
+    return brute_force_topk(
+        source_df.where(F.col(id_col).isin(cand_ids)),
+        vec_col,
+        id_col,
+        query_vec,
+        k=k,
     )

@@ -5197,6 +5197,143 @@ ORDER BY query_id
 """
 
 
+def _term_stats_dir_for(sf: str) -> str:
+    """Deterministic on-disk cache for the persisted BM25 term-stats
+    state of one documents corpus — same source-identity keying as
+    :func:`_ann_index_dir_for`, so a regenerated corpus rebuilds
+    instead of serving stale statistics."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = os.path.abspath(src)
+    fp = hashlib.md5(f"{ident}:termstats-v2".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_term_stats", fp)
+
+
+# exact-twin fused ids per (term-stats dir, ann-index dir) — the dirs
+# encode corpus identity (size+mtime fingerprint), so a regenerated
+# corpus recomputes. The self-check's ground truth is instrumentation,
+# not serving work: without this cache every repeat serve would pay the
+# full brute scan twin and the bench median could never show the
+# amortization the serving shape exists for.
+_EXACT_HYBRID_IDS: dict = {}
+
+
+def _hybrid_search_indexed_q(spark, sf):
+    """SERVING-shape hybrid search (r8 verdict task #3): RRF fusion of
+    the two AMORTIZED retriever halves — BM25 over persisted postings
+    state (``streaming/term_stats.bm25_search_postings``: every input
+    is a query-term slice of the inverted index, ZERO corpus scans —
+    query cost O(Σ df(term)), corpus-size independent) and ANN over the
+    persisted IVF-PQ index via ADC over-fetch + exact refine
+    (``operators/ann_index.ann_index_topk_refined``: bucket-pruned
+    code-only candidate fetch, then exact cosine over the
+    k·overfetch captured ids — PQ rank noise removed, only candidate
+    recall remains approximate). Both states build once per corpus
+    (disk-cached, source-identity keyed) — the vector-DB /
+    search-engine serving shape, vs ``hybrid_search_docs``'s
+    ground-truth scan twin (two corpus stats scans + brute cosine over
+    every vector). Compare the two keys' bench medians for the
+    amortization win; `tests/test_retrieval.py`'s law test pins
+    fused-top-15 jaccard overlap vs the scan twin.
+
+    Rows-only key (ANN serving is not SQL-expressible); carries a
+    self-checking ``overlap_ok`` column: jaccard@15 vs the exact twin
+    computed in-plan must clear 0.8 (the lex halves are law-identical;
+    the refined sem half keeps rank order exact over its captured
+    candidates)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+        build_ann_index,
+        index_exists,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        rrf_fuse,
+        with_rank,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        compact_term_stats,
+        postings_exist,
+        term_stats_batch,
+        term_stats_exist,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    stats_dir = _term_stats_dir_for(sf)
+    if not (term_stats_exist(stats_dir) and postings_exist(stats_dir)):
+        term_stats_batch(docs, 0, stats_dir, "text", "doc_id",
+                         with_postings=True)
+        compact_term_stats(spark, stats_dir, upto_batch=0)
+    index_dir = _ann_index_dir_for(sf)
+    if not index_exists(index_dir):
+        emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+        build_ann_index(
+            emb, "embedding", "vec_id", index_dir,
+            n_centroids=16, m_subspaces=16, pq_centroids=256, seed=42,
+        )
+    q = _query_vector(spark, sf)
+    lex = with_rank(
+        bm25_search_postings(
+            spark, ["spark", "join", "stream", "vector"], stats_dir,
+            id_col="doc_id", top_k=20,
+        ),
+        [F.col("score").desc()],
+        "doc_id",
+    )
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    # n_probe = all 16 coarse cells HERE because the synthetic embeddings
+    # are isotropic (no cluster structure), so a single query's global
+    # top-20 scatters across most buckets — measured bucket recall at
+    # n_probe=12 is 12-14/15 fused. Probing all cells still serves the
+    # scale design: the scan reads 16 B codes (not float vectors) and
+    # the exact refine touches only k·overfetch=80 rows. On clusterable
+    # real corpora n_probe << n_centroids is the operating point (the
+    # ann_index_topk recall-floor tests pin that regime).
+    sem = with_rank(
+        ann_index_topk_refined(
+            spark, index_dir, emb, "embedding", "vec_id", q,
+            k=20, n_probe=16, overfetch=4,
+        ).withColumnRenamed("neighbor_id", "doc_id"),
+        [F.col("cosine").desc()],
+        "doc_id",
+    )
+    fused = rrf_fuse([lex, sem], "doc_id", k=60, top_k=15)
+    # in-plan overlap self-check vs the exact scan twin's fused ids
+    # (computed once per corpus — see _EXACT_HYBRID_IDS)
+    ck = (stats_dir, index_dir)
+    if ck not in _EXACT_HYBRID_IDS:
+        _EXACT_HYBRID_IDS[ck] = {
+            int(r.doc_id) for r in _hybrid_search_docs(spark, sf).collect()
+        }
+    exact_ids = _EXACT_HYBRID_IDS[ck]
+    served = fused.collect()  # 15 rows — bounded driver traffic
+    got_ids = {int(r.doc_id) for r in served}
+    jacc = len(got_ids & exact_ids) / max(len(got_ids | exact_ids), 1)
+    ok = jacc >= 0.8
+    return (
+        spark.createDataFrame(
+            [
+                (int(r.doc_id), float(r.rrf_score), int(r.n_lists))
+                for r in served
+            ],
+            "doc_id bigint, rrf_score double, n_lists int",
+        )
+        .select(
+            "doc_id",
+            F.round("rrf_score", 9).alias("rrf_score"),
+            "n_lists",
+            F.lit(bool(ok)).alias("overlap_ok"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -5452,4 +5589,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "retrieval_eval_embeddings": QuerySpec(
         _retrieval_eval_embeddings, _RETRIEVAL_EVAL_SQL
     ),
+    # r9: serving-shape hybrid search — RRF over persisted term-stats
+    # BM25 + persisted IVF-PQ ANN (rows-only; jaccard self-check vs the
+    # exact scan twin)
+    "hybrid_search_indexed": QuerySpec(_hybrid_search_indexed_q, None),
 }

@@ -43,14 +43,30 @@ from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
 
 _TERMS = "terms"
 _CORPUS = "corpus"
+_POSTINGS = "postings"
+# postings files per delta/base: term-hash repartition + within-file term
+# sort so a query's In(term, ...) filter prunes at the parquet row-group
+# level; at cluster scale the same layout is a bucketed-by-term table and
+# a query touches only its terms' buckets
+_POSTINGS_FILES = 8
 
 
 def term_stats_batch(
-    batch: DataFrame, batch_id: int, sink_dir: str, text_col: str, id_col: str
+    batch: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    text_col: str,
+    id_col: str,
+    with_postings: bool = False,
 ) -> None:
     """One micro-batch's contribution: per-term document-frequency
     deltas and the one corpus-totals row, each OVERWRITING this batch's
-    own delta dir (idempotent on replay)."""
+    own delta dir (idempotent on replay). With ``with_postings`` the
+    state also carries a real inverted index — ``term | id | tf | dl``
+    rows, the Lucene postings-list shape — so BM25 can serve with ZERO
+    corpus scans (``bm25_search_postings``); the storage cost is the
+    classic one (O(distinct (doc, term) pairs)) and stays off unless a
+    serving path asks for it."""
     toks = tokenize(F.lower(F.col(text_col)))
     terms = (
         batch.select(F.explode(F.array_distinct(toks)).alias("term"))
@@ -67,6 +83,21 @@ def term_stats_batch(
     corpus.write.mode("overwrite").parquet(
         _delta_dir(os.path.join(sink_dir, _CORPUS), batch_id)
     )
+    if with_postings:
+        postings = (
+            batch.select(
+                F.col(id_col).alias("id"),
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("term"),
+            )
+            .groupBy("term", "id", "dl")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .repartition(_POSTINGS_FILES, "term")
+            .sortWithinPartitions("term")
+        )
+        postings.write.mode("overwrite").parquet(
+            _delta_dir(os.path.join(sink_dir, _POSTINGS), batch_id)
+        )
 
 
 def streaming_term_stats(
@@ -76,6 +107,7 @@ def streaming_term_stats(
     text_col: str,
     id_col: str,
     trigger_available_now: bool = False,
+    with_postings: bool = False,
 ):
     """Maintain BM25 corpus statistics off any stream (incl. the
     s3-connector source). Returns the StreamingQuery. Law (tested):
@@ -83,7 +115,10 @@ def streaming_term_stats(
     equal the batch statistics over the union of admitted docs."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        term_stats_batch(batch, batch_id, sink_dir, text_col, id_col)
+        term_stats_batch(
+            batch, batch_id, sink_dir, text_col, id_col,
+            with_postings=with_postings,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -93,6 +128,13 @@ def streaming_term_stats(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def term_stats_exist(sink_dir: str) -> bool:
+    """True iff ``sink_dir`` holds servable term-stats state (a base
+    pointer or at least one live delta for the corpus totals)."""
+    sub = os.path.join(sink_dir, _CORPUS)
+    return _read_pointer(sub) is not None or bool(_delta_ids(sub))
 
 
 def _live(spark: SparkSession, subdir: str) -> list[DataFrame]:
@@ -140,8 +182,10 @@ def compact_term_stats(
     runs). ``upto_batch`` defaults to the highest delta present — pass
     the last COMMITTED batch id when compacting a live stream, exactly
     as ``streaming/exact_dedup.compact_index`` documents."""
-    for sub, keys in ((_TERMS, ["term"]), (_CORPUS, [])):
+    for sub, keys in ((_TERMS, ["term"]), (_CORPUS, []), (_POSTINGS, None)):
         subdir = os.path.join(sink_dir, sub)
+        if sub == _POSTINGS and not os.path.isdir(subdir):
+            continue  # postings are opt-in state
         ptr = _read_pointer(subdir)
         ids = [
             b
@@ -162,6 +206,14 @@ def compact_term_stats(
             allf = allf.unionByName(f)
         if keys:
             folded = allf.groupBy(*keys).agg(F.sum("df").alias("df"))
+        elif sub == _POSTINGS:
+            # each (term, doc) pair lives in exactly one batch (the
+            # exactly-once precondition above), so postings need no
+            # fold — compaction is file-count hygiene: rewrite the
+            # union in the pruning layout
+            folded = allf.repartition(
+                _POSTINGS_FILES, "term"
+            ).sortWithinPartitions("term")
         else:
             folded = allf.agg(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -257,5 +309,86 @@ def bm25_search_indexed(
             F.round(F.col("_s"), 6).cast("double").alias("score"),
             "n_matched",
             "dl",
+        )
+    )
+
+
+def postings_exist(sink_dir: str) -> bool:
+    """True iff the state carries the opt-in postings table."""
+    sub = os.path.join(sink_dir, _POSTINGS)
+    return _read_pointer(sub) is not None or bool(_delta_ids(sub))
+
+
+def bm25_search_postings(
+    spark: SparkSession,
+    query_terms: Sequence[str],
+    sink_dir: str,
+    id_col: str = "id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 with ZERO corpus scans — the search-engine serving shape:
+    every input is a query-term slice of persisted state. The postings
+    read is pruned by the ``In(term, ...)`` filter (row-group stats in
+    the term-sorted layout; a bucketed-by-term table at cluster scale),
+    so query cost is O(Σ df(term)) — independent of corpus size, unlike
+    ``bm25_search_indexed``'s one scan and ``bm25_search``'s two.
+    Identical arithmetic to both (same ``_bm25_contrib`` decimals, same
+    round-6 cut — equality is law-tested): the sum over a doc's posting
+    rows equals the indexed twin's tf>0-gated column sum because a
+    posting row exists exactly when tf > 0."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        _bm25_contrib,
+    )
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if any(t is None or t == "" or t != t.strip().lower() for t in terms):
+        raise ValueError("query_terms must be lowercase and stripped")
+    dfreq = {
+        r.term: int(r.df)
+        for r in read_term_stats(spark, sink_dir, terms).collect()
+    }
+    tot = read_corpus_stats(spark, sink_dir).collect()[0]
+    n_docs, sum_dl = int(tot.n_docs), int(tot.sum_dl)
+    if n_docs == 0:
+        raise ValueError("term-stats state is empty")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    live = [t for t in terms if dfreq.get(t, 0) > 0]
+    posts = _live(spark, os.path.join(sink_dir, _POSTINGS)).where(
+        F.col("term").isin(live if live else terms)
+    )
+    if not live:
+        return posts.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).alias("n_matched"),
+            F.col("dl").cast("bigint").alias("dl"),
+        ).where(F.lit(False))
+    # df as a literal when-chain (|terms| arms) — the same per-term
+    # literals the scan twins use, so the decimal arithmetic is
+    # bit-identical; no join, nothing broadcast but the plan itself
+    df_lit = F.when(F.col("term") == F.lit(live[0]), F.lit(dfreq[live[0]]))
+    for t in live[1:]:
+        df_lit = df_lit.when(F.col("term") == F.lit(t), F.lit(dfreq[t]))
+    contrib = _bm25_contrib(
+        F.col("tf"), df_lit, F.col("dl"), F.lit(n_docs), avgdl, k1, b
+    )
+    return (
+        posts.select("id", "dl", contrib.alias("_c"))
+        .groupBy("id", "dl")
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+        )
+        .orderBy(F.col("_s").desc(), F.col("id").asc())
+        .limit(top_k)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("_s"), 6).cast("double").alias("score"),
+            "n_matched",
+            F.col("dl").cast("bigint").alias("dl"),
         )
     )

@@ -776,3 +776,63 @@ def test_filtered_batch_serve_matches_filtered_single(spark, built):
         ).collect()
         assert by_q[qid] == [(r.neighbor_id, r.adc_score) for r in single]
         assert all(int(i) % 2 == 0 for i, _ in by_q[qid])
+
+
+def test_refined_serve_with_full_probe_is_brute_force(spark, built):
+    """ann_index_topk_refined's exactness law: with every bucket probed
+    and k*overfetch >= |corpus| the candidate set is the whole corpus,
+    so the exact refine IS brute_force_topk — identical ids, cosines,
+    and order. Any drift here means the refine is re-ranking on
+    something other than true vectors."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+    )
+
+    rows, df, idx, meta = built
+    q = rows[7][1]
+    refined = ann_index_topk_refined(
+        spark, idx, df, "embedding", "vec_id", q,
+        k=6, n_probe=8, overfetch=(len(rows) // 6) + 1,
+    )
+    brute = brute_force_topk(df, "embedding", "vec_id", q, k=6)
+    assert [tuple(r) for r in refined.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
+
+
+def test_refined_serve_beats_adc_rank_noise(spark, built):
+    """The refine step's purpose: pruned ADC serving perturbs ranks via
+    quantization; re-ranking the over-fetched candidates with true
+    vectors must yield top-k recall vs brute at least as high as the
+    raw ADC cut, and the returned cosines must be exact (match brute's
+    values for shared ids)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+    )
+
+    rows, df, idx, meta = built
+    q = rows[33][1]
+    brute = {r.neighbor_id: r.cosine for r in
+             brute_force_topk(df, "embedding", "vec_id", q, k=10).collect()}
+    adc = {r.neighbor_id for r in
+           ann_index_topk(spark, idx, q, k=10, n_probe=4).collect()}
+    refined_rows = ann_index_topk_refined(
+        spark, idx, df, "embedding", "vec_id", q, k=10, n_probe=4, overfetch=4
+    ).collect()
+    refined = {r.neighbor_id for r in refined_rows}
+    assert len(refined & set(brute)) >= len(adc & set(brute))
+    for r in refined_rows:
+        if r.neighbor_id in brute:
+            assert r.cosine == brute[r.neighbor_id]
+
+
+def test_refined_serve_rejects_bad_overfetch(spark, built):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+    )
+
+    rows, df, idx, meta = built
+    with pytest.raises(ValueError, match="overfetch"):
+        ann_index_topk_refined(
+            spark, idx, df, "embedding", "vec_id", rows[0][1], overfetch=0
+        )

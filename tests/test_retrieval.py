@@ -476,3 +476,20 @@ def test_retrieval_metrics_ndcg(spark):
     # discount table is the real 1/log2 curve in picounits
     for i, v in enumerate(ndcg_discounts(5), 1):
         assert v == int(round(1e12 / math.log2(i + 1)))
+
+
+def test_hybrid_indexed_overlaps_scan_twin(spark, sf_dir):
+    """Serving-shape hybrid search law (r8 verdict task #3): the fused
+    top-15 of the AMORTIZED twin (term-stats BM25 + persisted-index ANN
+    with over-fetch + exact refine) must overlap the brute scan twin's
+    fused top-15 at jaccard >= 0.8 on sf0.01, and the key's in-plan
+    self-check column must agree."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    got_rows = qs["hybrid_search_indexed"](spark, sf_dir).collect()
+    exact = {int(r.doc_id) for r in qs["hybrid_search_docs"](spark, sf_dir).collect()}
+    got = {int(r.doc_id) for r in got_rows}
+    jacc = len(got & exact) / len(got | exact)
+    assert jacc >= 0.8, (sorted(got), sorted(exact))
+    assert all(r.overlap_ok for r in got_rows)

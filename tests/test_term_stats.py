@@ -200,3 +200,80 @@ def test_streaming_term_stats_through_connector(spark, tmp_path, sf_dir):
     tot = read_corpus_stats(spark, sink).collect()[0]
     assert got == want_terms
     assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
+
+
+def test_postings_bm25_equals_indexed_bm25(spark, docs, tmp_path):
+    """The zero-corpus-scan serve (postings state) must return the
+    EXACT rows of the one-scan serve (and hence of batch bm25, by the
+    law above): a posting row exists exactly when tf > 0, the df
+    literals come from the same state, and the decimal arithmetic is
+    shared — so the sums, ranks, and round-6 scores are bit-equal.
+    Holds across batched builds, replay, and compaction."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        postings_exist,
+    )
+
+    sink = str(tmp_path / "ts")
+    batches = _batches(docs)
+    for i, b in enumerate(batches):
+        term_stats_batch(b, i, sink, "text", "doc_id", with_postings=True)
+    term_stats_batch(
+        batches[2], 2, sink, "text", "doc_id", with_postings=True
+    )  # replay overwrites, never double-counts
+    assert postings_exist(sink)
+    want = [
+        tuple(r)
+        for r in bm25_search_indexed(
+            docs, "text", "doc_id", TERMS, sink, top_k=15
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, TERMS, sink, id_col="doc_id", top_k=15
+        ).collect()
+    ]
+    assert got == want
+    compact_term_stats(spark, sink)
+    got2 = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, TERMS, sink, id_col="doc_id", top_k=15
+        ).collect()
+    ]
+    assert got2 == want
+
+
+def test_postings_bm25_zero_corpus_scans(spark, docs, tmp_path):
+    """The serving claim itself: every FileScan in the postings-serve
+    plan reads state (postings parquet), never the corpus, and the
+    term filter is pushed to the scan."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    sink = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, sink, "text", "doc_id", with_postings=True)
+    plan = (
+        bm25_search_postings(spark, TERMS, sink, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+    assert "PushedFilters: [In(term" in plan
+    assert "Generate" not in plan and "Window" not in plan
+
+
+def test_postings_bm25_unknown_terms(spark, docs, tmp_path):
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    sink = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, sink, "text", "doc_id", with_postings=True)
+    assert bm25_search_postings(spark, ["zzzznotaword"], sink).collect() == []
+    with pytest.raises(ValueError):
+        bm25_search_postings(spark, [], sink)
