@@ -89,6 +89,20 @@ _BASE_BATCH = "base"
 # are invisible until GC'd. All base labels start with this prefix,
 # which is why append_to_ann_index reserves the whole prefix.
 _COMPACTION_NAME = "compaction.json"
+# r9: id-keyed delete markers (curation deletes documents — exact dedup
+# and span decontamination drop whole docs — and a grow-only index would
+# keep serving their dead ids). Tombstones live under
+# tombstones/batch=<int> with the SAME overwrite-by-batch-dir replay
+# discipline as appends; ORDER is the batch id: a tombstone in batch t
+# kills rows appended in batches < t (base/fold/non-integer rows count
+# as order -1, i.e. any tombstone kills them), so an id deleted in
+# batch 5 and re-inserted in batch 9 serves again — the
+# delete-then-reinsert semantics every LSM index uses. Serving filters
+# to LIVE tombstones (t >= the compaction pointer's fold horizon:
+# a replayed dir below it is partition-pruned, zero IO, exactly like
+# stale corpus batches); compaction applies every tombstone below the
+# new horizon to the folded base and GCs its dir.
+_TOMBSTONES_NAME = "tombstones"
 
 
 def corpus_path(index_dir: str) -> str:
@@ -138,17 +152,74 @@ def _live_batch_filter(pointer: dict):
     ).otherwise(~is_int | (F.col("batch").cast("long") >= upto))
 
 
-def read_index_corpus(spark: SparkSession, index_dir: str, meta: Optional[dict] = None) -> DataFrame:
+def _tombstones_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/" + _TOMBSTONES_NAME
+
+
+def _tombstone_labels(index_dir: str) -> list[int]:
+    """Integer batch labels of tombstone dirs present on disk (no
+    liveness filtering)."""
+    fs, root = filesystem_for(index_dir)
+    try:
+        entries = fs.listdir(fs.join(root, _TOMBSTONES_NAME))
+    except FileNotFoundError:
+        return []
+    out = []
+    for e in entries:
+        name = e.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
+def _row_order() -> F.Column:
+    """A corpus row's position in the append order, from its ``batch``
+    partition label: integer appends keep their id; base/fold and
+    non-integer rows are -1 (older than every tombstone — base rows
+    predate any delete; folded rows had every sub-horizon tombstone
+    applied physically, and a retained tombstone t >= horizon correctly
+    outranks them)."""
+    is_int = F.col("batch").rlike("^[0-9]+$")
+    return F.when(is_int, F.col("batch").cast("long")).otherwise(F.lit(-1))
+
+
+def read_index_corpus(
+    spark: SparkSession,
+    index_dir: str,
+    meta: Optional[dict] = None,
+    upto_batch: Optional[int] = None,
+) -> DataFrame:
     """The LIVE coded corpus of a persisted index — the one reader every
     serve/maintenance path shares. v2 layouts filter to live batch
     labels via the compaction pointer (a partition filter, so stale
-    dirs are pruned before IO); v1 flat layouts have no batch column
-    and read whole."""
+    dirs are pruned before IO) and anti-join live tombstones (broadcast
+    — the delete set is a sliver of the corpus between compactions;
+    indexes that never saw a delete skip this with one metadata call);
+    v1 flat layouts have no batch column and read whole.
+    ``upto_batch`` bounds the TOMBSTONES a replaying trigger may see
+    (t < upto_batch), mirroring :func:`_horizon_filter` on the corpus
+    side — pass it wherever that filter is applied."""
     if meta is None:
         meta = load_index_meta(index_dir)
     df = spark.read.parquet(corpus_path(index_dir))
     if meta.get("format_version") == _FORMAT_VERSION:
-        df = df.where(_live_batch_filter(_read_compaction_pointer(index_dir)))
+        ptr = _read_compaction_pointer(index_dir)
+        df = df.where(_live_batch_filter(ptr))
+        if _tombstone_labels(index_dir):
+            tombs = spark.read.parquet(_tombstones_path(index_dir)).where(
+                F.col("batch").cast("long") >= int(ptr["upto"])
+            )
+            if upto_batch is not None:
+                tombs = tombs.where(F.col("batch").cast("long") < int(upto_batch))
+            tombs = tombs.select(
+                F.col("id").alias("_dead_id"),
+                F.col("batch").cast("long").alias("_dead_t"),
+            )
+            df = df.join(
+                F.broadcast(tombs),
+                (df["id"] == tombs["_dead_id"]) & (_row_order() < tombs["_dead_t"]),
+                "left_anti",
+            )
     return df
 
 
@@ -276,6 +347,53 @@ def append_to_ann_index(
     )
 
 
+def delete_from_ann_index(
+    ids: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    meta: Optional[dict] = None,
+) -> None:
+    """Tombstone ids out of a persisted index — the delete half of the
+    curation lifecycle (exact dedup and span decontamination DROP
+    documents; a grow-only index would keep serving their dead ids as
+    neighbors). Writes the distinct id set under
+    ``tombstones/batch=<batch_id>`` — an OVERWRITE of that batch's own
+    dir, so a foreachBatch replay converges exactly like appends.
+
+    ``batch_id`` is the tombstone's position in the shared append
+    order: it kills rows appended in batches STRICTLY below it (and
+    base/fold rows), so a later re-insert of the same id serves again
+    (LSM delete-then-reinsert semantics). Use the same monotonic batch
+    id sequence as the appends; same-batch appends survive their own
+    batch's deletes.
+
+    Laws (tested): serve/dedup never return a tombstoned id, pre- AND
+    post-compaction; replay of a folded delete converges; re-insert
+    after delete serves again."""
+    if meta is None:
+        meta = load_index_meta(index_dir)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"deletes require a format_version-{_FORMAT_VERSION} index "
+            f"(batch-keyed layout); rebuild {index_dir} with "
+            "build_ann_index to upgrade"
+        )
+    label = str(batch_id)
+    if not label.isdigit():
+        raise ValueError(
+            "tombstone batch_id must be a non-negative integer — ordering "
+            f"against appends is by batch id (got {batch_id!r})"
+        )
+    id_col = meta["id_col"]
+    src = ids.select(F.col(id_col).alias("id")) if id_col in ids.columns else ids.select(F.col("id"))
+    (
+        src.distinct()
+        .coalesce(1)  # a delete batch is tiny; one file per dir
+        .write.mode("overwrite")
+        .parquet(_tombstones_path(index_dir) + f"/batch={label}")
+    )
+
+
 def _corpus_batch_labels(index_dir: str) -> list[str]:
     """Batch labels present under corpus/ (directory names, not live
     filtering) — via the log FS layer so the index may live on an
@@ -345,6 +463,11 @@ def compact_ann_index(
         and int(l) >= upto
         and (upto_batch is None or int(l) < upto_batch)
     )
+    tomb_ids = sorted(
+        t
+        for t in _tombstone_labels(index_dir)
+        if t >= upto and (upto_batch is None or t < upto_batch)
+    )
     fs, root = filesystem_for(index_dir)
 
     def _gc(live_base: str, horizon: int) -> None:
@@ -354,13 +477,23 @@ def compact_ann_index(
             )
             if stale:
                 fs.delete_dir(fs.join(root, _CORPUS_NAME, f"batch={l}"))
+        # applied tombstones (below the fold horizon) are physically
+        # reflected in the live base — their dirs go too; serving
+        # already ignores them via the t >= horizon liveness filter,
+        # so this GC is also crash-safe hygiene, not correctness
+        for t in _tombstone_labels(index_dir):
+            if t < horizon:
+                fs.delete_dir(fs.join(root, _TOMBSTONES_NAME, f"batch={t}"))
 
-    if not fold_ids:
+    if not fold_ids and not tomb_ids:
         _gc(base, upto)  # finish any interrupted prior GC
         return None
-    new_upto = fold_ids[-1] + 1
+    new_upto = max(fold_ids + tomb_ids) + 1
     new_base = f"{_BASE_BATCH}-{new_upto}"
-    fold = read_index_corpus(spark, index_dir, meta).where(
+    # upto_batch=new_upto bounds the anti-join to exactly the committed
+    # tombstones being folded — every row read keeps its REAL batch
+    # order here, so a tombstone never outranks a later re-insert
+    fold = read_index_corpus(spark, index_dir, meta, upto_batch=new_upto).where(
         (F.col("batch") == base)
         | (F.col("batch").rlike("^[0-9]+$") & (F.col("batch").cast("long") < new_upto))
     )
@@ -485,9 +618,9 @@ def ann_index_topk_batch(
         for b in _probe_buckets(meta["centroids"], vec, n_probe):
             bucket_to_q.setdefault(int(b), []).append(qi)
     probes = sorted(bucket_to_q)
-    corpus = read_index_corpus(spark, index_dir, meta).where(
-        F.col("ivf_bucket").isin(probes)
-    )
+    corpus = read_index_corpus(
+        spark, index_dir, meta, upto_batch=upto_batch
+    ).where(F.col("ivf_bucket").isin(probes))
     if upto_batch is not None:
         if meta.get("format_version") != _FORMAT_VERSION:
             raise ValueError("upto_batch requires a batch-keyed (v2) index")

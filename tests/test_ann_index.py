@@ -836,3 +836,153 @@ def test_refined_serve_rejects_bad_overfetch(spark, built):
         ann_index_topk_refined(
             spark, idx, df, "embedding", "vec_id", rows[0][1], overfetch=0
         )
+
+
+# ---------------------------------------------------------------- deletes
+
+
+def _topk_ids(spark, idx, q, k=10, n_probe=8, upto=None):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+
+    return {
+        r.neighbor_id
+        for r in ann_index_topk(spark, idx, q, k=k, n_probe=n_probe).collect()
+    }
+
+
+def test_delete_excludes_ids_pre_and_post_compaction(spark, built):
+    """The r8-verdict tombstone law: build → delete a subset → neither
+    single-query nor batch serving ever returns a deleted id, BEFORE
+    compaction (anti-join path) and AFTER it (rows physically dropped
+    from the folded base, tombstone dir GC'd)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_batch,
+        compact_ann_index,
+        delete_from_ann_index,
+        read_index_corpus,
+    )
+
+    rows, df, idx, meta = built
+    q = rows[21][1]
+    victims = set(_topk_ids(spark, idx, q, k=5))  # the query's own top-5
+    assert victims
+    dead = spark.createDataFrame([(i,) for i in victims], ["vec_id"])
+    delete_from_ann_index(dead, idx, batch_id=1)
+    assert not victims & _topk_ids(spark, idx, q)
+    by_batch = {
+        r.query_id: r.neighbor_id
+        for r in ann_index_topk_batch(
+            spark, idx, [("q0", q)], k=10, n_probe=8
+        ).collect()
+    }
+    assert not victims & set(by_batch.values())
+    # corpus reader (the shared serve/maintenance path) agrees
+    live = {r.id for r in read_index_corpus(spark, idx).select("id").collect()}
+    assert not victims & live
+    assert compact_ann_index(spark, idx) == 2
+    assert not victims & _topk_ids(spark, idx, q)
+    # physically gone, not just filtered: raw scan of the folded base
+    raw = {
+        r.id
+        for r in spark.read.parquet(corpus_path(idx)).select("id").collect()
+    }
+    assert not victims & raw
+    # tombstone dir GC'd
+    assert not os.path.isdir(os.path.join(idx, "tombstones", "batch=1"))
+
+
+def test_replay_of_folded_delete_converges(spark, built):
+    """A foreachBatch replay rewrites a tombstone dir BELOW the fold
+    horizon after compaction applied + GC'd it. The liveness filter
+    (t >= horizon) must make the replayed dir invisible: serving is
+    identical before and after, and the next compaction GCs it."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    rows, df, idx, meta = built
+    q = rows[21][1]
+    victims = sorted(_topk_ids(spark, idx, q, k=3))
+    dead = spark.createDataFrame([(i,) for i in victims], ["vec_id"])
+    delete_from_ann_index(dead, idx, batch_id=1)
+    compact_ann_index(spark, idx)
+    before = _topk_ids(spark, idx, q)
+    delete_from_ann_index(dead, idx, batch_id=1)  # replay of folded delete
+    assert _topk_ids(spark, idx, q) == before
+    compact_ann_index(spark, idx)  # GC pass
+    assert not os.path.isdir(os.path.join(idx, "tombstones", "batch=1"))
+    assert _topk_ids(spark, idx, q) == before
+
+
+def test_reinsert_after_delete_serves_again(spark, built):
+    """LSM delete-then-reinsert: a tombstone kills only rows appended
+    BEFORE it — re-appending the id in a later batch serves again, and
+    the ordering survives compaction (folded rows had their tombstones
+    applied physically; the re-insert folds in untouched)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    rows, df, idx, meta = built
+    q = rows[21][1]
+    victim = sorted(_topk_ids(spark, idx, q, k=1))[0]
+    vrow = [r for r in rows if r[0] == victim]
+    dead = spark.createDataFrame([(victim,)], ["vec_id"])
+    delete_from_ann_index(dead, idx, batch_id=1)
+    assert victim not in _topk_ids(spark, idx, q)
+    append_to_ann_index(
+        spark.createDataFrame(vrow, ["vec_id", "embedding"]), idx, batch_id=2
+    )
+    assert victim in _topk_ids(spark, idx, q)
+    compact_ann_index(spark, idx)
+    assert victim in _topk_ids(spark, idx, q)
+
+
+def test_delete_rejects_non_integer_batch_and_v1(spark, built):
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        delete_from_ann_index,
+    )
+
+    rows, df, idx, meta = built
+    dead = spark.createDataFrame([(1,)], ["vec_id"])
+    with pytest.raises(ValueError, match="integer"):
+        delete_from_ann_index(dead, idx, batch_id="oops")
+    meta_v1 = dict(meta, format_version=1)
+    with pytest.raises(ValueError, match="format_version"):
+        delete_from_ann_index(dead, idx, batch_id=1, meta=meta_v1)
+
+
+def test_semantic_dedup_never_matches_deleted_ids(spark, built):
+    """dedup_against_ann_index consults the index for near-dups; a
+    curation delete must stop the dead id from shadowing new arrivals
+    (else a deleted doc keeps suppressing its future re-ingest)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        dedup_against_ann_index,
+        delete_from_ann_index,
+    )
+
+    rows, df, idx, meta = built
+    # new batch = exact copies of two indexed vectors
+    twins = [r for r in rows if r[0] in (10, 11)]
+    batch = spark.createDataFrame(
+        [(1000 + i, v) for i, (_, v) in enumerate(twins)],
+        ["vec_id", "embedding"],
+    )
+    hits_before = dedup_against_ann_index(
+        batch, idx, threshold=0.9, n_probe=8
+    ).collect()
+    shadows = {r.match_id for r in hits_before}
+    assert shadows  # exact copies must match SOMETHING in their cluster
+    dead = spark.createDataFrame([(i,) for i in shadows], ["vec_id"])
+    delete_from_ann_index(dead, idx, batch_id=1)
+    hits_after = dedup_against_ann_index(
+        batch, idx, threshold=0.9, n_probe=8
+    ).collect()
+    # with their shadows tombstoned, no match may name a dead id — the
+    # screen either finds a different live near-neighbor or none at all
+    assert not shadows & {r.match_id for r in hits_after}
