@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     # r8: TREC-style IR evaluation (broadcast queries × one scan +
     # corpus-independent metric joins)
     "retrieval_eval_embeddings",
+    # r9: graded-gain twin (same run, TREC-graded qrels, 2^rel-1 gains)
+    "retrieval_eval_graded",
     # r9: serving-shape hybrid search (persisted term-stats BM25 — one
     # corpus scan — fused with persisted-index ANN — zero corpus scans);
     # compare against hybrid_search_docs' scan-twin median for the

@@ -5197,6 +5197,115 @@ ORDER BY query_id
 """
 
 
+def _retrieval_eval_graded(spark, sf):
+    """Graded-relevance IR evaluation (r8 verdict task #6): the same
+    label-judged brute-cosine run as ``retrieval_eval_embeddings``, but
+    the qrels carry TREC-style graded labels (deterministic synthetic
+    grades 1..3 = ``1 + vec_id % 3`` on same-label pairs) and nDCG uses
+    the standard ``2^rel − 1`` gains. Gains × picounit discounts stay
+    exact-integer on both engines; IDCG stacks each query's own grades
+    sorted descending (judgment-sized, never corpus-sized). Binary
+    recall/precision/RR are unchanged by grades (grade > 0 = relevant),
+    which the shared-hash columns with the binary key confirm."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+        cosine_sim,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    ).where(F.col("qid") % 100 == 1)
+    paired = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    scored = paired.select(
+        "qid",
+        F.col("vec_id").alias("did"),
+        F.round(
+            cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("did").asc())
+    results = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank")
+    )
+    qrels = (
+        emb.crossJoin(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("qid")) & (F.col("label") == F.col("qlabel")))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            (F.lit(1) + F.col("vec_id") % 3).cast("int").alias("grade"),
+        )
+    )
+    return retrieval_metrics(
+        results, qrels, "query_id", "doc_id", k=10, grade_col="grade"
+    ).orderBy("query_id")
+
+
+def _graded_eval_sql() -> str:
+    """DuckDB mirror of :func:`_retrieval_eval_graded`: identical run +
+    graded qrels; graded DCG via ``(1 << grade) - 1`` integer gains ×
+    the shared picounit discount table; IDCG via a per-query ideal-rank
+    window over the judgments."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        ndcg_discounts,
+    )
+
+    disc = ndcg_discounts(10)
+    arr = "[" + ", ".join(str(d) for d in disc) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 100 = 1
+), scored AS (
+  SELECT q.qid, c.vec_id AS did,
+         ROUND(list_dot_product(c.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.qid
+), res AS (
+  SELECT qid, did, CAST(rank AS INT) AS rank FROM (
+    SELECT qid, did,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), qrels AS (
+  SELECT q.qid, c.vec_id AS did, CAST(1 + c.vec_id % 3 AS INT) AS grade
+  FROM q, embeddings c WHERE c.vec_id != q.qid AND c.label = q.qlabel
+), reln AS (
+  SELECT qid, COUNT(*) AS n_rel FROM qrels GROUP BY qid
+), ideal AS (
+  SELECT qid, SUM(((1::BIGINT << grade) - 1) * ({arr})[irank]) AS idcg
+  FROM (
+    SELECT qid, grade,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY grade DESC) AS irank
+    FROM qrels
+  ) WHERE irank <= 10 GROUP BY qid
+), hits AS (
+  SELECT r.qid, COUNT(*) AS n_hits, MIN(r.rank) AS first_rank,
+         SUM(((1::BIGINT << u.grade) - 1) * ({arr})[r.rank]) AS dcg
+  FROM res r JOIN qrels u ON r.qid = u.qid AND r.did = u.did
+  GROUP BY r.qid
+)
+SELECT reln.qid AS query_id,
+       CAST(reln.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / reln.n_rel, 6) AS recall_at_k,
+       ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS precision_at_k,
+       ROUND(COALESCE(1.0 / h.first_rank, 0), 6) AS reciprocal_rank,
+       ROUND(CAST(COALESCE(h.dcg, 0) AS DOUBLE) / i.idcg, 6) AS ndcg_at_k
+FROM reln LEFT JOIN hits h USING (qid) JOIN ideal i USING (qid)
+ORDER BY query_id
+"""
+
+
 def _term_stats_dir_for(sf: str) -> str:
     """Deterministic on-disk cache for the persisted BM25 term-stats
     state of one documents corpus — same source-identity keying as
@@ -5593,4 +5702,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # BM25 + persisted IVF-PQ ANN (rows-only; jaccard self-check vs the
     # exact scan twin)
     "hybrid_search_indexed": QuerySpec(_hybrid_search_indexed_q, None),
+    # r9: graded-relevance nDCG (2^rel − 1 gains, exact-integer)
+    "retrieval_eval_graded": QuerySpec(
+        _retrieval_eval_graded, _graded_eval_sql()
+    ),
 }

@@ -493,3 +493,60 @@ def test_hybrid_indexed_overlaps_scan_twin(spark, sf_dir):
     jacc = len(got & exact) / len(got | exact)
     assert jacc >= 0.8, (sorted(got), sorted(exact))
     assert all(r.overlap_ok for r in got_rows)
+
+
+def test_graded_metrics_with_unit_grades_equal_binary(spark):
+    """Reduction law: graded nDCG with all grades = 1 (gain 2¹−1 = 1)
+    must reproduce the binary path row-for-row — same exact-integer
+    DCG/IDCG, same rounding."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(2, d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 13), (1, 99), (2, 21), (2, 20)],
+        "query_id int, doc_id int",
+    )
+    binary = retrieval_metrics(results, qrels, k=5).orderBy("query_id")
+    graded = retrieval_metrics(
+        results, qrels.withColumn("grade", F.lit(1)), k=5, grade_col="grade"
+    ).orderBy("query_id")
+    assert [tuple(r) for r in graded.collect()] == [
+        tuple(r) for r in binary.collect()
+    ]
+
+
+def test_graded_ndcg_matches_hand_computed_fixture(spark):
+    """Graded nDCG vs a by-hand TREC example: query 1 retrieves docs
+    ranked (A grade 3, B grade 0/unjudged, C grade 1); judgments also
+    hold D at grade 2 (missed). Gains 2^g−1; discounts 1/log2(r+1)."""
+    import math
+
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [(1, "A", 1), (1, "B", 2), (1, "C", 3)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "A", 3), (1, "C", 1), (1, "D", 2), (1, "E", 0)],
+        "query_id int, doc_id string, grade int",
+    )
+    row = retrieval_metrics(
+        results, qrels, k=5, grade_col="grade"
+    ).collect()[0]
+    # E is grade 0: judged irrelevant, not part of n_rel
+    assert (row.n_rel, row.n_hits) == (3, 2)
+    assert row.recall_at_k == round(2 / 3, 6)
+    assert row.reciprocal_rank == 1.0
+    d = [int(round(1e12 / math.log2(r + 1))) for r in range(1, 6)]
+    dcg = 7 * d[0] + 1 * d[2]          # A@1 gain 7, C@3 gain 1
+    idcg = 7 * d[0] + 3 * d[1] + 1 * d[2]  # ideal: grades 3,2,1
+    assert row.ndcg_at_k == round(dcg / idcg, 6)

@@ -77,6 +77,10 @@ QUERIES = [
     "gopher_gate_docs",
     "c4_gate_docs",
     "hybrid_search_docs",
+    # r9: the serving-shape twin (persisted postings + ANN index;
+    # disk-cache prewarmed so the row measures SERVE — the claim is
+    # corpus-size independence, i.e. a flat row)
+    "hybrid_search_indexed",
     "span_decontaminate_docs",
     "length_buckets_docs",
     "pca_embeddings",
@@ -120,6 +124,13 @@ HEAVY = [
     # contaminated-pair volume) and the composed full-corpus chain
     "span_decontaminate_docs",
     "published_pipeline_docs",
+    # r9 (verdict task #5): the >=2x 0.1->0.5 retrieval/selection rows
+    # whose "linear, fixed-cost-amortized" claim needs the 5->10x
+    # confirmation point the heavy family already has
+    "bm25_search_docs",
+    "hard_negatives_docs",
+    "quality_gate_approx_docs",
+    "cluster_balanced_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
@@ -197,7 +208,7 @@ def main():
     # keys that build a one-time disk-cached artifact (the shared ANN
     # index) on first touch of a scale dir: run once un-timed per sf so
     # the table measures SERVE, not the build (12.9 s vs 2.6 s at sf0.5)
-    PREWARM_DISK_CACHE = {"ann_index_batch_topk"}
+    PREWARM_DISK_CACHE = {"ann_index_batch_topk", "hybrid_search_indexed"}
     for name in QUERIES:
         fn = qs[name]
         times = []
