@@ -156,7 +156,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = entrymod.queries()
-    failures = 0
+    failures = n_match = n_rows_only = 0
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -167,7 +168,22 @@ def main():
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
         print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.1f}s  {msg}", flush=True)
-        failures += 0 if ok else 1
+        if ok:
+            if msg.startswith("rows-only"):
+                n_rows_only += 1
+            else:
+                n_match += 1
+        else:
+            failures += 1
+    # one-line summary (r8 verdict task #8): the match/rows-only split,
+    # machine-greppable, so round artifacts stop re-deriving it from
+    # COVERAGE.md prose
+    print(
+        f"SUMMARY: {n_match + n_rows_only + failures} checked — "
+        f"{n_match} oracle-match, {n_rows_only} rows-only, "
+        f"{failures} FAIL  ({time.time() - t_start:.0f}s)",
+        flush=True,
+    )
     spark.stop()
     sys.exit(1 if failures else 0)
 
