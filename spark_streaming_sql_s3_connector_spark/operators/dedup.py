@@ -546,6 +546,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_jaccard_pairs(
+    df_new: DataFrame,
+    df_base: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = 1000,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Bipartite near-dup join: which NEW documents near-duplicate a
+    BASE corpus (new crawl vs existing training set — the screen every
+    data refresh runs before mixing; also the decontamination shape
+    when ``df_base`` is an eval benchmark). Same inverted-index
+    n-gram-Jaccard arithmetic as :func:`ngram_jaccard_pairs`
+    (law-tested: this equals its output restricted to cross-side
+    pairs), but the candidate generator pairs ONLY across sides:
+    per shingle bucket the two sides' id lists are collected
+    separately and the explode is their cross product — within-side
+    pairs are never materialized, so screening a small delta against a
+    huge base costs |delta-bucket|×|base-bucket| per shingle, not
+    bucket². ``max_shingle_df`` caps the TOTAL bucket population
+    (both sides) exactly like the within-corpus guard.
+
+    Output: ``id_new | id_base | jaccard_sim`` (one row per matched
+    cross pair at/above ``threshold``)."""
+    shingle_expr = (
+        _shingles_udf(shingle_k)(F.col(text_col))
+        if use_arrow
+        else word_shingles(F.col(text_col), shingle_k)
+    )
+
+    def _sh(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.explode_outer(shingle_expr).alias("shingle"),
+            )
+            .where(F.col("shingle").isNotNull())
+            .withColumn("_side", F.lit(side))
+        )
+
+    sh = _sh(df_new, "n").unionByName(_sh(df_base, "b"))
+    sizes = sh.groupBy("_side", "_id").agg(F.count("*").alias("set_size"))
+    grouped = sh.groupBy("shingle").agg(
+        F.collect_list(F.when(F.col("_side") == "n", F.col("_id"))).alias("_ns"),
+        F.collect_list(F.when(F.col("_side") == "b", F.col("_id"))).alias("_bs"),
+    )
+    filtered = grouped.where((F.size("_ns") > 0) & (F.size("_bs") > 0))
+    if max_shingle_df is not None:
+        filtered = filtered.where(
+            F.size("_ns") + F.size("_bs") <= max_shingle_df
+        )
+    cross = F.flatten(
+        F.transform(
+            F.col("_ns"),
+            lambda x: F.transform(
+                F.col("_bs"), lambda y: F.struct(x.alias("n"), y.alias("b"))
+            ),
+        )
+    )
+    overlap = (
+        filtered.select(F.explode_outer(cross).alias("_p"))
+        .groupBy(F.col("_p.n").alias("id_new"), F.col("_p.b").alias("id_base"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sn = sizes.where(F.col("_side") == "n").select(
+        F.col("_id").alias("id_new"), F.col("set_size").alias("size_n")
+    )
+    sb = sizes.where(F.col("_side") == "b").select(
+        F.col("_id").alias("id_base"), F.col("set_size").alias("size_b")
+    )
+    return (
+        overlap.join(sn, "id_new")
+        .join(sb, "id_base")
+        .withColumn(
+            "jaccard_sim",
+            F.col("inter") / (F.col("size_n") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_new", "id_base", "jaccard_sim")
+    )
+
+
 def _union_find_components(edge_rows) -> dict[int, int]:
     """Driver-side union-find (path compression + union by rank) over a
     bounded edge list; returns {node: min id in its component}."""

@@ -5197,6 +5197,70 @@ ORDER BY query_id
 """
 
 
+def _cross_corpus_dedup_docs(spark, sf):
+    """Bipartite near-dup screen (new crawl vs existing training set):
+    even doc_ids play the NEW side, odd the BASE. The candidate
+    generator pairs only across sides — per shingle bucket the two id
+    lists explode as a cross product, so within-side pair volume is
+    never materialized (screening a small delta against a huge base is
+    |delta-bucket|×|base-bucket| per shingle, not bucket²). Same
+    shingling/arithmetic as ``dedup_ngram_jaccard_docs``; equivalence
+    law in pytest pins this to the within-corpus operator's output
+    restricted to cross-parity pairs."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        cross_corpus_jaccard_pairs(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+            "text",
+            "doc_id",
+            threshold=0.5,
+        )
+        .select(
+            "id_new", "id_base", F.round("jaccard_sim", 6).alias("jaccard_sim")
+        )
+        .orderBy("id_new", "id_base")
+    )
+
+
+# same shingling/arithmetic as _NGRAM_JACCARD_SQL, sides split by
+# doc_id parity; the jaccard division has exact integer inputs so the
+# IEEE double (and its 6-dp round) agrees across engines
+_CROSS_CORPUS_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), ov AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_base, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+SELECT id_new, id_base,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard_sim
+FROM ov
+JOIN sz sa ON sa.doc_id = id_new
+JOIN sz sb ON sb.doc_id = id_base
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+ORDER BY id_new, id_base
+"""
+
+
 def _retrieval_eval_graded(spark, sf):
     """Graded-relevance IR evaluation (r8 verdict task #6): the same
     label-judged brute-cosine run as ``retrieval_eval_embeddings``, but
@@ -5705,5 +5769,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r9: graded-relevance nDCG (2^rel − 1 gains, exact-integer)
     "retrieval_eval_graded": QuerySpec(
         _retrieval_eval_graded, _graded_eval_sql()
+    ),
+    # r9: bipartite near-dup screen (new crawl vs training set)
+    "cross_corpus_dedup_docs": QuerySpec(
+        _cross_corpus_dedup_docs, _CROSS_CORPUS_DEDUP_SQL
     ),
 }

@@ -634,3 +634,69 @@ def test_bigram_lm_deterministic(spark):
     b = train_bigram_lm(docs.repartition(13), "text", vocab_size=256, bigram_size=512)
     assert a["bigrams"] == b["bigrams"]
     assert a["unigram"]["vocab"] == b["unigram"]["vocab"]
+
+
+def test_cross_corpus_jaccard_restriction_law(docs_df):
+    """The bipartite screen equals the within-corpus operator's output
+    restricted to cross-side pairs — same shingling, same arithmetic,
+    just no within-side candidates."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    new = docs_df.where(F.col("doc_id") % 2 == 0)
+    base = docs_df.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.id_new, r.id_base): r.jaccard_sim
+        for r in cross_corpus_jaccard_pairs(
+            new, base, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    within = ngram_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()
+    want = {}
+    for r in within:
+        a, b = r.id_a, r.id_b
+        if (a % 2) != (b % 2):
+            want[(a, b) if a % 2 == 0 else (b, a)] = r.jaccard_sim
+    assert got == want
+    # the near-dup pair 0-1 crosses parity, so the screen is non-trivial
+    assert (0, 1) in got
+
+
+def test_cross_corpus_jaccard_never_pairs_within_side(docs_df):
+    """Ids 0 and 3 are exact duplicates but both even (same side): the
+    bipartite generator must not emit them."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    rows = cross_corpus_jaccard_pairs(
+        docs_df.where(F.col("doc_id") % 2 == 0),
+        docs_df.where(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        threshold=0.0,
+    ).collect()
+    for r in rows:
+        assert r.id_new % 2 == 0 and r.id_base % 2 == 1
+
+
+def test_cross_corpus_jaccard_df_cap_guard(docs_df):
+    """max_shingle_df counts BOTH sides' bucket population: with a cap
+    of 2 every shared-shingle bucket of the duplicate trio (0 even,
+    1/3... ) that exceeds it is dropped, so the 0-1 pair disappears."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    got = cross_corpus_jaccard_pairs(
+        docs_df.where(F.col("doc_id") % 2 == 0),
+        docs_df.where(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        threshold=0.3,
+        max_shingle_df=2,
+    ).collect()
+    # docs 0 and 3 (both NEW side) + doc 1 (BASE) share every shingle:
+    # population 3 > 2, dropped
+    assert not [r for r in got if (r.id_new, r.id_base) == (0, 1)]

@@ -81,6 +81,7 @@ QUERIES = [
     # disk-cache prewarmed so the row measures SERVE — the claim is
     # corpus-size independence, i.e. a flat row)
     "hybrid_search_indexed",
+    "cross_corpus_dedup_docs",
     "span_decontaminate_docs",
     "length_buckets_docs",
     "pca_embeddings",
@@ -131,6 +132,8 @@ HEAVY = [
     "hard_negatives_docs",
     "quality_gate_approx_docs",
     "cluster_balanced_docs",
+    # r9: the bipartite member of the gram-explode dedup family
+    "cross_corpus_dedup_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
