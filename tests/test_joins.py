@@ -104,3 +104,93 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------- blocked fuzzy join
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_FUZZY_ROWS_A = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (2, "completely different start of sentence here"),
+    (4, "the quick brown fox jumps over the lazy cat"),
+    (6, "ab"),  # shorter than the prefix: dropped from blocking
+]
+_FUZZY_ROWS_B = [
+    (1, "the quick brown fox jumps over the hazy dog"),
+    (3, "xompletely different start of sentence here"),  # 1st char differs
+    (5, "the quick brown fox leaps over the lazy dog"),
+]
+
+
+def test_blocked_fuzzy_pairs_matches_python_reference(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.joins import (
+        blocked_fuzzy_pairs,
+    )
+
+    a = spark.createDataFrame(_FUZZY_ROWS_A, ["doc_id", "text"])
+    b = spark.createDataFrame(_FUZZY_ROWS_B, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in blocked_fuzzy_pairs(
+            a, b, "text", "doc_id", max_dist=3, prefix_len=8, cap_len=64
+        ).collect()
+    }
+    want = {}
+    for ia, ta in _FUZZY_ROWS_A:
+        for ib, tb in _FUZZY_ROWS_B:
+            na, nb = " ".join(ta.lower().split()), " ".join(tb.lower().split())
+            if len(na) < 8 or len(nb) < 8 or na[:8] != nb[:8]:
+                continue  # the blocking predicate is part of the spec
+            d = _py_lev(na[:64], nb[:64])
+            if d <= 3:
+                want[(ia, ib)] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1
+    # doc 3 is 1 edit from doc 2 but differs INSIDE the prefix:
+    # blocked out by design
+    assert (2, 3) not in got
+
+
+def test_blocked_fuzzy_pairs_block_cap_guard(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.joins import (
+        blocked_fuzzy_pairs,
+    )
+
+    # 3 near-identical A rows share one block; cap 2 drops the block
+    a = spark.createDataFrame(
+        [(i, "the quick brown fox variant %d" % i) for i in range(3)],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(9, "the quick brown fox variant 0")], ["doc_id", "text"]
+    )
+    full = blocked_fuzzy_pairs(a, b, "text", "doc_id", max_dist=2).collect()
+    assert len(full) == 3
+    capped = blocked_fuzzy_pairs(
+        a, b, "text", "doc_id", max_dist=2, max_block=2
+    ).collect()
+    assert capped == []
+
+
+def test_blocked_fuzzy_pairs_rejects_bad_params(spark):
+    import pytest
+
+    from spark_streaming_sql_s3_connector_spark.operators.joins import (
+        blocked_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        blocked_fuzzy_pairs(df, df, "text", "doc_id", max_dist=-1)
+    with pytest.raises(ValueError):
+        blocked_fuzzy_pairs(df, df, "text", "doc_id", cap_len=4, prefix_len=8)

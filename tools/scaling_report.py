@@ -82,6 +82,7 @@ QUERIES = [
     # corpus-size independence, i.e. a flat row)
     "hybrid_search_indexed",
     "cross_corpus_dedup_docs",
+    "fuzzy_match_docs",
     "span_decontaminate_docs",
     "length_buckets_docs",
     "pca_embeddings",
