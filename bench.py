@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "cross_corpus_dedup_docs",
     # r9: blocked fuzzy join (prefix-block equi-join + capped levenshtein)
     "fuzzy_match_docs",
+    # r9: composed refresh flow (exact + near-dup screens + accounting)
+    "corpus_refresh_docs",
     # r9: serving-shape hybrid search (persisted term-stats BM25 — one
     # corpus scan — fused with persisted-index ANN — zero corpus scans);
     # compare against hybrid_search_docs' scan-twin median for the

@@ -5308,6 +5308,120 @@ ORDER BY id_a, id_b
 """
 
 
+def _corpus_refresh_docs(spark, sf):
+    """The composed DATA-REFRESH flow every training-set update runs
+    (r9 integration proof, the `published_pipeline_docs` pattern): a
+    new crawl (even doc_ids) screens against the existing training base
+    (odd doc_ids) in two stages — (1) exact-hash membership (semi join
+    on the 16-byte md5 of normalized text: only hashes shuffle, never
+    bodies; AQE broadcasts when the base fits, falls back to a
+    narrow-key shuffle when it doesn't), then (2) the
+    bipartite near-dup screen (`cross_corpus_jaccard_pairs`: only
+    cross-side candidates materialize) — and reports per-source
+    admission accounting: arrived | dropped_exact | dropped_near_dup |
+    admitted. Near-dup drops are counted only among non-exact rows, so
+    the three buckets partition arrivals (self-checking by row
+    arithmetic in the oracle comparison). One composed hash covers
+    screen + screen + agg."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    key = F.md5(F.encode(normalized_text(F.col("text")), "UTF-8"))
+    base_keys = base.select(key.alias("_k")).distinct()
+    exact_ids = (
+        new.select(F.col("doc_id"), key.alias("_k"))
+        .join(base_keys, "_k", "left_semi")
+        .select("doc_id")
+    )
+    near_ids = (
+        cross_corpus_jaccard_pairs(new, base, "text", "doc_id", threshold=0.5)
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+    )
+    flagged = (
+        new.select("doc_id", "source")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("_e"), F.lit(0)).alias("_e"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("arrived"),
+            F.sum("_e").cast("bigint").alias("dropped_exact"),
+            F.sum(((F.col("_e") == 0) & (F.col("_n") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("dropped_near_dup"),
+            F.sum(((F.col("_e") == 0) & (F.col("_n") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_REFRESH_SQL = r"""
+WITH newd AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+  FROM documents WHERE doc_id % 2 = 0
+), basek AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+  FROM documents WHERE doc_id % 2 = 1
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), ov AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_base, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS sz FROM sh
+), near AS (
+  SELECT DISTINCT id_new AS doc_id
+  FROM ov
+  JOIN sz sa ON sa.doc_id = id_new
+  JOIN sz sb ON sb.doc_id = id_base
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+), flagged AS (
+  SELECT n.source,
+         (n.k IN (SELECT k FROM basek))::INT AS e,
+         (n.doc_id IN (SELECT doc_id FROM near))::INT AS nn
+  FROM newd n
+)
+SELECT source,
+       COUNT(*) AS arrived,
+       CAST(SUM(e) AS BIGINT) AS dropped_exact,
+       CAST(SUM(CASE WHEN e = 0 AND nn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_near_dup,
+       CAST(SUM(CASE WHEN e = 0 AND nn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS admitted
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _retrieval_eval_graded(spark, sf):
     """Graded-relevance IR evaluation (r8 verdict task #6): the same
     label-judged brute-cosine run as ``retrieval_eval_embeddings``, but
@@ -5823,4 +5937,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     ),
     # r9: blocked fuzzy join (record linkage by capped edit distance)
     "fuzzy_match_docs": QuerySpec(_fuzzy_match_docs, _FUZZY_MATCH_SQL),
+    # r9: composed data-refresh flow (exact screen → near-dup screen →
+    # per-source admission accounting)
+    "corpus_refresh_docs": QuerySpec(_corpus_refresh_docs, _CORPUS_REFRESH_SQL),
 }

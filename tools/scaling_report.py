@@ -83,6 +83,7 @@ QUERIES = [
     "hybrid_search_indexed",
     "cross_corpus_dedup_docs",
     "fuzzy_match_docs",
+    "corpus_refresh_docs",
     "span_decontaminate_docs",
     "length_buckets_docs",
     "pca_embeddings",
@@ -133,8 +134,10 @@ HEAVY = [
     "hard_negatives_docs",
     "quality_gate_approx_docs",
     "cluster_balanced_docs",
-    # r9: the bipartite member of the gram-explode dedup family
+    # r9: the bipartite member of the gram-explode dedup family and
+    # the composed refresh chain built on it
     "cross_corpus_dedup_docs",
+    "corpus_refresh_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
