@@ -340,6 +340,95 @@ def minhash_near_dup_pairs(
     )
 
 
+def cross_corpus_minhash_pairs(
+    df_new: DataFrame,
+    df_base: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Bipartite MinHash+LSH screen — the SCALE path for
+    :func:`cross_corpus_jaccard_pairs` (which is exact but pays the
+    full inverted-index pair volume): band signatures on both sides,
+    per (band_idx, band_hash) bucket collect the two sides' id lists
+    SEPARATELY and explode only their cross product, then verify
+    candidates with exact Jaccard over cross-side shingle sets.
+    Candidate recall follows the same LSH S-curve as the within-corpus
+    operator (identical signatures and banding — restriction law in
+    pytest: this equals ``minhash_near_dup_pairs`` restricted to
+    cross-side pairs); verification makes the OUTPUT threshold-exact.
+    Band hashes are uniform, so the bucket join is skew-free without a
+    cap. Output: ``id_new | id_base | jaccard_sim``."""
+    band_udf = _minhash_sig_udf(num_perm, shingle_k, bands=bands)
+
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _spread(df)
+            .select(F.col(id_col).alias("_id"), band_udf(F.col(text_col)).alias("_bh"))
+            .select("_id", F.posexplode_outer("_bh").alias("band_idx", "band_hash"))
+            .withColumn("_side", F.lit(side))
+        )
+
+    banded = _banded(df_new, "n").unionByName(_banded(df_base, "b"))
+    grouped = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.when(F.col("_side") == "n", F.col("_id"))).alias("_ns"),
+        F.collect_list(F.when(F.col("_side") == "b", F.col("_id"))).alias("_bs"),
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("_ns"),
+            lambda x: F.transform(
+                F.col("_bs"),
+                lambda y: F.struct(x.alias("id_new"), y.alias("id_base")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.where((F.size("_ns") > 0) & (F.size("_bs") > 0))
+        .select(F.explode_outer(cross).alias("_p"))
+        .select("_p.id_new", "_p.id_base")
+        .dropDuplicates(["id_new", "id_base"])
+    )
+    if not verify:
+        return pairs
+    pairs = pairs.persist()
+    sa = (
+        _spread(df_new)
+        .join(
+            pairs.select(F.col("id_new").alias("_sid")).distinct(),
+            F.col(id_col) == F.col("_sid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_new"),
+            word_shingles(F.col(text_col), shingle_k).alias("_sa"),
+        )
+    )
+    sb = (
+        _spread(df_base)
+        .join(
+            pairs.select(F.col("id_base").alias("_sid")).distinct(),
+            F.col(id_col) == F.col("_sid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_base"),
+            word_shingles(F.col(text_col), shingle_k).alias("_sb"),
+        )
+    )
+    return (
+        pairs.join(sa, "id_new")
+        .join(sb, "id_base")
+        .withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        .where(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("id_new", "id_base", "jaccard_sim")
+    )
+
+
 def simhash_signature(col, bits: int = 64):
     """SimHash: per token hash, vote +1/-1 on each bit position weighted by
     term frequency; sign of the vote is the signature bit. Expressed with

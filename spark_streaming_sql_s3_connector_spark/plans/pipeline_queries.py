@@ -5261,6 +5261,44 @@ ORDER BY id_new, id_base
 """
 
 
+def _cross_corpus_minhash_docs(spark, sf):
+    """SCALE path of the bipartite screen: MinHash+LSH candidates
+    (cross-side-only explode per band bucket) verified by exact
+    Jaccard. Rows-only for the same reason as ``dedup_minhash_docs``
+    (candidate recall is probabilistic); carries a ``found_exact``
+    self-check column: every EXACT bipartite pair at the operating
+    threshold 0.8 must be found (LSH recall at j >= 0.8 with 32 bands
+    of 4 rows is ~1-10^-4 per the S-curve; the restriction law in
+    pytest pins equality with the within-corpus operator)."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+        cross_corpus_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    got = cross_corpus_minhash_pairs(
+        new, base, "text", "doc_id", jaccard_threshold=0.8
+    )
+    exact = cross_corpus_jaccard_pairs(
+        new, base, "text", "doc_id", threshold=0.8
+    ).select("id_new", "id_base")
+    missed = exact.join(
+        got.select("id_new", "id_base"), ["id_new", "id_base"], "left_anti"
+    )
+    n_missed = missed.count()  # exact pair set: tiny by construction
+    return (
+        got.select(
+            "id_new",
+            "id_base",
+            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+            F.lit(bool(n_missed == 0)).alias("found_exact"),
+        )
+        .orderBy("id_new", "id_base")
+    )
+
+
 def _fuzzy_match_docs(spark, sf):
     """Blocked fuzzy join (record linkage): even-id docs match odd-id
     docs whose normalized 64-char head is within edit distance 5,
@@ -5940,4 +5978,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r9: composed data-refresh flow (exact screen → near-dup screen →
     # per-source admission accounting)
     "corpus_refresh_docs": QuerySpec(_corpus_refresh_docs, _CORPUS_REFRESH_SQL),
+    # r9: scale path of the bipartite screen (rows-only; found_exact
+    # self-check vs the exact twin)
+    "cross_corpus_minhash_docs": QuerySpec(_cross_corpus_minhash_docs, None),
 }

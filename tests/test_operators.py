@@ -700,3 +700,51 @@ def test_cross_corpus_jaccard_df_cap_guard(docs_df):
     # docs 0 and 3 (both NEW side) + doc 1 (BASE) share every shingle:
     # population 3 > 2, dropped
     assert not [r for r in got if (r.id_new, r.id_base) == (0, 1)]
+
+
+def test_cross_corpus_minhash_restriction_law(docs_df):
+    """The bipartite MinHash screen equals the within-corpus operator's
+    output restricted to cross-side pairs: identical signatures and
+    banding give identical cross-side candidacy, and verification makes
+    both threshold-exact over the same shingle arithmetic."""
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_minhash_pairs,
+    )
+
+    got = {
+        (r.id_new, r.id_base): r.jaccard_sim
+        for r in cross_corpus_minhash_pairs(
+            docs_df.where(F.col("doc_id") % 2 == 0),
+            docs_df.where(F.col("doc_id") % 2 == 1),
+            "text",
+            "doc_id",
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    within = minhash_near_dup_pairs(
+        docs_df, "text", "doc_id", jaccard_threshold=0.5
+    ).collect()
+    want = {}
+    for r in within:
+        a, b = r.id_a, r.id_b
+        if (a % 2) != (b % 2):
+            want[(a, b) if a % 2 == 0 else (b, a)] = r.jaccard_sim
+    assert got == want
+    assert (0, 1) in got  # the planted near-dup crosses parity
+
+
+def test_cross_corpus_minhash_candidates_only_cross_side(docs_df):
+    from spark_streaming_sql_s3_connector_spark.operators.dedup import (
+        cross_corpus_minhash_pairs,
+    )
+
+    rows = cross_corpus_minhash_pairs(
+        docs_df.where(F.col("doc_id") % 2 == 0),
+        docs_df.where(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        verify=False,
+    ).collect()
+    assert rows  # exact dups 0/3 vs 1 share every band
+    for r in rows:
+        assert r.id_new % 2 == 0 and r.id_base % 2 == 1
