@@ -578,3 +578,34 @@ def test_tfidf_df_stage_has_no_term_window(spark):
     assert "BroadcastHashJoin" in plan  # df table + N broadcast back
     assert "SortMergeJoin" not in plan  # tf never reshuffles on term
     assert "InMemoryTableScan" in plan  # tf persisted, explode runs once
+
+
+def test_fuzzy_match_no_cartesian_and_pruned_scan(spark):
+    """The blocked fuzzy join must plan as an EQUI-join on the block
+    key — a CartesianProduct (or BroadcastNestedLoop) here means the
+    blocking predicate fell out of the join condition and the operator
+    went all-pairs. Levenshtein stays a post-join filter, JVM-side."""
+    plan = formatted_plan(spark, "fuzzy_match_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: the documents scans read only id + text
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "source" not in line and "lang" not in line
+
+
+def test_cross_corpus_dedup_single_bucket_shuffle(spark):
+    """The bipartite screen's candidate stage is ONE shuffle keyed on
+    the shingle (two side scans union map-side, collect_list partials
+    combine); within-side pairs never materialize, so no self-join of
+    the exploded relation appears (no SortMergeJoin on shingle)."""
+    plan = formatted_plan(spark, "cross_corpus_dedup_docs")
+    assert "CartesianProduct" not in plan
+    # overlap joins sizes by id: broadcast or SMJ on narrow ids is fine,
+    # but a join keyed on the shingle column would be the self-join
+    # shape this operator exists to avoid
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "shingle" not in line

@@ -277,3 +277,76 @@ def test_postings_bm25_unknown_terms(spark, docs, tmp_path):
     assert bm25_search_postings(spark, ["zzzznotaword"], sink).collect() == []
     with pytest.raises(ValueError):
         bm25_search_postings(spark, [], sink)
+
+
+def test_streaming_postings_through_connector(spark, tmp_path, sf_dir):
+    """End-to-end with the opt-in postings table: docs arrive through
+    the s3-connector source (with a duplicate re-delivery),
+    streaming_term_stats maintains postings, and the zero-corpus-scan
+    serve equals batch BM25 over the admitted union."""
+    import os
+
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.sources.datasource import (
+        register,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        streaming_term_stats,
+    )
+
+    register(spark)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    work = tmp_path / "work"
+    data = work / "data"
+    qdir = work / "q"
+    sink = str(work / "ts")
+    ckpt = str(work / "ckpt")
+    os.makedirs(data)
+    paths = []
+    for i in range(2):
+        p = str(data / f"part{i}.parquet")
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    client = LocalFileQueueClient(f"local://{qdir}")
+    for p in paths:
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                client.send_file_event(os.path.join(p, f), 1_700_000_000_000)
+    for f in os.listdir(paths[0]):  # duplicate re-delivery
+        if f.endswith(".parquet"):
+            client.send_file_event(os.path.join(paths[0], f), 1_700_000_000_000)
+    stream = (
+        spark.readStream.format("s3-connector")
+        .schema(docs.schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{qdir}")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.metadataPath", str(work / "meta"))
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .load()
+    )
+    q = streaming_term_stats(
+        stream, sink, ckpt, "text", "doc_id",
+        trigger_available_now=True, with_postings=True,
+    )
+    q.awaitTermination(120)
+    want = [
+        tuple(r)
+        for r in bm25_search(docs, "text", "doc_id", TERMS, top_k=10).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, TERMS, sink, id_col="doc_id", top_k=10
+        ).collect()
+    ]
+    assert got == want
