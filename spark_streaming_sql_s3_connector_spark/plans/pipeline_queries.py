@@ -5261,6 +5261,11 @@ ORDER BY id_new, id_base
 """
 
 
+# exact bipartite pair sets per corpus — self-check ground truth (see
+# _EXACT_HYBRID_IDS for the caching rationale)
+_EXACT_CROSS_PAIRS: dict = {}
+
+
 def _cross_corpus_minhash_docs(spark, sf):
     """SCALE path of the bipartite screen: MinHash+LSH candidates
     (cross-side-only explode per band bucket) verified by exact
@@ -5281,13 +5286,20 @@ def _cross_corpus_minhash_docs(spark, sf):
     got = cross_corpus_minhash_pairs(
         new, base, "text", "doc_id", jaccard_threshold=0.8
     )
-    exact = cross_corpus_jaccard_pairs(
-        new, base, "text", "doc_id", threshold=0.8
-    ).select("id_new", "id_base")
-    missed = exact.join(
-        got.select("id_new", "id_base"), ["id_new", "id_base"], "left_anti"
-    )
-    n_missed = missed.count()  # exact pair set: tiny by construction
+    # ground-truth instrumentation, cached per corpus like
+    # _EXACT_HYBRID_IDS: repeat bench reps measure the LSH screen, not
+    # the exact twin that checks it
+    ck = os.path.abspath(os.path.join(sf, "documents.parquet"))
+    if ck not in _EXACT_CROSS_PAIRS:
+        _EXACT_CROSS_PAIRS[ck] = {
+            (r.id_new, r.id_base)
+            for r in cross_corpus_jaccard_pairs(
+                new, base, "text", "doc_id", threshold=0.8
+            ).select("id_new", "id_base").collect()
+        }
+    got = got.persist()
+    found = {(r.id_new, r.id_base) for r in got.select("id_new", "id_base").collect()}
+    n_missed = len(_EXACT_CROSS_PAIRS[ck] - found)
     return (
         got.select(
             "id_new",
