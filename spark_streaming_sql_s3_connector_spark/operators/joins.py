@@ -77,7 +77,7 @@ def blocked_fuzzy_pairs(
     max_dist: int = 3,
     prefix_len: int = 8,
     cap_len: int = 64,
-    max_block: int = 1000,
+    max_block_pairs: int = 100_000,
 ) -> DataFrame:
     """Record linkage by edit distance with prefix blocking — the
     classic fuzzy-join recipe (match near-identical titles/names/URLs
@@ -89,44 +89,51 @@ def blocked_fuzzy_pairs(
        all-pairs. (Blocking is approximate BY DESIGN: a pair whose
        difference falls inside the prefix is missed; widen recall by
        unioning several blocking keys.)
-    2. Inside a block, ``levenshtein`` over the first ``cap_len``
-       chars — the cap bounds the O(len²) DP cell count per pair.
-    3. ``max_block`` drops degenerate blocks on BOTH sides (a block of
-       n_a × n_b rows emits that many DP computations; a stop-prefix
-       would hot-spot one task) — the same skew-guard discipline as
-       the shingle df cap in the dedup family.
+    2. Inside a block, THRESHOLD-BANDED ``levenshtein(a, b, max_dist)``
+       over the first ``cap_len`` chars — Spark's 3-arg form abandons
+       the DP once the distance provably exceeds the bound, so a
+       non-match costs O(len·max_dist) cells, not O(len²); the length
+       cap bounds the match cost.
+    3. ``max_block_pairs`` drops blocks whose CROSS-PAIR volume
+       n_a × n_b exceeds the bound. Guarding pair volume (not per-side
+       population) is what survives hot blocks: a corpus of
+       near-identical boilerplate puts thousands of rows behind one
+       prefix, and n_a × n_b grows quadratically in corpus scale while
+       either side alone looks innocent — measured 36× wall blow-up at
+       5× data under a per-side cap before this guard.
 
     Output: ``id_a | id_b | edit_dist`` for pairs at/below
     ``max_dist``. Exactly SQL-mirrorable (classic Levenshtein in both
-    engines; the blocking predicate is part of the spec, so the oracle
-    applies it too)."""
+    engines — the banded form returns the same distance for kept rows;
+    the blocking predicate and the pair-volume cap are part of the
+    spec, so the oracle applies them too)."""
     if max_dist < 0 or prefix_len < 1 or cap_len < prefix_len:
         raise ValueError("need max_dist >= 0, prefix_len >= 1, cap_len >= prefix_len")
 
     def _prep(df: DataFrame, tag: str) -> DataFrame:
         norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-        out = df.select(
+        return df.select(
             F.col(id_col).alias(f"id_{tag}"),
             F.substring(norm, 1, prefix_len).alias("_blk"),
             F.substring(norm, 1, cap_len).alias(f"_s_{tag}"),
         ).where(F.length("_blk") >= prefix_len)
-        if max_block is not None:
-            counts = out.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
-            out = (
-                out.join(
-                    F.broadcast(counts.where(F.col("_n") <= max_block)), "_blk"
-                ).drop("_n")
-            )
-        return out
 
     a = _prep(df_a, "a")
     b = _prep(df_b, "b")
+    if max_block_pairs is not None:
+        ca = a.groupBy("_blk").agg(F.count(F.lit(1)).alias("_na"))
+        cb = b.groupBy("_blk").agg(F.count(F.lit(1)).alias("_nb"))
+        ok = (
+            ca.join(cb, "_blk")
+            .where(F.col("_na") * F.col("_nb") <= max_block_pairs)
+            .select("_blk")
+        )
+        a = a.join(F.broadcast(ok), "_blk")
+        b = b.join(F.broadcast(ok), "_blk")
+    dist = F.levenshtein(F.col("_s_a"), F.col("_s_b"), max_dist)
     return (
         a.join(b, "_blk")
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("_s_a"), F.col("_s_b")).alias("edit_dist"),
-        )
-        .where(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+        # the banded form spells "above threshold" as -1
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )

@@ -5345,14 +5345,18 @@ WITH n AS (
 ), a AS (
   SELECT doc_id AS id_a, substr(t, 1, 8) AS blk, substr(t, 1, 64) AS s
   FROM n WHERE doc_id % 2 = 0 AND length(substr(t, 1, 8)) >= 8
-  QUALIFY COUNT(*) OVER (PARTITION BY substr(t, 1, 8)) <= 1000
 ), b AS (
   SELECT doc_id AS id_b, substr(t, 1, 8) AS blk, substr(t, 1, 64) AS s
   FROM n WHERE doc_id % 2 = 1 AND length(substr(t, 1, 8)) >= 8
-  QUALIFY COUNT(*) OVER (PARTITION BY substr(t, 1, 8)) <= 1000
+), ok AS (
+  -- the pair-volume cap is part of the operator spec
+  SELECT ca.blk FROM
+    (SELECT blk, COUNT(*) AS na FROM a GROUP BY blk) ca
+    JOIN (SELECT blk, COUNT(*) AS nb FROM b GROUP BY blk) cb USING (blk)
+  WHERE ca.na * cb.nb <= 100000
 )
 SELECT id_a, id_b, CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
-FROM a JOIN b ON a.blk = b.blk
+FROM a JOIN ok USING (blk) JOIN b ON a.blk = b.blk
 WHERE levenshtein(a.s, b.s) <= 5
 ORDER BY id_a, id_b
 """

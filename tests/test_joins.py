@@ -161,12 +161,14 @@ def test_blocked_fuzzy_pairs_matches_python_reference(spark):
     assert (2, 3) not in got
 
 
-def test_blocked_fuzzy_pairs_block_cap_guard(spark):
+def test_blocked_fuzzy_pairs_pair_volume_cap_guard(spark):
     from spark_streaming_sql_s3_connector_spark.operators.joins import (
         blocked_fuzzy_pairs,
     )
 
-    # 3 near-identical A rows share one block; cap 2 drops the block
+    # 3 near-identical A rows x 1 B row share one block: pair volume 3;
+    # a cap of 2 drops the block — the guard bounds n_a x n_b, not the
+    # per-side population (hot-boilerplate blocks grow quadratically)
     a = spark.createDataFrame(
         [(i, "the quick brown fox variant %d" % i) for i in range(3)],
         ["doc_id", "text"],
@@ -177,7 +179,7 @@ def test_blocked_fuzzy_pairs_block_cap_guard(spark):
     full = blocked_fuzzy_pairs(a, b, "text", "doc_id", max_dist=2).collect()
     assert len(full) == 3
     capped = blocked_fuzzy_pairs(
-        a, b, "text", "doc_id", max_dist=2, max_block=2
+        a, b, "text", "doc_id", max_dist=2, max_block_pairs=2
     ).collect()
     assert capped == []
 
