@@ -92,6 +92,8 @@ QUERIES = [
     "unimax_mix_docs",
     "published_pipeline_docs",
     "retrieval_eval_embeddings",
+    "retrieval_eval_graded",
+    "cross_corpus_minhash_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -138,6 +140,8 @@ HEAVY = [
     # the composed refresh chain built on it
     "cross_corpus_dedup_docs",
     "corpus_refresh_docs",
+    # r9: hot-block sensitivity caught by this sweep (36x pre-fix)
+    "fuzzy_match_docs",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
@@ -215,7 +219,13 @@ def main():
     # keys that build a one-time disk-cached artifact (the shared ANN
     # index) on first touch of a scale dir: run once un-timed per sf so
     # the table measures SERVE, not the build (12.9 s vs 2.6 s at sf0.5)
-    PREWARM_DISK_CACHE = {"ann_index_batch_topk", "hybrid_search_indexed"}
+    PREWARM_DISK_CACHE = {
+        "ann_index_batch_topk",
+        "hybrid_search_indexed",
+        # caches the exact-twin ground truth so the timed run measures
+        # the LSH screen, not its self-check
+        "cross_corpus_minhash_docs",
+    }
     for name in QUERIES:
         fn = qs[name]
         times = []
