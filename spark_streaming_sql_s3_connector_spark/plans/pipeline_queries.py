@@ -5311,6 +5311,53 @@ def _cross_corpus_minhash_docs(spark, sf):
     )
 
 
+def _quantize_embeddings_docs(spark, sf):
+    """Per-vector int8 scalar quantization of the embeddings table
+    (the 4×-smaller storage/shuffle format for a corpus-scale embedding
+    column), hashed via per-vector summaries (scale, Σq, min, max) so
+    the oracle checks EVERY element's quantized value through exact
+    integer sums without shipping arrays. floor(x/scale + 0.5) is the
+    spec — bit-identical across engines, unlike round()'s half-even
+    vs half-up split."""
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id", bits=8)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.aggregate(
+            "q_embedding", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q_embedding").cast("int").alias("q_min"),
+        F.array_max("q_embedding").cast("int").alias("q_max"),
+    ).orderBy("vec_id")
+
+
+_QUANTIZE_EMBEDDINGS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+), q AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(floor(x / (m / 127.0) + 0.5) AS INT)) END AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(CASE WHEN m = 0 THEN 0.0 ELSE m / 127.0 END, 9) AS q_scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
+
 def _fuzzy_match_docs(spark, sf):
     """Blocked fuzzy join (record linkage): even-id docs match odd-id
     docs whose normalized 64-char head is within edit distance 5,
@@ -5997,4 +6044,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r9: scale path of the bipartite screen (rows-only; found_exact
     # self-check vs the exact twin)
     "cross_corpus_minhash_docs": QuerySpec(_cross_corpus_minhash_docs, None),
+    # r9: int8 embedding quantization (element-exact via summary sums)
+    "quantize_embeddings_docs": QuerySpec(
+        _quantize_embeddings_docs, _QUANTIZE_EMBEDDINGS_SQL
+    ),
 }

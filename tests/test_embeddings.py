@@ -232,3 +232,90 @@ def test_cluster_balanced_validation_and_plan(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- scalar quantization
+
+
+def test_quantize_embeddings_numpy_parity_and_error_bound(spark):
+    """Quantized values match the numpy reference exactly; dequantized
+    per-element error is bounded by scale/2 (the symmetric-quantizer
+    guarantee the 4x storage saving is priced at)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(12)]) for i in range(40)
+    ] + [(99, [0.0] * 12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (list(r.q_embedding), r.q_scale)
+        for r in quantize_embeddings(df, "embedding", "vec_id").collect()
+    }
+    for i, v in rows:
+        arr = np.asarray(v, dtype=np.float64)
+        m = float(np.max(np.abs(arr)))
+        qv, scale = got[i]
+        if m == 0.0:
+            assert qv == [0] * 12 and scale == 0.0
+            continue
+        s = m / 127.0
+        want = [int(math.floor(x / s + 0.5)) for x in arr]
+        assert qv == want
+        assert scale == s
+        assert all(abs(q) <= 127 for q in qv)
+        # dequant error bound
+        for q, x in zip(qv, arr):
+            assert abs(q * s - x) <= s / 2 + 1e-12
+
+
+def test_quantize_embeddings_preserves_cosine(spark):
+    """int8 is the CANDIDATE format: cosine over dequantized vectors
+    must track true cosine closely (abs err well under the quantization
+    noise budget for 64-dim unit-ish vectors)."""
+    import random
+
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: np.asarray(r.q_embedding, dtype=np.float64) * r.q_scale
+        for r in quantize_embeddings(df, "embedding", "vec_id").collect()
+    }
+    orig = {i: np.asarray(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for a in range(0, 30, 7):
+        for b in range(1, 30, 11):
+            if a == b:
+                continue
+            assert abs(cos(got[a], got[b]) - cos(orig[a], orig[b])) < 0.01
+
+
+def test_quantize_embeddings_rejects_bad_bits(spark):
+    import pytest
+
+    from spark_streaming_sql_s3_connector_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, [0.5])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, "embedding", "vec_id", bits=1)
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, "embedding", "vec_id", bits=32)

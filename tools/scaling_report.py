@@ -94,6 +94,7 @@ QUERIES = [
     "retrieval_eval_embeddings",
     "retrieval_eval_graded",
     "cross_corpus_minhash_docs",
+    "quantize_embeddings_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
