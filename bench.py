@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "cross_corpus_minhash_docs",
     # r9: int8 embedding quantization (scan-local, zero shuffles)
     "quantize_embeddings_docs",
+    # r9: embedding-modality drift (per-dim decimal-exact moments)
+    "embedding_drift_docs",
     # r9: serving-shape hybrid search (persisted term-stats BM25 — one
     # corpus scan — fused with persisted-index ANN — zero corpus scans);
     # compare against hybrid_search_docs' scan-twin median for the

@@ -248,3 +248,67 @@ def numeric_drift(
     return _drift_join(
         _share_profile(old, b), _share_profile(new, b), smoothing
     ).orderBy("bucket")
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str,
+) -> DataFrame:
+    """Per-dimension drift of an embedding column across two snapshots —
+    the embedding-modality member of the drift plane (a model/encoder
+    swap or a source-mix change shifts the embedding distribution long
+    before any categorical column moves).
+
+    Returns ``dim | mean_old | mean_new | var_old | var_new |
+    mean_shift`` (one row per dimension; ``mean_shift`` = |Δmean| /
+    √(var_old + ε), a per-dim standardized effect size whose MAX or SUM
+    is the drift score). Shape: ONE posexplode + a dim-keyed partial
+    agg per side — the shuffle carries d rows per partition, never the
+    vectors; cost is linear in corpus with map-side combine, flat in
+    dimension count.
+
+    FP discipline (the `_q6` pattern): elements pre-round to 6-dp
+    DECIMAL before the sums, so Spark's partial-agg tree and a
+    single-threaded SQL fold produce hash-identical totals; only the
+    final moments divide back to double (9-dp)."""
+    d6 = "decimal(18,6)"
+    dsum = "decimal(38,6)"
+    # squares of 6-dp decimals are EXACT at scale 12 — summing at
+    # (38,12) avoids a per-element re-round whose half-cases engines
+    # resolve differently (observed 1e-7 var drift at scale 6)
+    dsq = "decimal(38,12)"
+
+    def _moments(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "_x")
+        ).select(
+            "dim",
+            F.round(F.col("_x").cast("double"), 6).cast(d6).alias("_x"),
+        )
+        return e.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"_n_{tag}"),
+            F.sum(F.col("_x").cast(dsum)).alias(f"_s_{tag}"),
+            F.sum(
+                (F.col("_x") * F.col("_x")).cast(dsq)
+            ).alias(f"_ss_{tag}"),
+        )
+
+    mo = _moments(old, "o")
+    mn = _moments(new, "n")
+    j = mo.join(mn, "dim")
+    mean_o = F.col("_s_o").cast("double") / F.col("_n_o")
+    mean_n = F.col("_s_n").cast("double") / F.col("_n_n")
+    var_o = F.col("_ss_o").cast("double") / F.col("_n_o") - mean_o * mean_o
+    var_n = F.col("_ss_n").cast("double") / F.col("_n_n") - mean_n * mean_n
+    eps = F.lit(1e-12)
+    return j.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(mean_o, 9).alias("mean_old"),
+        F.round(mean_n, 9).alias("mean_new"),
+        F.round(var_o, 9).alias("var_old"),
+        F.round(var_n, 9).alias("var_new"),
+        F.round(
+            F.abs(mean_n - mean_o) / F.sqrt(var_o + eps), 9
+        ).alias("mean_shift"),
+    ).orderBy("dim")

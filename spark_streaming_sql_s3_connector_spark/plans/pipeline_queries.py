@@ -5311,6 +5311,57 @@ def _cross_corpus_minhash_docs(spark, sf):
     )
 
 
+def _embedding_drift_docs(spark, sf):
+    """Embedding-modality drift between two snapshots (even vs odd
+    vec_ids play old/new): per-dimension decimal-exact moments + the
+    standardized mean-shift effect size. One posexplode + dim-keyed
+    partial agg per side — the shuffle carries d rows per partition."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_drift,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "embedding",
+    )
+
+
+_EMBEDDING_DRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, t.i - 1 AS dim,
+         CAST(ROUND(v[t.i], 6) AS DECIMAL(18,6)) AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t
+), mo AS (
+  SELECT dim, COUNT(*) AS n_o,
+         SUM(CAST(x AS DECIMAL(38,6))) AS s_o,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS ss_o
+  FROM ex WHERE vec_id % 2 = 0 GROUP BY dim
+), mn AS (
+  SELECT dim, COUNT(*) AS n_n,
+         SUM(CAST(x AS DECIMAL(38,6))) AS s_n,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS ss_n
+  FROM ex WHERE vec_id % 2 = 1 GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       ROUND(s_o::DOUBLE / n_o, 9) AS mean_old,
+       ROUND(s_n::DOUBLE / n_n, 9) AS mean_new,
+       ROUND(ss_o::DOUBLE / n_o - (s_o::DOUBLE / n_o) * (s_o::DOUBLE / n_o), 9)
+         AS var_old,
+       ROUND(ss_n::DOUBLE / n_n - (s_n::DOUBLE / n_n) * (s_n::DOUBLE / n_n), 9)
+         AS var_new,
+       ROUND(abs(s_n::DOUBLE / n_n - s_o::DOUBLE / n_o)
+             / sqrt(ss_o::DOUBLE / n_o
+                    - (s_o::DOUBLE / n_o) * (s_o::DOUBLE / n_o) + 1e-12), 9)
+         AS mean_shift
+FROM mo JOIN mn USING (dim)
+ORDER BY dim
+"""
+
+
 def _quantize_embeddings_docs(spark, sf):
     """Per-vector int8 scalar quantization of the embeddings table
     (the 4×-smaller storage/shuffle format for a corpus-scale embedding
@@ -6047,5 +6098,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r9: int8 embedding quantization (element-exact via summary sums)
     "quantize_embeddings_docs": QuerySpec(
         _quantize_embeddings_docs, _QUANTIZE_EMBEDDINGS_SQL
+    ),
+    # r9: embedding-modality drift (per-dim decimal-exact moments)
+    "embedding_drift_docs": QuerySpec(
+        _embedding_drift_docs, _EMBEDDING_DRIFT_SQL
     ),
 }

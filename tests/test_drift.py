@@ -139,3 +139,48 @@ def test_drift_detects_planted_shift(spark):
     psi = sum(r["psi_term"] for r in rows)
     # (0.6-0.8)ln(0.6/0.8) + (0.4-0.2)ln(0.4/0.2) ~ 0.196
     assert 0.1 < psi < 0.3
+
+
+def test_embedding_drift_numpy_parity(spark):
+    """Per-dim moments match numpy computed on the 6-dp-rounded
+    elements (the operator's spec'd grid), and mean_shift is the
+    standardized effect size."""
+    import random
+
+    import numpy as np
+
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_drift,
+    )
+
+    rng = random.Random(3)
+    old = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(50)]
+    new = [(i, [rng.gauss(0.3, 1.2) for _ in range(6)]) for i in range(40)]
+    got = embedding_drift(
+        spark.createDataFrame(old, ["id", "v"]),
+        spark.createDataFrame(new, ["id", "v"]),
+        "v",
+    ).collect()
+    ao = np.round(np.asarray([v for _, v in old]), 6)
+    an = np.round(np.asarray([v for _, v in new]), 6)
+    assert [r.dim for r in got] == list(range(6))
+    for r in got:
+        d = r.dim
+        mo, mn = ao[:, d].mean(), an[:, d].mean()
+        vo = (ao[:, d] ** 2).mean() - mo * mo
+        vn = (an[:, d] ** 2).mean() - mn * mn
+        assert abs(r.mean_old - mo) < 1e-8 and abs(r.mean_new - mn) < 1e-8
+        assert abs(r.var_old - vo) < 1e-8 and abs(r.var_new - vn) < 1e-8
+        assert abs(r.mean_shift - abs(mn - mo) / (vo + 1e-12) ** 0.5) < 1e-7
+
+
+def test_embedding_drift_identical_snapshots_zero_shift(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_drift,
+    )
+
+    rows = [(i, [float(i % 5), 1.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    for r in embedding_drift(df, df, "v").collect():
+        assert r.mean_shift == 0.0
+        assert r.mean_old == r.mean_new and r.var_old == r.var_new

@@ -95,6 +95,7 @@ QUERIES = [
     "retrieval_eval_graded",
     "cross_corpus_minhash_docs",
     "quantize_embeddings_docs",
+    "embedding_drift_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
