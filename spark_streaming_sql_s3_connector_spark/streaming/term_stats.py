@@ -256,12 +256,23 @@ def bm25_search_indexed(
         raise ValueError("query_terms must be non-empty")
     if any(t is None or t == "" or t != t.strip().lower() for t in terms):
         raise ValueError("query_terms must be lowercase and stripped")
-    dfreq = {
-        r.term: int(r.df)
-        for r in read_term_stats(spark, sink_dir, terms).collect()
-    }
-    tot = read_corpus_stats(spark, sink_dir).collect()[0]
-    n_docs, sum_dl = int(tot.n_docs), int(tot.sum_dl)
+    # the two driver-side stats reads (term df slice + 1-row corpus
+    # totals) union into ONE Spark job — serving latency is job count
+    # locally, and both relations are broadcast-scale by construction
+    stats = read_term_stats(spark, sink_dir, terms).select(
+        "term",
+        F.col("df").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    ).unionByName(
+        read_corpus_stats(spark, sink_dir).select(
+            F.lit(None).cast("string").alias("term"),
+            F.col("n_docs").alias("a"),
+            F.col("sum_dl").alias("b"),
+        )
+    ).collect()
+    dfreq = {r.term: int(r.a) for r in stats if r.term is not None}
+    tot = next(r for r in stats if r.term is None)
+    n_docs, sum_dl = int(tot.a), int(tot.b)
     if n_docs == 0:
         raise ValueError("term-stats state is empty")
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
@@ -347,12 +358,23 @@ def bm25_search_postings(
         raise ValueError("query_terms must be non-empty")
     if any(t is None or t == "" or t != t.strip().lower() for t in terms):
         raise ValueError("query_terms must be lowercase and stripped")
-    dfreq = {
-        r.term: int(r.df)
-        for r in read_term_stats(spark, sink_dir, terms).collect()
-    }
-    tot = read_corpus_stats(spark, sink_dir).collect()[0]
-    n_docs, sum_dl = int(tot.n_docs), int(tot.sum_dl)
+    # the two driver-side stats reads (term df slice + 1-row corpus
+    # totals) union into ONE Spark job — serving latency is job count
+    # locally, and both relations are broadcast-scale by construction
+    stats = read_term_stats(spark, sink_dir, terms).select(
+        "term",
+        F.col("df").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    ).unionByName(
+        read_corpus_stats(spark, sink_dir).select(
+            F.lit(None).cast("string").alias("term"),
+            F.col("n_docs").alias("a"),
+            F.col("sum_dl").alias("b"),
+        )
+    ).collect()
+    dfreq = {r.term: int(r.a) for r in stats if r.term is not None}
+    tot = next(r for r in stats if r.term is None)
+    n_docs, sum_dl = int(tot.a), int(tot.b)
     if n_docs == 0:
         raise ValueError("term-stats state is empty")
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
