@@ -132,3 +132,86 @@ def test_sessionize_stateful_stream(spark, tmp_path, events_files):
         assert got == expected
     finally:
         query.stop()
+
+
+def test_late_file_beyond_watermark_is_dropped(spark, tmp_path):
+    """The watermark LAW through the connector: a file whose event times
+    fall entirely behind the advanced watermark contributes NOTHING —
+    emitted windows keep their on-time counts and no new (stale) window
+    appears. This is the bounded-state contract every 100 TB streaming
+    agg relies on (state eviction is only sound if late arrivals are
+    provably excluded)."""
+    import datetime as dt
+
+    register(spark)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=m), 1, et, 1.0, "{}")
+                for i, (m, et) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    # on-time file: 3 rows in hour 0, then rows far ahead (hour 30) that
+    # push the watermark (max_ts - 2h = hour 28) way past hour 0's end
+    ontime = _mk([(0, "click"), (10, "click"), (20, "view"),
+                  (30 * 60, "click"), (30 * 60 + 5, "view")])
+    # late file: hour-0 rows arriving AFTER the watermark advanced
+    late = _mk([(5, "click"), (15, "click"), (25, "view"), (35, "click")])
+    d1 = str(tmp_path / "f1"); d2 = str(tmp_path / "f2")
+    ontime.coalesce(1).write.parquet(d1)
+    late.coalesce(1).write.parquet(d2)
+
+    q = LocalFileQueueClient(f"local://{tmp_path}/queue")
+
+    def _send(d):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                q.send_file_event(os.path.join(d, f), int(time.time() * 1000))
+
+    stream = (
+        spark.readStream.format("s3-connector")
+        .schema(ontime.schema)
+        .option("spark.s3conn.fileFormat", "parquet")
+        .option("spark.s3conn.queueUrl", f"local://{tmp_path}/queue")
+        .option("spark.s3conn.queueType", "local")
+        .option("spark.s3conn.queueFetchWaitTimeoutSeconds", "1")
+        .option("spark.s3conn.maxFilesPerTrigger", "1")
+        .option("spark.s3conn.metadataPath", str(tmp_path / "meta"))
+        .load()
+    )
+    query = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_law")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _send(d1)
+        query.processAllAvailable()
+        # one more on-time micro-batch so the watermark (set by file 1)
+        # is applied and hour-0 windows EMIT before the late file lands
+        before = {
+            (r.window_start, r.event_type): r.cnt
+            for r in spark.sql("SELECT * FROM late_law").collect()
+        }
+        h0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        assert before.get((h0, "click")) == 2
+        assert before.get((h0, "view")) == 1
+        _send(d2)
+        query.processAllAvailable()
+        after = {
+            (r.window_start, r.event_type): r.cnt
+            for r in spark.sql("SELECT * FROM late_law").collect()
+        }
+        # the late file's 4 hour-0 rows changed NOTHING: no re-emit, no
+        # count update, no stale window resurrection
+        assert after == before
+    finally:
+        query.stop()
