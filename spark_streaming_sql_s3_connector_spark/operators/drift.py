@@ -272,30 +272,53 @@ def embedding_drift(
     DECIMAL before the sums, so Spark's partial-agg tree and a
     single-threaded SQL fold produce hash-identical totals; only the
     final moments divide back to double (9-dp)."""
-    d6 = "decimal(18,6)"
-    dsum = "decimal(38,6)"
-    # squares of 6-dp decimals are EXACT at scale 12 — summing at
-    # (38,12) avoids a per-element re-round whose half-cases engines
-    # resolve differently (observed 1e-7 var drift at scale 6)
-    dsq = "decimal(38,12)"
+    mo = embedding_moments(old, vec_col).select(
+        "dim",
+        F.col("n").alias("_n_o"),
+        F.col("s").alias("_s_o"),
+        F.col("ss").alias("_ss_o"),
+    )
+    mn = embedding_moments(new, vec_col).select(
+        "dim",
+        F.col("n").alias("_n_n"),
+        F.col("s").alias("_s_n"),
+        F.col("ss").alias("_ss_n"),
+    )
+    return embedding_drift_from_moments(mo, mn)
 
-    def _moments(df: DataFrame, tag: str) -> DataFrame:
-        e = df.select(
-            F.posexplode(F.col(vec_col)).alias("dim", "_x")
-        ).select(
-            "dim",
-            F.round(F.col("_x").cast("double"), 6).cast(d6).alias("_x"),
-        )
-        return e.groupBy("dim").agg(
-            F.count(F.lit(1)).alias(f"_n_{tag}"),
-            F.sum(F.col("_x").cast(dsum)).alias(f"_s_{tag}"),
-            F.sum(
-                (F.col("_x") * F.col("_x")).cast(dsq)
-            ).alias(f"_ss_{tag}"),
-        )
 
-    mo = _moments(old, "o")
-    mn = _moments(new, "n")
+# decimal grids shared by the batch operator and the streaming twin:
+# elements pre-round to 6 dp; squares of 6-dp decimals are EXACT at
+# scale 12 — summing at (38,12) avoids a per-element re-round whose
+# half-cases engines resolve differently (observed 1e-7 var drift at
+# scale 6)
+_EMB_D6 = "decimal(18,6)"
+_EMB_DSUM = "decimal(38,6)"
+_EMB_DSQ = "decimal(38,12)"
+
+
+def embedding_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension MERGEABLE moment partials of an embedding column:
+    ``dim | n | s | ss`` (count, exact decimal Σx, exact decimal Σx²).
+    Partials from disjoint row sets merge by plain SUM — the property
+    the streaming twin's delta log relies on (streaming == batch is an
+    identity, law-tested)."""
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_x")).select(
+        "dim",
+        F.round(F.col("_x").cast("double"), 6).cast(_EMB_D6).alias("_x"),
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_x").cast(_EMB_DSUM)).alias("s"),
+        F.sum((F.col("_x") * F.col("_x")).cast(_EMB_DSQ)).alias("ss"),
+    )
+
+
+def embedding_drift_from_moments(mo: DataFrame, mn: DataFrame) -> DataFrame:
+    """Final drift arithmetic over two per-dim moment tables (columns
+    ``dim,_n_o,_s_o,_ss_o`` / ``dim,_n_n,_s_n,_ss_n``) — shared by the
+    batch operator and the streaming reader so the two can never
+    diverge arithmetically."""
     j = mo.join(mn, "dim")
     mean_o = F.col("_s_o").cast("double") / F.col("_n_o")
     mean_n = F.col("_s_n").cast("double") / F.col("_n_n")

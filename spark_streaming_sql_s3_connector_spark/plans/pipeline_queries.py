@@ -5298,6 +5298,8 @@ def _cross_corpus_minhash_docs(spark, sf):
             ).select("id_new", "id_base").collect()
         }
     got = got.persist()
+    # driver traffic = the key's own output volume (verified matched
+    # pairs), the same bound every dedup pair key already carries
     found = {(r.id_new, r.id_base) for r in got.select("id_new", "id_base").collect()}
     n_missed = len(_EXACT_CROSS_PAIRS[ck] - found)
     return (

@@ -133,3 +133,128 @@ def compact_drift_counts(spark: SparkSession, sink_dir: str) -> Optional[int]:
         if name.startswith("v=") and int(name[2:]) != new_ptr:
             shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
     return new_ptr
+
+
+# ------------------------------------------------- embedding modality (r9)
+
+
+def embedding_moment_batch(
+    batch: DataFrame, batch_id: int, sink_dir: str, vec_col: str
+) -> None:
+    """One micro-batch's per-dim moment partials (``dim | n | s | ss``,
+    exact decimal sums — `operators/drift.embedding_moments`), written
+    into this batch's own delta dir (idempotent on replay). Moments are
+    mergeable by plain SUM, so the stream persists d rows per trigger."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_moments,
+    )
+
+    embedding_moments(batch, vec_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_delta_dir(sink_dir, batch_id))
+
+
+def streaming_embedding_moments(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    vec_col: str,
+    trigger_available_now: bool = False,
+):
+    """Maintain the incremental per-dimension moment table of an
+    embedding column over everything admitted — the embedding-modality
+    member of the live drift plane (an encoder swap or source-mix shift
+    moves the embedding distribution long before categorical columns
+    do). Read with :func:`read_embedding_moments`; compare against a
+    baseline with :func:`read_embedding_drift`. Returns the
+    StreamingQuery."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        embedding_moment_batch(batch, batch_id, sink_dir, vec_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_embedding_moments(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The merged live per-dim moments: base (if compacted) + un-folded
+    deltas, summed — decimal addition is exact and order-free, so this
+    equals the batch moments over the union of admitted rows (the law
+    the tests pin)."""
+    ptr = _read_pointer(sink_dir)
+    frames = []
+    if ptr is not None:
+        frames.append(spark.read.parquet(os.path.join(sink_dir, "base", f"v={ptr}")))
+    for bid in _delta_ids(sink_dir):
+        if ptr is None or bid > ptr:
+            frames.append(spark.read.parquet(_delta_dir(sink_dir, bid)))
+    if not frames:
+        raise FileNotFoundError(f"no embedding-moment state under {sink_dir}")
+    allm = frames[0]
+    for f in frames[1:]:
+        allm = allm.unionByName(f)
+    return allm.groupBy("dim").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
+    )
+
+
+def read_embedding_drift(
+    spark: SparkSession,
+    sink_dir: str,
+    baseline_moments: DataFrame,
+) -> DataFrame:
+    """Drift of the LIVE ingested embedding distribution vs a baseline
+    moment table (e.g. `operators/drift.embedding_moments` of the
+    reference corpus, or a previous epoch's
+    :func:`read_embedding_moments`). Output schema and arithmetic are
+    exactly ``operators/drift.embedding_drift`` — shared final-select
+    code, so streaming == batch is an identity up to moment equality."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_drift_from_moments,
+    )
+
+    mo = baseline_moments.select(
+        "dim",
+        F.col("n").alias("_n_o"),
+        F.col("s").alias("_s_o"),
+        F.col("ss").alias("_ss_o"),
+    )
+    mn = read_embedding_moments(spark, sink_dir).select(
+        "dim",
+        F.col("n").alias("_n_n"),
+        F.col("s").alias("_s_n"),
+        F.col("ss").alias("_ss_n"),
+    )
+    return embedding_drift_from_moments(mo, mn)
+
+
+def compact_embedding_moments(
+    spark: SparkSession, sink_dir: str
+) -> Optional[int]:
+    """Fold base + committed deltas into one d-row base version (rollup
+    discipline: atomic pointer flip, dead dirs GC, crash-safe at every
+    step). Returns the new pointer, or None when nothing to fold."""
+    ptr = _read_pointer(sink_dir)
+    ids = [i for i in _delta_ids(sink_dir) if ptr is None or i > ptr]
+    if not ids:
+        return None
+    new_ptr = max(ids)
+    folded = read_embedding_moments(spark, sink_dir)
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sink_dir, "base", f"v={new_ptr}")
+    )
+    _write_pointer(sink_dir, new_ptr)
+    for bid in _delta_ids(sink_dir):
+        if bid <= new_ptr:
+            shutil.rmtree(_delta_dir(sink_dir, bid), ignore_errors=True)
+    base_root = os.path.join(sink_dir, "base")
+    for name in os.listdir(base_root):
+        if name.startswith("v=") and int(name[2:]) != new_ptr:
+            shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+    return new_ptr

@@ -609,3 +609,14 @@ def test_cross_corpus_dedup_single_bucket_shuffle(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "shingle" not in line
+
+
+def test_embedding_drift_partial_agg_no_window(spark):
+    """embedding_drift's moments must partially aggregate (dim-keyed
+    HashAggregate partials — d rows per partition cross the wire) and
+    never fall into a Window (which would serialize a dimension's
+    whole element stream into one task)."""
+    plan = formatted_plan(spark, "embedding_drift_docs")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "CartesianProduct" not in plan

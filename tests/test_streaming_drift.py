@@ -141,3 +141,87 @@ def test_replay_and_compaction_preserve_counts(spark, tmp_path):
     assert compact_drift_counts(spark, sink) is None
     with pytest.raises(FileNotFoundError):
         read_category_counts(spark, str(tmp_path / "nope"))
+
+
+# ------------------------------------------------- embedding modality (r9)
+
+EMB_SCHEMA = "vec_id bigint, embedding array<double>"
+
+
+def _emb_chunk(i, n=30, d=5):
+    import random
+
+    rng = random.Random(100 + i)
+    return [
+        (i * 1000 + j, [rng.gauss(0.1 * i, 1.0) for _ in range(d)])
+        for j in range(n)
+    ]
+
+
+def test_streaming_embedding_moments_match_batch(spark, tmp_path):
+    """Incremental per-dim moments over connector-admitted batches
+    (with a duplicate redelivery) equal the batch moments over the
+    union — exact decimal identity — and the drift READ against a
+    baseline equals the batch embedding_drift on materialized frames.
+    Compaction preserves both."""
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_drift,
+        embedding_moments,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+        compact_embedding_moments,
+        read_embedding_drift,
+        read_embedding_moments,
+        streaming_embedding_moments,
+    )
+
+    chunks = [_emb_chunk(i) for i in range(3)]
+    files = []
+    for i, rows in enumerate(chunks):
+        p = str(tmp_path / f"emb_{i}.parquet")
+        spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.parquet(p)
+        files.append(glob.glob(p + "/part-*.parquet")[0])
+    reader, queue = _reader(spark, tmp_path, files, meta_dir="emb_meta")
+    sink = str(tmp_path / "emb_state")
+    # _reader fixed SCHEMA; override with the embedding one
+    stream = reader.schema(EMB_SCHEMA).load()
+    q = streaming_embedding_moments(
+        stream, sink, str(tmp_path / "emb_ckpt"), "embedding"
+    )
+    try:
+        q.processAllAvailable()
+        queue.send_file_event(files[0], int(time.time() * 1000))  # dup
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    union = spark.createDataFrame(
+        [r for c in chunks for r in c], EMB_SCHEMA
+    )
+    want = {
+        r.dim: (r.n, r.s, r.ss)
+        for r in embedding_moments(union, "embedding").collect()
+    }
+    got = {
+        r.dim: (r.n, r.s, r.ss)
+        for r in read_embedding_moments(spark, sink).collect()
+    }
+    assert got == want  # exact decimal identity, redelivery ignored
+    baseline_rows = _emb_chunk(9)
+    baseline = spark.createDataFrame(baseline_rows, EMB_SCHEMA)
+    want_drift = [
+        tuple(r)
+        for r in embedding_drift(baseline, union, "embedding").collect()
+    ]
+    got_drift = [
+        tuple(r)
+        for r in read_embedding_drift(
+            spark, sink, embedding_moments(baseline, "embedding")
+        ).collect()
+    ]
+    assert got_drift == want_drift
+    assert compact_embedding_moments(spark, sink) is not None
+    assert {
+        r.dim: (r.n, r.s, r.ss)
+        for r in read_embedding_moments(spark, sink).collect()
+    } == want
+    assert compact_embedding_moments(spark, sink) is None  # nothing left
