@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "quantize_embeddings_docs",
     # r9: embedding-modality drift (per-dim decimal-exact moments)
     "embedding_drift_docs",
+    # r9: RAG context assembly (retrieval -> token-budget packing)
+    "context_assembly_docs",
     # r9: serving-shape hybrid search (persisted term-stats BM25 — one
     # corpus scan — fused with persisted-index ANN — zero corpus scans);
     # compare against hybrid_search_docs' scan-twin median for the

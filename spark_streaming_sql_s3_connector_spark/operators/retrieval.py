@@ -502,3 +502,93 @@ def _graded_retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def assemble_context(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    token_budget: int,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RAG-style context assembly: retrieve the BM25 top-``top_k``
+    candidates, then greedily keep them in relevance order until the
+    next document would overflow ``token_budget`` whitespace tokens —
+    the retrieval → packing composition every retrieval-augmented
+    serving stack runs per request.
+
+    Output: the KEPT documents as ``<id_col> | rank | score | dl |
+    cum_tokens`` (rank 1.. in (score desc, id asc) order over the
+    ROUNDED scores — deterministic and engine-mirrorable; a doc is kept
+    iff its running token total fits the budget; docs after the first
+    overflow may still fit and are skipped individually — greedy, not
+    knapsack, like every production assembler).
+
+    Scale shape: the expensive half is `bm25_search` (two column-pruned
+    corpus scans, zero corpus shuffles — or swap in the postings twin
+    for the zero-scan serving path); everything after operates on ≤
+    ``top_k`` rows, where the single-partition rank window is free."""
+    from pyspark.sql import Window
+
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    hits = bm25_search(
+        df, text_col, id_col, query_terms, k1=k1, b=b, top_k=top_k
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    ranked = hits.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("int").alias("rank"),
+        "score",
+        "dl",
+    )
+    # greedy skip-individually semantics: running total of KEPT docs
+    # only — an array fold over the (≤ top_k)-row collected list, then
+    # re-exploded; all driver-free, all bounded by top_k
+    folded = ranked.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", F.col(id_col), "score", "dl"))
+        ).alias("_h")
+    ).select(
+        F.explode(
+            F.aggregate(
+                F.col("_h"),
+                F.struct(
+                    F.lit(0).cast("bigint").alias("cum"),
+                    F.array().cast(
+                        "array<struct<rank:int,id:bigint,score:double,"
+                        "dl:bigint,cum_tokens:bigint>>"
+                    ).alias("kept"),
+                ),
+                lambda acc, h: F.when(
+                    acc["cum"] + h["dl"] <= F.lit(int(token_budget)),
+                    F.struct(
+                        (acc["cum"] + h["dl"]).alias("cum"),
+                        F.concat(
+                            acc["kept"],
+                            F.array(
+                                F.struct(
+                                    h["rank"].alias("rank"),
+                                    h[id_col].cast("bigint").alias("id"),
+                                    h["score"].alias("score"),
+                                    h["dl"].alias("dl"),
+                                    (acc["cum"] + h["dl"]).alias("cum_tokens"),
+                                )
+                            ),
+                        ).alias("kept"),
+                    ),
+                ).otherwise(acc),
+                lambda acc: acc["kept"],
+            )
+        ).alias("_k")
+    ).select(
+        F.col("_k.id").alias(id_col),
+        F.col("_k.rank").alias("rank"),
+        F.col("_k.score").alias("score"),
+        F.col("_k.dl").alias("dl"),
+        F.col("_k.cum_tokens").alias("cum_tokens"),
+    )
+    return folded.orderBy("rank")

@@ -5197,6 +5197,83 @@ ORDER BY query_id
 """
 
 
+def _context_assembly_docs(spark, sf):
+    """RAG-style context assembly (retrieval → packing composition):
+    BM25 top-20, then greedily keep candidates in (rounded-score desc,
+    id) order until the next doc would overflow a 420-token budget —
+    later docs that individually still fit ARE kept (skip-individually
+    greedy, the production assembler's shape; the budget is chosen so
+    the sf0.01 result exercises that branch). Everything after the
+    two-scan retrieval operates on ≤20 rows, where the single-partition
+    rank window and array fold are free. Oracle mirrors the fold with a
+    recursive CTE over the same rank order."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        assemble_context,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return assemble_context(
+        docs, "text", "doc_id", ["spark", "join", "stream", "vector"],
+        token_budget=420, top_k=20,
+    )
+
+
+_CONTEXT_ASSEMBLY_SQL = (
+    r"""
+WITH RECURSIVE narrow AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'join'))   AS tf_0,
+         len(list_filter(t, x -> x = 'spark'))  AS tf_1,
+         len(list_filter(t, x -> x = 'stream')) AS tf_2,
+         len(list_filter(t, x -> x = 'vector')) AS tf_3
+  FROM narrow
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+         SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    ("""
+    + "+".join(_bm25_contrib_sql(i) for i in range(4))
+    + r""") AS s,
+    (CASE WHEN tf_0>0 THEN 1 ELSE 0 END + CASE WHEN tf_1>0 THEN 1 ELSE 0 END
+     + CASE WHEN tf_2>0 THEN 1 ELSE 0 END + CASE WHEN tf_3>0 THEN 1 ELSE 0 END) AS n_matched,
+    dl
+  FROM base, stats
+), hits AS (
+  SELECT doc_id, CAST(ROUND(s, 6) AS DOUBLE) AS score, CAST(dl AS BIGINT) AS dl
+  FROM scored WHERE n_matched > 0
+  ORDER BY s DESC, doc_id ASC LIMIT 20
+), ranked AS (
+  SELECT doc_id, score, dl,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM hits
+), g AS (
+  SELECT rank, doc_id, score, dl,
+         CASE WHEN dl <= 420 THEN dl ELSE 0 END AS cum,
+         (dl <= 420) AS kept
+  FROM ranked WHERE rank = 1
+  UNION ALL
+  SELECT r.rank, r.doc_id, r.score, r.dl,
+         CASE WHEN g.cum + r.dl <= 420 THEN g.cum + r.dl ELSE g.cum END,
+         (g.cum + r.dl <= 420)
+  FROM ranked r JOIN g ON r.rank = g.rank + 1
+)
+SELECT doc_id, rank, score, CAST(dl AS BIGINT) AS dl,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM g WHERE kept ORDER BY rank
+"""
+)
+
+
 def _cross_corpus_dedup_docs(spark, sf):
     """Bipartite near-dup screen (new crawl vs existing training set):
     even doc_ids play the NEW side, odd the BASE. The candidate
@@ -6104,5 +6181,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r9: embedding-modality drift (per-dim decimal-exact moments)
     "embedding_drift_docs": QuerySpec(
         _embedding_drift_docs, _EMBEDDING_DRIFT_SQL
+    ),
+    # r9: RAG context assembly (retrieval → token-budget packing)
+    "context_assembly_docs": QuerySpec(
+        _context_assembly_docs, _CONTEXT_ASSEMBLY_SQL
     ),
 }

@@ -550,3 +550,67 @@ def test_graded_ndcg_matches_hand_computed_fixture(spark):
     dcg = 7 * d[0] + 1 * d[2]          # A@1 gain 7, C@3 gain 1
     idcg = 7 * d[0] + 3 * d[1] + 1 * d[2]  # ideal: grades 3,2,1
     assert row.ndcg_at_k == round(dcg / idcg, 6)
+
+
+def test_assemble_context_greedy_semantics(spark):
+    """The assembler keeps candidates in rank order, skips any doc that
+    would overflow, but KEEPS later docs that still fit individually —
+    python-reference parity on a fixture built to exercise exactly that
+    branch."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        assemble_context,
+        bm25_search,
+    )
+
+    # engineered rank order A,B,C,D (BM25 tf/length norm): C is the
+    # big mid-rank doc that overflows, D the later small one that fits
+    rows = [
+        (1, "spark " * 5 + "a " * 5),    # dl 10, tf 5 → rank 1
+        (2, "spark " * 4 + "b " * 6),    # dl 10, tf 4 → rank 2
+        (3, "spark " * 8 + "c " * 32),   # dl 40, tf 8 → rank 3 (big)
+        (4, "spark " * 2 + "d " * 8),    # dl 10, tf 2 → rank 4 (small)
+        (5, "no match here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hits = bm25_search(df, "text", "doc_id", ["spark"], top_k=10).collect()
+    order = [
+        r.doc_id
+        for r in sorted(hits, key=lambda r: (-r.score, r.doc_id))
+    ]
+    dls = {r.doc_id: r.dl for r in hits}
+    budget = dls[order[0]] + dls[order[1]] + dls[order[3]]  # skips order[2]
+    assert dls[order[2]] > dls[order[3]]  # fixture sanity: big doc mid-rank
+    got = assemble_context(
+        df, "text", "doc_id", ["spark"], token_budget=budget, top_k=10
+    ).collect()
+    cum, want = 0, []
+    for d in order:
+        if cum + dls[d] <= budget:
+            cum += dls[d]
+            want.append((d, cum))
+    assert [(r.doc_id, r.cum_tokens) for r in got] == want
+    # the skip-individually branch fired: some doc was skipped while a
+    # LATER-ranked doc was kept
+    kept_ids = [r.doc_id for r in got]
+    skipped_positions = [i for i, d in enumerate(order) if d not in kept_ids]
+    kept_positions = [i for i, d in enumerate(order) if d in kept_ids]
+    assert skipped_positions and max(kept_positions) > min(skipped_positions)
+    assert [r.rank for r in got] == sorted(r.rank for r in got)
+
+
+def test_assemble_context_edge_budgets(spark):
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        assemble_context,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark a b"), (2, "spark c")], ["doc_id", "text"]
+    )
+    assert (
+        assemble_context(df, "text", "doc_id", ["spark"], token_budget=0).count()
+        == 0
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        assemble_context(df, "text", "doc_id", ["spark"], token_budget=-1)

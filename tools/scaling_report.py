@@ -96,6 +96,7 @@ QUERIES = [
     "cross_corpus_minhash_docs",
     "quantize_embeddings_docs",
     "embedding_drift_docs",
+    "context_assembly_docs",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
