@@ -986,3 +986,101 @@ def test_semantic_dedup_never_matches_deleted_ids(spark, built):
     # with their shadows tombstoned, no match may name a dead id — the
     # screen either finds a different live near-neighbor or none at all
     assert not shadows & {r.match_id for r in hits_after}
+
+
+def test_randomized_lifecycle_serves_live_set(spark, tmp_path):
+    """Lifecycle stress law: under a seeded random interleaving of
+    appends, deletes, replays (of both kinds), and compactions, serving
+    with every bucket probed + full-corpus refine must equal brute
+    force over the LIVE set tracked by a python reference state machine
+    (insert-order semantics: a delete kills ids inserted before it; a
+    re-insert after a delete revives). Catches ordering bugs no single
+    hand-written scenario covers."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    rng = random.Random(1234)
+    dim = 8
+
+    def vec(i):
+        r = random.Random(9000 + i)
+        return [r.gauss(0, 1) for _ in range(dim)]
+
+    base_ids = list(range(40))
+    df0 = spark.createDataFrame(
+        [(i, vec(i)) for i in base_ids], ["vec_id", "embedding"]
+    )
+    idx = str(tmp_path / "life_idx")
+    build_ann_index(df0, "embedding", "vec_id", idx,
+                    n_centroids=4, m_subspaces=4, pq_centroids=16, seed=7)
+    # reference state machine: id -> latest op order (None for base)
+    live = {i: -1 for i in base_ids}  # id -> insert order (-1 = base)
+    next_id = 100
+    history = []  # replayable (kind, batch_id, ids)
+    for batch_id in range(1, 14):
+        roll = rng.random()
+        if roll < 0.45 or not history:  # append new ids
+            ids = [next_id + j for j in range(rng.randint(1, 4))]
+            next_id += 10
+            append_to_ann_index(
+                spark.createDataFrame(
+                    [(i, vec(i)) for i in ids], ["vec_id", "embedding"]
+                ),
+                idx, batch_id=batch_id,
+            )
+            for i in ids:
+                live[i] = batch_id
+            history.append(("append", batch_id, ids))
+        elif roll < 0.75:  # delete a random subset of currently-live ids
+            live_now = [i for i, o in live.items() if o is not None]
+            ids = rng.sample(live_now, min(len(live_now), rng.randint(1, 3)))
+            delete_from_ann_index(
+                spark.createDataFrame([(i,) for i in ids], ["vec_id"]),
+                idx, batch_id=batch_id,
+            )
+            for i in ids:
+                if live[i] is None or live[i] < batch_id:
+                    live[i] = None  # killed (inserted strictly before)
+            history.append(("delete", batch_id, ids))
+        elif roll < 0.9:  # replay an arbitrary past batch verbatim
+            kind, bid, ids = history[rng.randrange(len(history))]
+            if kind == "append":
+                append_to_ann_index(
+                    spark.createDataFrame(
+                        [(i, vec(i)) for i in ids], ["vec_id", "embedding"]
+                    ),
+                    idx, batch_id=bid,
+                )
+            else:
+                delete_from_ann_index(
+                    spark.createDataFrame([(i,) for i in ids], ["vec_id"]),
+                    idx, batch_id=bid,
+                )
+            # replay of an already-applied batch must be a no-op on `live`
+        else:
+            compact_ann_index(spark, idx)
+        # INVARIANT after every step: full-probe refined serve == brute
+        # force over the reference live set
+        live_ids = sorted(i for i, o in live.items() if o is not None)
+        live_df = spark.createDataFrame(
+            [(i, vec(i)) for i in live_ids], ["vec_id", "embedding"]
+        )
+        q = vec(live_ids[len(live_ids) // 2])
+        got = ann_index_topk_refined(
+            spark, idx, live_df, "embedding", "vec_id", q,
+            k=5, n_probe=4, overfetch=(len(live_ids) // 5) + 1,
+        ).collect()
+        want = brute_force_topk(live_df, "embedding", "vec_id", q, k=5).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], (
+            batch_id, history[-3:],
+        )
+        served_ids = {r.neighbor_id for r in got}
+        dead = {i for i, o in live.items() if o is None}
+        assert not served_ids & dead
