@@ -439,6 +439,11 @@ def compact_ann_index(
     append labels never fold (they carry no replay ordering); rebuild to
     absorb them. Returns the new fold horizon, or None if nothing to do.
 
+    Edge (documented, not guarded): compacting an index whose EVERY row
+    is tombstoned writes an empty base — subsequent reads fail schema
+    inference loudly. An index curated down to nothing should be
+    dropped/rebuilt, not compacted.
+
     GC discipline (same as the dedup-index compactors): stale dirs are
     deleted immediately after the pointer flip, so a query planned
     against the OLD pointer that is still mid-scan can hit a vanished
