@@ -5776,7 +5776,7 @@ def _term_stats_dir_for(sf: str) -> str:
         ident = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         ident = os.path.abspath(src)
-    fp = hashlib.md5(f"{ident}:termstats-v2".encode()).hexdigest()[:16]
+    fp = hashlib.md5(f"{ident}:termstats-v3".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_term_stats", fp)
 
 

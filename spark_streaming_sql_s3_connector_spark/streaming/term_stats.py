@@ -44,6 +44,15 @@ from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
 _TERMS = "terms"
 _CORPUS = "corpus"
 _POSTINGS = "postings"
+# r9: document deletes propagate into the lexical serving state too —
+# df/corpus absorb NEGATIVE deltas (they are order-free sums, so
+# insert/delete interleavings always net out), while postings carry
+# their insert batch id (`b`) and deletes write id-keyed markers under
+# deleted/batch=<t> with the ANN tombstone ordering: a marker t kills
+# posting rows with b < t, so a later re-insert serves again.
+# compact_term_stats applies markers below the fold horizon physically
+# and GCs them.
+_DELETED = "deleted"
 # postings files per delta/base: term-hash repartition + within-file term
 # sort so a query's In(term, ...) filter prunes at the parquet row-group
 # level; at cluster scale the same layout is a bucketed-by-term table and
@@ -92,12 +101,61 @@ def term_stats_batch(
             )
             .groupBy("term", "id", "dl")
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            # insert order — what delete markers rank against
+            .withColumn("b", F.lit(int(batch_id)).cast("long"))
             .repartition(_POSTINGS_FILES, "term")
             .sortWithinPartitions("term")
         )
         postings.write.mode("overwrite").parquet(
             _delta_dir(os.path.join(sink_dir, _POSTINGS), batch_id)
         )
+
+
+def delete_docs_from_term_stats(
+    docs: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Remove documents from the persisted lexical state — the delete
+    half of the curation lifecycle on the BM25 side (a doc dropped by
+    dedup/decontamination/policy must stop serving AND stop skewing the
+    corpus statistics). Pass the deleted docs WITH their text (the
+    curation flow has them in hand at drop time): df and corpus totals
+    get this batch's NEGATED deltas (order-free sums — any interleaving
+    of inserts and deletes nets to the surviving corpus's exact stats,
+    law-tested), and an id-keyed marker lands under
+    ``deleted/batch=<batch_id>`` killing posting rows INSERTED strictly
+    before it (ANN tombstone ordering: a later re-insert serves again).
+    Everything overwrites its own batch dir — replay-convergent.
+    Precondition: inserts and deletes share one monotonic batch-id
+    sequence, and a doc is deleted at most once per life (the same
+    exactly-once contract the inserts already carry)."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    terms = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg((-F.count(F.lit(1))).alias("df"))
+    )
+    corpus = docs.agg(
+        (-F.count(F.lit(1))).alias("n_docs"),
+        (-F.coalesce(F.sum(F.size(toks)), F.lit(0))).cast("bigint").alias("sum_dl"),
+    )
+    terms.write.mode("overwrite").parquet(
+        _delta_dir(os.path.join(sink_dir, _TERMS), batch_id)
+    )
+    corpus.write.mode("overwrite").parquet(
+        _delta_dir(os.path.join(sink_dir, _CORPUS), batch_id)
+    )
+    (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("t", F.lit(int(batch_id)).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_delta_dir(os.path.join(sink_dir, _DELETED), batch_id))
+    )
 
 
 def streaming_term_stats(
@@ -174,6 +232,46 @@ def read_corpus_stats(spark: SparkSession, sink_dir: str) -> DataFrame:
     )
 
 
+def _live_delete_markers(spark: SparkSession, sink_dir: str) -> Optional[DataFrame]:
+    """Un-applied document-delete markers (``id | t``): every marker dir
+    at/above the postings fold horizon (dirs below it were applied
+    physically by compaction and GC'd; a replayed folded dir is
+    filtered here, exactly like the ANN tombstone liveness rule).
+    None when the state has never seen a delete."""
+    sub = os.path.join(sink_dir, _DELETED)
+    ids = _delta_ids(sub)
+    if not ids:
+        return None
+    ptr = _read_pointer(os.path.join(sink_dir, _POSTINGS))
+    horizon = -1 if ptr is None else int(ptr)
+    live = [b for b in ids if b > horizon]
+    if not live:
+        return None
+    frames = [spark.read.parquet(_delta_dir(sub, b)) for b in live]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _apply_markers(posts: DataFrame, marks: Optional[DataFrame]) -> DataFrame:
+    """Anti-join delete markers onto posting rows with insert-order
+    semantics: marker t kills rows with b < t (pre-`b` rows from a
+    legacy layout count as oldest). The marker set is the delete sliver
+    — broadcast."""
+    if marks is None:
+        return posts
+    b_ord = (
+        F.col("b") if "b" in posts.columns else F.lit(-1).cast("long")
+    )
+    m = marks.select(F.col("id").alias("_did"), F.col("t").alias("_dt"))
+    return posts.join(
+        F.broadcast(m),
+        (posts["id"] == F.col("_did")) & (b_ord < F.col("_dt")),
+        "left_anti",
+    )
+
+
 def compact_term_stats(
     spark: SparkSession, sink_dir: str, upto_batch: Optional[int] = None
 ) -> None:
@@ -181,7 +279,11 @@ def compact_term_stats(
     tables (atomic pointer flip; correctness never depends on when this
     runs). ``upto_batch`` defaults to the highest delta present — pass
     the last COMMITTED batch id when compacting a live stream, exactly
-    as ``streaming/exact_dedup.compact_index`` documents."""
+    as ``streaming/exact_dedup.compact_index`` documents. Delete
+    markers at/below the postings fold horizon are applied PHYSICALLY
+    to the folded postings (rows keep their insert order ``b``, so the
+    anti-join is exact) and their dirs GC'd; markers above the horizon
+    stay live and keep filtering at read."""
     for sub, keys in ((_TERMS, ["term"]), (_CORPUS, []), (_POSTINGS, None)):
         subdir = os.path.join(sink_dir, sub)
         if sub == _POSTINGS and not os.path.isdir(subdir):
@@ -193,7 +295,17 @@ def compact_term_stats(
             if (ptr is None or b > ptr)
             and (upto_batch is None or b <= upto_batch)
         ]
-        if not ids:
+        if sub == _POSTINGS:
+            mark_sub = os.path.join(sink_dir, _DELETED)
+            mark_ids = [
+                b
+                for b in _delta_ids(mark_sub)
+                if (ptr is None or b > ptr)
+                and (upto_batch is None or b <= upto_batch)
+            ]
+        else:
+            mark_ids = []
+        if not ids and not mark_ids:
             continue
         frames = []
         if ptr is not None:
@@ -205,12 +317,25 @@ def compact_term_stats(
         for f in frames[1:]:
             allf = allf.unionByName(f)
         if keys:
-            folded = allf.groupBy(*keys).agg(F.sum("df").alias("df"))
+            # deletes net terms to df=0 — drop them from the base
+            folded = allf.groupBy(*keys).agg(F.sum("df").alias("df")).where(
+                F.col("df") != 0
+            )
         elif sub == _POSTINGS:
             # each (term, doc) pair lives in exactly one batch (the
             # exactly-once precondition above), so postings need no
-            # fold — compaction is file-count hygiene: rewrite the
-            # union in the pruning layout
+            # fold — compaction is file-count hygiene in the pruning
+            # layout, plus the physical application of the delete
+            # markers being folded (rows keep their insert order `b`)
+            if mark_ids:
+                mframes = [
+                    spark.read.parquet(_delta_dir(mark_sub, b))
+                    for b in mark_ids
+                ]
+                marks = mframes[0]
+                for f in mframes[1:]:
+                    marks = marks.unionByName(f)
+                allf = _apply_markers(allf, marks)
             folded = allf.repartition(
                 _POSTINGS_FILES, "term"
             ).sortWithinPartitions("term")
@@ -219,7 +344,10 @@ def compact_term_stats(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),
                 F.sum("sum_dl").cast("bigint").alias("sum_dl"),
             )
-        new_v = max(ids)
+        # the postings horizon advances over APPLIED markers too, so a
+        # delete-only window still flips the pointer (marker liveness
+        # keys off it) and GCs the marker dirs
+        new_v = max(ids + mark_ids)
         folded.write.mode("overwrite").parquet(
             os.path.join(subdir, "base", f"v={new_v}")
         )
@@ -228,6 +356,8 @@ def compact_term_stats(
 
         for b in ids:
             shutil.rmtree(_delta_dir(subdir, b), ignore_errors=True)
+        for b in mark_ids:
+            shutil.rmtree(_delta_dir(mark_sub, b), ignore_errors=True)
 
 
 def bm25_search_indexed(
@@ -379,8 +509,11 @@ def bm25_search_postings(
         raise ValueError("term-stats state is empty")
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
     live = [t for t in terms if dfreq.get(t, 0) > 0]
-    posts = _live(spark, os.path.join(sink_dir, _POSTINGS)).where(
-        F.col("term").isin(live if live else terms)
+    posts = _apply_markers(
+        _live(spark, os.path.join(sink_dir, _POSTINGS)).where(
+            F.col("term").isin(live if live else terms)
+        ),
+        _live_delete_markers(spark, sink_dir),
     )
     if not live:
         return posts.select(

@@ -350,3 +350,91 @@ def test_streaming_postings_through_connector(spark, tmp_path, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
+    """The lexical delete law: after deleting a subset (negative
+    df/corpus deltas + postings markers), the zero-scan serve equals
+    batch BM25 over the SURVIVING corpus exactly — stats AND rankings —
+    pre- and post-compaction (compaction applies markers physically and
+    GCs their dirs)."""
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        delete_docs_from_term_stats,
+    )
+
+    sink = str(tmp_path / "ts")
+    batches = _batches(docs)
+    for i, b in enumerate(batches):
+        term_stats_batch(b, i, sink, "text", "doc_id", with_postings=True)
+    dead = docs.where(F.col("doc_id") % 5 == 0)
+    survivors = docs.where(F.col("doc_id") % 5 != 0)
+    delete_docs_from_term_stats(dead, 3, sink, "text", "doc_id")
+    delete_docs_from_term_stats(dead, 3, sink, "text", "doc_id")  # replay
+    want_terms, want_n, want_s = _batch_stats(survivors)
+    got_terms = {
+        r.term: r.df
+        for r in read_term_stats(spark, sink).collect()
+        if r.df != 0
+    }
+    tot = read_corpus_stats(spark, sink).collect()[0]
+    assert got_terms == want_terms
+    assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
+    want = [
+        tuple(r)
+        for r in bm25_search(survivors, "text", "doc_id", TERMS, top_k=15).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, TERMS, sink, id_col="doc_id", top_k=15
+        ).collect()
+    ]
+    assert got == want
+    dead_ids = {r.doc_id for r in dead.select("doc_id").collect()}
+    assert not dead_ids & {r[0] for r in got}
+    compact_term_stats(spark, sink)
+    got2 = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, TERMS, sink, id_col="doc_id", top_k=15
+        ).collect()
+    ]
+    assert got2 == want
+    # markers applied physically + GC'd
+    assert not _os.path.isdir(_os.path.join(sink, "deleted", "batch=3"))
+
+
+def test_delete_then_reinsert_serves_again(spark, docs, tmp_path):
+    """Ordering law (same as the ANN tombstones): a delete at batch t
+    kills rows inserted before t; re-inserting the doc at a LATER batch
+    revives it immediately — no compaction needed — and the stats nets
+    back to the full corpus."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        delete_docs_from_term_stats,
+    )
+
+    sink = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, sink, "text", "doc_id", with_postings=True)
+    top1 = bm25_search_postings(
+        spark, TERMS, sink, id_col="doc_id", top_k=1
+    ).collect()[0]
+    victim = docs.where(F.col("doc_id") == top1.doc_id)
+    delete_docs_from_term_stats(victim, 1, sink, "text", "doc_id")
+    after_del = bm25_search_postings(
+        spark, TERMS, sink, id_col="doc_id", top_k=15
+    ).collect()
+    assert top1.doc_id not in {r.doc_id for r in after_del}
+    term_stats_batch(victim, 2, sink, "text", "doc_id", with_postings=True)
+    revived = bm25_search_postings(
+        spark, TERMS, sink, id_col="doc_id", top_k=15
+    ).collect()
+    assert revived[0].doc_id == top1.doc_id
+    assert revived[0].score == top1.score  # stats netted back exactly
+    compact_term_stats(spark, sink)
+    assert bm25_search_postings(
+        spark, TERMS, sink, id_col="doc_id", top_k=1
+    ).collect()[0].doc_id == top1.doc_id
