@@ -325,3 +325,49 @@ def batch_curation(
         .join(packed, id_col)
         .orderBy(id_col)
     )
+
+
+def propagate_doc_deletes(
+    docs: DataFrame,
+    batch_id: int,
+    text_col: str,
+    id_col: str,
+    ann_index_dir: str | None = None,
+    term_stats_dir: str | None = None,
+    vec_col: str | None = None,
+    emb_docs: DataFrame | None = None,
+) -> None:
+    """ONE delete, EVERY serving state (r9): when curation drops
+    documents — retention policy, takedown, decontamination — the drop
+    must reach every index still serving them. This is the single entry
+    point: tombstones the ids out of the persisted ANN index
+    (`operators/ann_index.delete_from_ann_index`) and writes the
+    negated-stats + posting markers into the lexical state
+    (`streaming/term_stats.delete_docs_from_term_stats`). Both share
+    the insert-order delete semantics (a marker at batch t kills rows
+    inserted before t; later re-inserts revive) and the
+    overwrite-by-batch-dir replay convergence, so one monotonic batch-id
+    sequence drives the whole lifecycle. Pass only the states the
+    pipeline maintains; ``emb_docs`` (id + vector) defaults to ``docs``
+    when the doc frame carries the vector column.
+
+    Law (tested): after propagation, neither BM25-from-postings nor
+    ANN serving returns a deleted id, and the lexical stats equal a
+    rebuild over the survivors."""
+    if ann_index_dir is not None:
+        from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+            delete_from_ann_index,
+        )
+
+        src = emb_docs if emb_docs is not None else docs
+        delete_from_ann_index(
+            src.select(F.col(id_col)), ann_index_dir, batch_id=batch_id
+        )
+    if term_stats_dir is not None:
+        from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+            delete_docs_from_term_stats,
+        )
+
+        delete_docs_from_term_stats(
+            docs, batch_id, term_stats_dir, text_col, id_col
+        )

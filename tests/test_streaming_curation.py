@@ -316,3 +316,87 @@ def test_monitor_off_writes_no_state(spark, tmp_path):
         df, 0, pipeline_dir, expected_total_items=10_000, monitor=False
     )
     assert not os.path.exists(os.path.join(pipeline_dir, "monitor"))
+
+
+def test_propagate_doc_deletes_reaches_every_serving_state(spark, tmp_path):
+    """ONE delete call removes a doc from BOTH serving states: BM25
+    over postings stops ranking it and the stats equal a rebuild over
+    the survivors; the ANN index stops returning its vector. Replay of
+    the delete batch converges; compaction of both states preserves."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        compact_ann_index,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        bm25_search,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        propagate_doc_deletes,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        compact_term_stats,
+        term_stats_batch,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (
+            i,
+            ("spark stream join " * (1 + i % 3)) + f"doc {i} filler",
+            [rng.gauss(i % 4, 0.5) for _ in range(8)],
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    ts_dir = str(tmp_path / "ts")
+    ann_dir = str(tmp_path / "ann")
+    term_stats_batch(docs, 0, ts_dir, "text", "doc_id", with_postings=True)
+    build_ann_index(
+        docs, "embedding", "doc_id", ann_dir,
+        n_centroids=4, m_subspaces=4, pq_centroids=16, seed=5,
+    )
+    dead = docs.where(F.col("doc_id") % 10 == 3)
+    survivors = docs.where(F.col("doc_id") % 10 != 3)
+    dead_ids = {r.doc_id for r in dead.select("doc_id").collect()}
+    propagate_doc_deletes(
+        dead, 1, "text", "doc_id",
+        ann_index_dir=ann_dir, term_stats_dir=ts_dir,
+    )
+    propagate_doc_deletes(  # replay converges
+        dead, 1, "text", "doc_id",
+        ann_index_dir=ann_dir, term_stats_dir=ts_dir,
+    )
+    q = ["spark", "stream", "join"]
+    want = [
+        tuple(r)
+        for r in bm25_search(survivors, "text", "doc_id", q, top_k=20).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, q, ts_dir, id_col="doc_id", top_k=20
+        ).collect()
+    ]
+    assert got == want
+    qv = rows[3][2]  # a deleted doc's own vector
+    served = {
+        r.neighbor_id
+        for r in ann_index_topk(spark, ann_dir, qv, k=10, n_probe=4).collect()
+    }
+    assert not served & dead_ids
+    compact_term_stats(spark, ts_dir)
+    compact_ann_index(spark, ann_dir)
+    assert [
+        tuple(r)
+        for r in bm25_search_postings(
+            spark, q, ts_dir, id_col="doc_id", top_k=20
+        ).collect()
+    ] == want
+    assert not {
+        r.neighbor_id
+        for r in ann_index_topk(spark, ann_dir, qv, k=10, n_probe=4).collect()
+    } & dead_ids
