@@ -439,10 +439,11 @@ def compact_ann_index(
     append labels never fold (they carry no replay ordering); rebuild to
     absorb them. Returns the new fold horizon, or None if nothing to do.
 
-    Edge (documented, not guarded): compacting an index whose EVERY row
-    is tombstoned writes an empty base — subsequent reads fail schema
-    inference loudly. An index curated down to nothing should be
-    dropped/rebuilt, not compacted.
+    Edge (guarded): compacting an index whose EVERY row is tombstoned
+    raises ValueError instead of writing an empty base (which would make
+    every subsequent read fail parquet schema inference with an opaque
+    error). An index curated down to nothing should be dropped/rebuilt,
+    not compacted.
 
     GC discipline (same as the dedup-index compactors): stale dirs are
     deleted immediately after the pointer flip, so a query planned
@@ -502,6 +503,15 @@ def compact_ann_index(
         (F.col("batch") == base)
         | (F.col("batch").rlike("^[0-9]+$") & (F.col("batch").cast("long") < new_upto))
     )
+    if fold.limit(1).count() == 0:
+        # every row in the fold window is tombstoned: writing the empty
+        # base would leave an index whose next read fails parquet schema
+        # inference with an opaque error — fail loudly here instead
+        raise ValueError(
+            f"compact_ann_index: the fold of {index_dir} is empty (every "
+            "indexed row is tombstoned); drop and rebuild the index with "
+            "build_ann_index instead of compacting it down to nothing"
+        )
     (
         fold.select("id", "pq_code", "ivf_bucket")
         .write.mode("overwrite")
@@ -546,6 +556,76 @@ def streaming_ann_index(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def refresh_ann_index_if_drifted(
+    corpus: DataFrame,
+    index_dir: str,
+    moments_dir: str,
+    baseline_moments: DataFrame,
+    threshold: float = 0.5,
+    n_centroids: Optional[int] = None,
+    m_subspaces: Optional[int] = None,
+    pq_centroids: Optional[int] = None,
+    seed: Optional[int] = None,
+    sample_rows: int = 100_000,
+) -> Optional[float]:
+    """Compose the drift plane with the index lifecycle (r9 verdict
+    task #5): `append_to_ann_index` trains quantizers once and encodes
+    forever, so a drifted embedding distribution — encoder swap, source
+    mix shift — silently degrades the stored codebooks' recall while
+    the index keeps answering. This is the actuator the monitoring
+    plane was missing: read the live standardized mean shift from the
+    persisted moment state (`streaming/drift.read_embedding_drift` vs
+    ``baseline_moments``), and when the MAX over dimensions crosses
+    ``threshold``, rebuild the index wholesale over ``corpus`` (the
+    current survivor set) with freshly-trained quantizers —
+    :func:`build_ann_index`'s rebuild semantics: meta removed first,
+    stale batch dirs and tombstones wiped, so a crash mid-refresh reads
+    as incomplete, never as a silent old/new code mix.
+
+    Quantizer geometry defaults to the STORED meta (same
+    n_centroids/m_subspaces/pq_centroids/seed), overridable per call.
+
+    Returns the observed max mean shift when the refresh fired, or
+    None for the no-op path (drift under threshold: NOTHING is touched
+    — meta, base, appends, tombstones and compaction pointer all keep
+    their bytes, law-tested).
+
+    Scale shape: the decision costs a d-row state read (zero corpus
+    IO); the rebuild is the one full corpus scan + encode you already
+    pay for any retrain, now spent exactly when the alarm says the old
+    codebooks stopped fitting — instead of on a blind schedule. Law
+    (tested): planted drift → refresh fires → recall recovers vs the
+    stale-quantizer twin; no drift → no-op."""
+    from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+        read_embedding_drift,
+    )
+
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    spark = corpus.sparkSession
+    meta = load_index_meta(index_dir)
+    row = (
+        read_embedding_drift(spark, moments_dir, baseline_moments)
+        .agg(F.max("mean_shift").alias("m"))
+        .collect()[0]
+    )
+    shift = float(row.m) if row.m is not None else 0.0
+    if shift <= threshold:
+        return None
+    build_ann_index(
+        corpus,
+        meta["vec_col"],
+        meta["id_col"],
+        index_dir,
+        n_centroids=n_centroids or meta["n_centroids"],
+        m_subspaces=m_subspaces or meta["m_subspaces"],
+        pq_centroids=pq_centroids or meta["pq_centroids"],
+        seed=seed if seed is not None else meta["seed"],
+        sample_rows=sample_rows,
+    )
+    return shift
 
 
 def _horizon_filter(upto_batch: int):

@@ -528,16 +528,33 @@ def assemble_context(
     knapsack, like every production assembler).
 
     Scale shape: the expensive half is `bm25_search` (two column-pruned
-    corpus scans, zero corpus shuffles — or swap in the postings twin
-    for the zero-scan serving path); everything after operates on ≤
-    ``top_k`` rows, where the single-partition rank window is free."""
+    corpus scans, zero corpus shuffles — or use
+    :func:`assemble_context_from_hits` over ``bm25_search_postings``
+    for the zero-scan serving path, law-equal output); everything after
+    operates on ≤ ``top_k`` rows, where the single-partition rank
+    window is free."""
+    hits = bm25_search(
+        df, text_col, id_col, query_terms, k1=k1, b=b, top_k=top_k
+    )
+    return assemble_context_from_hits(hits, id_col, token_budget)
+
+
+def assemble_context_from_hits(
+    hits: DataFrame, id_col: str, token_budget: int
+) -> DataFrame:
+    """The retrieval-agnostic packing half of :func:`assemble_context`:
+    greedy token-budget assembly over an ALREADY-RETRIEVED candidate
+    set (``<id_col> | score | dl``, any retriever). Pass
+    ``bm25_search`` output for the scan shape or
+    ``streaming/term_stats.bm25_search_postings`` for the zero-scan
+    serving shape — the two retrievers are bit-identical on the same
+    corpus (law-tested), so the assembled context is too. Same output
+    contract and greedy skip-individually semantics as
+    :func:`assemble_context`."""
     from pyspark.sql import Window
 
     if token_budget < 0:
         raise ValueError("token_budget must be >= 0")
-    hits = bm25_search(
-        df, text_col, id_col, query_terms, k1=k1, b=b, top_k=top_k
-    )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     ranked = hits.select(
         F.col(id_col),
@@ -547,7 +564,10 @@ def assemble_context(
     )
     # greedy skip-individually semantics: running total of KEPT docs
     # only — an array fold over the (≤ top_k)-row collected list, then
-    # re-exploded; all driver-free, all bounded by top_k
+    # re-exploded; all driver-free, all bounded by top_k. The fold
+    # accumulator's id field takes the INPUT id column's type (string
+    # ids fold as strings — nothing is silently cast to bigint).
+    id_dt = hits.schema[id_col].dataType.simpleString()
     folded = ranked.groupBy().agg(
         F.sort_array(
             F.collect_list(F.struct("rank", F.col(id_col), "score", "dl"))
@@ -559,7 +579,7 @@ def assemble_context(
                 F.struct(
                     F.lit(0).cast("bigint").alias("cum"),
                     F.array().cast(
-                        "array<struct<rank:int,id:bigint,score:double,"
+                        f"array<struct<rank:int,id:{id_dt},score:double,"
                         "dl:bigint,cum_tokens:bigint>>"
                     ).alias("kept"),
                 ),
@@ -572,7 +592,7 @@ def assemble_context(
                             F.array(
                                 F.struct(
                                     h["rank"].alias("rank"),
-                                    h[id_col].cast("bigint").alias("id"),
+                                    h[id_col].cast(id_dt).alias("id"),
                                     h["score"].alias("score"),
                                     h["dl"].alias("dl"),
                                     (acc["cum"] + h["dl"]).alias("cum_tokens"),

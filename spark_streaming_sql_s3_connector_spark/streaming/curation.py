@@ -336,24 +336,52 @@ def propagate_doc_deletes(
     term_stats_dir: str | None = None,
     vec_col: str | None = None,
     emb_docs: DataFrame | None = None,
+    exact_index_dir: str | None = None,
+    line_index_dir: str | None = None,
+    passage_index_dir: str | None = None,
+    minhash_index_dir: str | None = None,
+    policy: str = "takedown",
 ) -> None:
-    """ONE delete, EVERY serving state (r9): when curation drops
-    documents — retention policy, takedown, decontamination — the drop
-    must reach every index still serving them. This is the single entry
-    point: tombstones the ids out of the persisted ANN index
-    (`operators/ann_index.delete_from_ann_index`) and writes the
+    """ONE delete, EVERY persisted state (r9 serving, r10 screening):
+    when curation drops documents — retention policy, takedown,
+    decontamination — the drop must reach every index still serving or
+    screening against them. This is the single entry point: tombstones
+    the ids out of the persisted ANN index
+    (`operators/ann_index.delete_from_ann_index`), writes the
     negated-stats + posting markers into the lexical state
-    (`streaming/term_stats.delete_docs_from_term_stats`). Both share
-    the insert-order delete semantics (a marker at batch t kills rows
-    inserted before t; later re-inserts revive) and the
-    overwrite-by-batch-dir replay convergence, so one monotonic batch-id
-    sequence drives the whole lifecycle. Pass only the states the
-    pipeline maintains; ``emb_docs`` (id + vector) defaults to ``docs``
-    when the doc frame carries the vector column.
+    (`streaming/term_stats.delete_docs_from_term_stats`), and — under
+    the ``forget`` policy — writes forget markers into the four
+    dedup-family SCREENING indexes (exact md5 keys, line keys, passage
+    gram keys, MinHash bands; `exact_dedup.delete_docs_from_screen`).
+    All states share the insert-order delete semantics (a marker at
+    batch t kills rows inserted before t; later re-inserts revive) and
+    the overwrite-by-batch-dir replay convergence, so one monotonic
+    batch-id sequence drives the whole lifecycle. Pass only the states
+    the pipeline maintains; ``emb_docs`` (id + vector) defaults to
+    ``docs`` when the doc frame carries the vector column.
 
-    Law (tested): after propagation, neither BM25-from-postings nor
-    ANN serving returns a deleted id, and the lexical stats equal a
-    rebuild over the survivors."""
+    ``policy`` splits WHY the doc is deleted, because the screening
+    states must behave oppositely per reason:
+
+    - ``"takedown"`` (default): the CONTENT is banned (legal removal,
+      contamination). Serving states delete; screening states keep
+      their keys, so a re-crawl of the same content is still rejected
+      as a duplicate — suppression is the point.
+    - ``"forget"``: the ROW is expiring (retention, consent
+      withdrawal). Serving states delete AND screening states forget
+      the doc's keys, so a legitimate future re-crawl is admitted as
+      new instead of silently bouncing off a ghost entry — the same
+      semantics as the reference's expiry re-admission rule
+      (RocksDBS3SourceLog.scala:301-305: expired files become "new"
+      again), one level up.
+
+    Laws (tested): after propagation, neither BM25-from-postings nor
+    ANN serving returns a deleted id, the lexical stats equal a rebuild
+    over the survivors, forget→re-ingest admits, takedown→re-ingest
+    still rejects, and each screening index equals a rebuild over the
+    surviving unique docs."""
+    if policy not in ("takedown", "forget"):
+        raise ValueError(f"policy must be 'takedown' or 'forget', got {policy!r}")
     if ann_index_dir is not None:
         from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
             delete_from_ann_index,
@@ -371,3 +399,16 @@ def propagate_doc_deletes(
         delete_docs_from_term_stats(
             docs, batch_id, term_stats_dir, text_col, id_col
         )
+    if policy == "forget":
+        from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+            delete_docs_from_screen,
+        )
+
+        for d in (
+            exact_index_dir,
+            line_index_dir,
+            passage_index_dir,
+            minhash_index_dir,
+        ):
+            if d is not None:
+                delete_docs_from_screen(docs, batch_id, d, id_col=id_col)

@@ -100,18 +100,30 @@ def _band_delta_ids(index_dir: str) -> list[int]:
 
 def _index_frames(spark: SparkSession, index_dir: str, before_batch: Optional[int] = None) -> list[DataFrame]:
     """Base (if compacted) + band deltas; ``before_batch`` excludes the
-    in-flight batch's own (possibly half-written) delta."""
+    in-flight batch's own (possibly half-written) delta. Forget markers
+    (`exact_dedup.delete_docs_from_screen` — the band index shares its
+    ``_deleted``/pointer layout) anti-join out the deleted docs' band
+    rows with the same dir-granular insert-order semantics."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _apply_screen_markers,
+        _live_screen_markers,
+    )
+
     ptr = _read_pointer(index_dir)
-    frames = []
+    tagged: list[tuple[int, DataFrame]] = []
     if ptr is not None:
-        frames.append(spark.read.parquet(os.path.join(index_dir, "base", f"v={ptr}")))
+        tagged.append(
+            (int(ptr), spark.read.parquet(os.path.join(index_dir, "base", f"v={ptr}")))
+        )
     for i in _band_delta_ids(index_dir):
         if ptr is not None and i <= ptr:
             continue
         if before_batch is not None and i >= before_batch:
             continue
-        frames.append(spark.read.parquet(_bands_dir(index_dir, i)))
-    return frames
+        tagged.append((i, spark.read.parquet(_bands_dir(index_dir, i))))
+    return _apply_screen_markers(
+        tagged, _live_screen_markers(spark, index_dir, before_batch)
+    )
 
 
 def _compute_bands(batch: DataFrame, text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int) -> DataFrame:
@@ -228,14 +240,25 @@ def read_candidate_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
 def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
     """Fold band deltas into a versioned, shard-partitioned base (sorted
     within shards so row-group stats tighten) and flip the pointer —
-    identical crash-safety argument to ``rollup.compact_rollup``."""
+    identical crash-safety argument to ``rollup.compact_rollup``. Live
+    forget markers fold physically (``_index_frames`` already applies
+    them), their dirs GC, and the pointer advances over marker-only
+    windows — the `exact_dedup.compact_index` delete discipline."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _deleted_dir,
+        _marker_ids,
+    )
+
     ids = _band_delta_ids(index_dir)
     ptr = _read_pointer(index_dir)
     pending = [i for i in ids if ptr is None or i > ptr]
-    if not pending:
+    mpending = [t for t in _marker_ids(index_dir) if ptr is None or t > ptr]
+    if not pending and not mpending:
         return None
-    new_v = max(pending)
     frames = _index_frames(spark, index_dir)
+    if not frames:
+        return None  # marker-only activity on an empty index
+    new_v = max(pending + mpending)
     df = frames[0]
     for fr in frames[1:]:
         df = df.unionByName(fr)
@@ -251,6 +274,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
     for i in ids:
         if i <= new_v:
             shutil.rmtree(_bands_dir(index_dir, i), ignore_errors=True)
+    for t in _marker_ids(index_dir):
+        if t <= new_v:
+            shutil.rmtree(_deleted_dir(index_dir, t), ignore_errors=True)
     if ptr is not None:
         shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
     return new_v

@@ -133,17 +133,124 @@ def _delta_ids(index_dir: str) -> list[int]:
 # only _SUCCESS, and schema INFERENCE on such a dir throws — a fixed
 # schema reads it as an empty frame instead
 _INDEX_SCHEMA = "_id bigint, key string, _shard int"
+_MARKER_SCHEMA = "_id bigint, t bigint"
+
+
+def _deleted_dir(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "_deleted", f"batch={batch_id}")
+
+
+def _marker_ids(index_dir: str) -> list[int]:
+    root = os.path.join(index_dir, "_deleted")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for e in os.listdir(root):
+        if e.startswith("batch="):
+            try:
+                out.append(int(e.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def delete_docs_from_screen(
+    docs: DataFrame, batch_id: int, index_dir: str, id_col: str = "doc_id"
+) -> None:
+    """FORGET a set of documents from a persisted screening index (this
+    module's exact-key index, or line/passage/minhash-band indexes that
+    share the layout): write an id-keyed delete marker under
+    ``_deleted/batch=<batch_id>``. A marker at batch t kills index rows
+    INSERTED strictly before t — insert order is derivable from the dir
+    layout itself (a delta dir IS its batch id; a compacted base ranks
+    as its fold horizon), so no row schema changes. A later re-ingest
+    of the same content lands in a delta dir above t and screens again.
+
+    This is the ``forget`` half of the delete-policy split (retention:
+    the state forgets, a legitimate re-crawl is admitted as new). The
+    ``takedown`` half — suppress the content forever — is the index's
+    default behavior and deliberately writes nothing here.
+
+    Bloom bitmaps are NOT touched: extra bits are superset-safe — a
+    forgotten key still probes bloom-positive, routes to the exact
+    history join, finds no row, and is admitted as new (law-tested).
+    The bloom's only dangerous direction is missing bits for present
+    keys, which deletion never causes.
+
+    Overwrites its own batch dir — replay-convergent. Preconditions
+    match the serving-state deletes (`term_stats`/`ann_index`): one
+    monotonic batch-id sequence shared by inserts and deletes."""
+    (
+        docs.select(F.col(id_col).cast("bigint").alias("_id"))
+        .distinct()
+        .withColumn("t", F.lit(int(batch_id)).cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_deleted_dir(index_dir, batch_id))
+    )
+
+
+def _live_screen_markers(
+    spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
+) -> Optional[DataFrame]:
+    """Un-applied forget markers (``_id | t``): marker dirs strictly
+    above the base pointer (dirs at/below it were applied physically by
+    compaction and GC'd — a replayed folded dir is filtered here, the
+    ANN-tombstone liveness rule). ``before_batch`` excludes markers the
+    in-flight batch could not have seen on its original run, keeping
+    replay deterministic. None when the index has never forgotten."""
+    ids = _marker_ids(index_dir)
+    if not ids:
+        return None
+    ptr = _read_pointer(index_dir)
+    horizon = -1 if ptr is None else int(ptr)
+    live = [
+        t
+        for t in ids
+        if t > horizon and (before_batch is None or t < before_batch)
+    ]
+    if not live:
+        return None
+    frames = [
+        spark.read.schema(_MARKER_SCHEMA).parquet(_deleted_dir(index_dir, t))
+        for t in live
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _apply_screen_markers(
+    tagged: list[tuple[int, DataFrame]], marks: Optional[DataFrame]
+) -> list[DataFrame]:
+    """Anti-join forget markers onto index frames with insert-order
+    semantics at dir granularity: a frame inserted at batch b loses the
+    ids of markers with t > b. The base frame ranks as b = pointer —
+    exact, because every base row was inserted at or below the fold
+    horizon and every LIVE marker sits strictly above it. The marker
+    set is the forget sliver — broadcast."""
+    if marks is None:
+        return [f for _, f in tagged]
+    out = []
+    for b, f in tagged:
+        m = marks.where(F.col("t") > F.lit(int(b))).select("_id")
+        out.append(f.join(F.broadcast(m), "_id", "left_anti"))
+    return out
 
 
 def _index_frames(
     spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
 ) -> list[DataFrame]:
     ptr = _read_pointer(index_dir)
-    frames = []
+    tagged: list[tuple[int, DataFrame]] = []
     if ptr is not None:
-        frames.append(
-            spark.read.schema(_INDEX_SCHEMA).parquet(
-                os.path.join(index_dir, "base", f"v={ptr}")
+        tagged.append(
+            (
+                int(ptr),
+                spark.read.schema(_INDEX_SCHEMA).parquet(
+                    os.path.join(index_dir, "base", f"v={ptr}")
+                ),
             )
         )
     for i in _delta_ids(index_dir):
@@ -151,8 +258,12 @@ def _index_frames(
             continue
         if before_batch is not None and i >= before_batch:
             continue
-        frames.append(spark.read.schema(_INDEX_SCHEMA).parquet(_new_dir(index_dir, i)))
-    return frames
+        tagged.append(
+            (i, spark.read.schema(_INDEX_SCHEMA).parquet(_new_dir(index_dir, i)))
+        )
+    return _apply_screen_markers(
+        tagged, _live_screen_markers(spark, index_dir, before_batch)
+    )
 
 
 def _shard_params(expected_total_items: int, fpp: float) -> tuple[int, int]:
@@ -567,7 +678,14 @@ def compact_index(
     rewritten ``_dups/batch=N`` verdicts would mark N's first-seen rows
     as ``vs_history`` (unique-id output stays correct either way — only
     the dup-verdict labels skew). With ``upto_batch=None`` every delta
-    folds; that is safe only when no batch is awaiting replay."""
+    folds; that is safe only when no batch is awaiting replay.
+
+    Forget markers (:func:`delete_docs_from_screen`) in the fold window
+    are applied PHYSICALLY — ``_index_frames`` already anti-joins them
+    with insert-order semantics, so the folded base simply lacks the
+    forgotten rows — and their dirs GC'd; the pointer advances over
+    marker-only windows too (marker liveness keys off it). Markers at
+    or above ``upto_batch`` stay live and keep filtering at read."""
     ids = _delta_ids(index_dir)
     ptr = _read_pointer(index_dir)
     pending = [
@@ -576,10 +694,20 @@ def compact_index(
         if (ptr is None or i > ptr)
         and (upto_batch is None or i < upto_batch)
     ]
-    if not pending:
+    mpending = [
+        t
+        for t in _marker_ids(index_dir)
+        if (ptr is None or t > ptr)
+        and (upto_batch is None or t < upto_batch)
+    ]
+    if not pending and not mpending:
         return None
-    new_v = max(pending)
     frames = _index_frames(spark, index_dir, before_batch=upto_batch)
+    if not frames:
+        # marker-only activity on an index with no base and no data
+        # deltas: nothing to apply the markers to — leave them live
+        return None
+    new_v = max(pending + mpending)
     df = frames[0]
     for fr in frames[1:]:
         df = df.unionByName(fr)
@@ -605,6 +733,9 @@ def compact_index(
     for i in ids:
         if i <= new_v:
             shutil.rmtree(_new_dir(index_dir, i), ignore_errors=True)
+    for t in _marker_ids(index_dir):
+        if t <= new_v:
+            shutil.rmtree(_deleted_dir(index_dir, t), ignore_errors=True)
     if ptr is not None:
         shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
     return new_v

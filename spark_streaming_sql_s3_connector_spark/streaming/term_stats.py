@@ -313,6 +313,12 @@ def compact_term_stats(
                 spark.read.parquet(os.path.join(subdir, "base", f"v={ptr}"))
             )
         frames.extend(spark.read.parquet(_delta_dir(subdir, b)) for b in ids)
+        if not frames:
+            # marker-only window over a postings dir with no base and no
+            # in-window postings deltas: nothing to fold the markers
+            # against — leave them live (they keep filtering at read)
+            # rather than indexing into an empty frame list
+            continue
         allf = frames[0]
         for f in frames[1:]:
             allf = allf.unionByName(f)

@@ -1084,3 +1084,87 @@ def test_randomized_lifecycle_serves_live_set(spark, tmp_path):
         served_ids = {r.neighbor_id for r in got}
         dead = {i for i, o in live.items() if o is None}
         assert not served_ids & dead
+
+
+def test_drift_triggered_refresh_fires_and_recovers_recall(spark, tmp_path):
+    """The drift→lifecycle composition law (r10): plant a hard
+    distribution shift (new vectors live far outside the build-time
+    clusters), maintain the moment state, and assert (a) no drift →
+    refresh_ann_index_if_drifted is a byte-exact no-op, (b) planted
+    drift → the refresh fires and the rebuilt index's candidate recall
+    on the drifted slice (measured through the refined serving path —
+    exact cosine over captured candidates, so only capture quality
+    varies) strictly beats the stale-quantizer twin and clears the
+    floor the retrained codebooks restore."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+        append_to_ann_index,
+        refresh_ann_index_if_drifted,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.drift import (
+        embedding_moments,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+        embedding_moment_batch,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    old_rows = [
+        (i, [rng.gauss(0, 0.5) for _ in range(dim)]) for i in range(200)
+    ]
+    # drifted slice: a new mode far outside every build-time cluster,
+    # wide enough that PQ cells can discriminate within it
+    new_rows = [
+        (1000 + i, [8.0 + rng.gauss(0, 2.0) for _ in range(dim)])
+        for i in range(120)
+    ]
+    old = spark.createDataFrame(old_rows, ["vec_id", "embedding"])
+    new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        old, "embedding", "vec_id", idx,
+        n_centroids=6, m_subspaces=4, pq_centroids=64, seed=3,
+    )
+    baseline = embedding_moments(old, "embedding")
+    mdir = str(tmp_path / "moments")
+
+    # (a) no drift: live moments == baseline distribution → no-op
+    embedding_moment_batch(old, 0, mdir, "embedding")
+    meta_before = json.dumps(load_index_meta(idx), sort_keys=True)
+    assert (
+        refresh_ann_index_if_drifted(old, idx, mdir, baseline, threshold=0.5)
+        is None
+    )
+    assert json.dumps(load_index_meta(idx), sort_keys=True) == meta_before
+
+    # (b) planted drift: append the shifted slice (stale quantizers),
+    # log its moments, measure the stale twin, then refresh
+    append_to_ann_index(new, idx, batch_id=1)
+    embedding_moment_batch(new, 1, mdir, "embedding")
+    union = old.unionByName(new)
+    q = new_rows[60][1]
+    exact = {
+        r.neighbor_id
+        for r in brute_force_topk(union, "embedding", "vec_id", q, k=10).collect()
+    }
+
+    def _served():
+        return {
+            r.neighbor_id
+            for r in ann_index_topk_refined(
+                spark, idx, union, "embedding", "vec_id", q,
+                k=10, n_probe=3, overfetch=2,
+            ).collect()
+        }
+
+    stale = _served()
+    shift = refresh_ann_index_if_drifted(
+        union, idx, mdir, baseline, threshold=0.5
+    )
+    assert shift is not None and shift > 0.5  # the alarm fired
+    fresh = _served()
+    stale_recall = len(exact & stale) / 10
+    fresh_recall = len(exact & fresh) / 10
+    assert fresh_recall > stale_recall
+    assert fresh_recall >= 0.7  # retrained codebooks fit the new mode

@@ -614,3 +614,43 @@ def test_assemble_context_edge_budgets(spark):
 
     with pytest.raises(ValueError):
         assemble_context(df, "text", "doc_id", ["spark"], token_budget=-1)
+
+
+def test_assemble_context_from_postings_equals_scan_twin(spark, tmp_path):
+    """The serving-shape assembly law: packing bm25_search_postings
+    hits equals assemble_context over the corpus EXACTLY (the two
+    retrievers are bit-identical, so the greedy pack is too)."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        assemble_context,
+        assemble_context_from_hits,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        term_stats_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("spark stream join " * (1 + i % 4)) + f"doc {i} filler text")
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    ts = str(tmp_path / "ts")
+    term_stats_batch(docs, 0, ts, "text", "doc_id", with_postings=True)
+    q = ["spark", "stream", "join"]
+    want = [
+        tuple(r)
+        for r in assemble_context(
+            docs, "text", "doc_id", q, token_budget=60, top_k=10
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in assemble_context_from_hits(
+            bm25_search_postings(spark, q, ts, id_col="doc_id", top_k=10),
+            "doc_id",
+            60,
+        ).collect()
+    ]
+    assert got == want and len(want) > 0
