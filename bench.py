@@ -260,13 +260,38 @@ BENCH_QUERIES = [
     # compare against hybrid_search_docs' scan-twin median for the
     # amortization win
     "hybrid_search_indexed",
-    # streaming_profile_docs stays a gate/local-gate key only (three
-    # sequential batch writes + a state read — orchestration wall, not
-    # per-row cost; same rationale as streaming_exact_dedup_docs).
-    # streaming_exact_dedup_docs stays a gate/local-gate key only: it
-    # drives three sequential foreachBatch-style jobs (~17 s of fixed
-    # orchestration), which would dominate the bench without measuring
-    # any per-row cost the other keys don't already cover.
+    # r10: previously-unbenched registry keys now tracked so every key
+    # has a wall history (r9 verdict task #8)
+    # labeled quadratic exact baseline of the dedup-cluster family —
+    # benched to keep the (deliberate) quadratic cost visible
+    "dedup_cluster_exact_edges",
+    # streaming term-stats lifecycle (4 batch writes + compaction into
+    # a fresh tempdir + one-scan serve) — mostly orchestration wall but
+    # cheap enough (~9 s) to keep a history
+    "streaming_bm25_docs",
+    # streaming profile lifecycle (3 batch writes + state read, ~3 s)
+    "streaming_profile_docs",
+    # r10: serving-shape context assembly (zero-scan postings BM25 →
+    # greedy pack; first rep may build the disk-cached state — the
+    # median measures serve)
+    "context_assembly_indexed",
+    # r10: serve-only walls of the indexed serving paths (r9 verdict
+    # task #3). The composite keys (hybrid_search_indexed,
+    # ann_index_topk, streaming_bm25_docs) include state builds and
+    # ground-truth self-check twins in their medians; these three are
+    # the steady-state serving floors — the numbers that must stay
+    # FLAT as the corpus grows (SCALING carries the sf sweep).
+    "bm25_indexed_serve_only",
+    "ann_topk_serve_only",
+    "hybrid_serve_only",
+    # DELIBERATE EXCLUSIONS (every other registry key is benched):
+    # - streaming_exact_dedup_docs: three sequential foreachBatch-style
+    #   jobs (~17 s of fixed orchestration) — would dominate the bench
+    #   without measuring any per-row cost other keys don't cover.
+    # - streaming_line_dedup_docs / streaming_passage_dedup_docs: same
+    #   shape, heavier (~30 s+ each at sf0.1) — pure orchestration wall;
+    #   their per-row costs are covered by dedup_lines_docs /
+    #   passage_dedup_docs and the incremental==batch law tests.
 ]
 
 N_INGEST_FILES = 32

@@ -5781,6 +5781,47 @@ def _term_stats_dir_for(sf: str) -> str:
     return os.path.join(tempfile.gettempdir(), "spark_graft_term_stats", fp)
 
 
+def _ensure_postings_state(spark, sf: str) -> str:
+    """Build (once per corpus, disk-cached) and return the persisted
+    BM25 term-stats + postings state dir for ``sf``'s documents table.
+    Shared by every indexed-serving key so they all serve from the SAME
+    state — the first caller of a round pays the one-scan build, every
+    later call is an existence check."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        compact_term_stats,
+        postings_exist,
+        term_stats_batch,
+        term_stats_exist,
+    )
+
+    stats_dir = _term_stats_dir_for(sf)
+    if not (term_stats_exist(stats_dir) and postings_exist(stats_dir)):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        term_stats_batch(docs, 0, stats_dir, "text", "doc_id",
+                         with_postings=True)
+        compact_term_stats(spark, stats_dir, upto_batch=0)
+    return stats_dir
+
+
+def _ensure_ann_index(spark, sf: str) -> str:
+    """Build (once per corpus, disk-cached) and return the persisted
+    IVF-PQ ANN index dir for ``sf``'s embeddings table — the shared
+    prewarm of the indexed-serving keys."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        build_ann_index,
+        index_exists,
+    )
+
+    index_dir = _ann_index_dir_for(sf)
+    if not index_exists(index_dir):
+        emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+        build_ann_index(
+            emb, "embedding", "vec_id", index_dir,
+            n_centroids=16, m_subspaces=16, pq_centroids=256, seed=42,
+        )
+    return index_dir
+
+
 # exact-twin fused ids per (term-stats dir, ann-index dir) — the dirs
 # encode corpus identity (size+mtime fingerprint), so a regenerated
 # corpus recomputes. The self-check's ground truth is instrumentation,
@@ -5815,8 +5856,6 @@ def _hybrid_search_indexed_q(spark, sf):
     candidates)."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         ann_index_topk_refined,
-        build_ann_index,
-        index_exists,
     )
     from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
         rrf_fuse,
@@ -5824,25 +5863,10 @@ def _hybrid_search_indexed_q(spark, sf):
     )
     from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
         bm25_search_postings,
-        compact_term_stats,
-        postings_exist,
-        term_stats_batch,
-        term_stats_exist,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    stats_dir = _term_stats_dir_for(sf)
-    if not (term_stats_exist(stats_dir) and postings_exist(stats_dir)):
-        term_stats_batch(docs, 0, stats_dir, "text", "doc_id",
-                         with_postings=True)
-        compact_term_stats(spark, stats_dir, upto_batch=0)
-    index_dir = _ann_index_dir_for(sf)
-    if not index_exists(index_dir):
-        emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
-        build_ann_index(
-            emb, "embedding", "vec_id", index_dir,
-            n_centroids=16, m_subspaces=16, pq_centroids=256, seed=42,
-        )
+    stats_dir = _ensure_postings_state(spark, sf)
+    index_dir = _ensure_ann_index(spark, sf)
     q = _query_vector(spark, sf)
     lex = with_rank(
         bm25_search_postings(
@@ -5930,18 +5954,9 @@ def _context_assembly_indexed_q(spark, sf):
     )
     from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
         bm25_search_postings,
-        compact_term_stats,
-        postings_exist,
-        term_stats_batch,
-        term_stats_exist,
     )
 
-    stats_dir = _term_stats_dir_for(sf)
-    if not (term_stats_exist(stats_dir) and postings_exist(stats_dir)):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        term_stats_batch(docs, 0, stats_dir, "text", "doc_id",
-                         with_postings=True)
-        compact_term_stats(spark, stats_dir, upto_batch=0)
+    stats_dir = _ensure_postings_state(spark, sf)
     hits = bm25_search_postings(
         spark, ["spark", "join", "stream", "vector"], stats_dir,
         id_col="doc_id", top_k=20,
@@ -5961,6 +5976,90 @@ def _context_assembly_indexed_q(spark, sf):
         )
         .withColumn("exact_match", F.lit(bool(ok)))
         .orderBy("rank")
+    )
+
+
+def _bm25_indexed_serve_only(spark, sf):
+    """SERVE-ONLY wall of the state-backed BM25 (r9 verdict task #3):
+    ``bm25_search_indexed`` from the prewarmed disk-cached term-stats
+    state — one corpus scan, a query-term-sliced stats read, NO state
+    build in steady state and NO self-check twin. The composite keys
+    (``streaming_bm25_docs``, ``hybrid_search_indexed``) carry builds
+    and ground-truth twins in their walls; this key is the regression
+    tracker for the pure serving path (its bench median IS the serving
+    floor). Rows-only: the scan twin ``bm25_search_docs`` carries the
+    oracle for the identical arithmetic (law-equal in pytest)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_indexed,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bm25_search_indexed(
+        docs, "text", "doc_id", ["spark", "join", "stream", "vector"],
+        _ensure_postings_state(spark, sf), top_k=20,
+    )
+
+
+def _ann_topk_serve_only(spark, sf):
+    """SERVE-ONLY wall of persisted-index ANN (r9 verdict task #3):
+    ``ann_index_topk`` from the prewarmed disk-cached IVF-PQ index —
+    probed-bucket pruned scan of 16 B codes, NO index build in steady
+    state and NO brute-force twin (the registered ``ann_index_topk``
+    key recomputes brute ground truth every call for its recall
+    self-check, so its wall hides the serving floor this key exposes).
+    Rows-only; recall is pinned by ``ann_index_topk``'s self-check and
+    the pytest floors over the same index geometry."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+
+    index_dir = _ensure_ann_index(spark, sf)
+    return ann_index_topk(
+        spark, index_dir, _query_vector(spark, sf), k=10, n_probe=6
+    )
+
+
+def _hybrid_serve_only(spark, sf):
+    """SERVE-ONLY wall of hybrid search (r9 verdict task #3): the same
+    two amortized retriever halves as ``hybrid_search_indexed`` —
+    zero-scan postings BM25 + persisted-index ADC with exact refine —
+    RRF-fused, WITHOUT the exact-scan-twin jaccard self-check that
+    dominates that key's bench median. ``hybrid_search_indexed`` stays
+    the correctness witness; this key is the number to read for "what
+    does a hybrid query cost once the states are warm" (and the SCALING
+    row that must stay flat while the scan twin grows)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_refined,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        rrf_fuse,
+        with_rank,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    stats_dir = _ensure_postings_state(spark, sf)
+    index_dir = _ensure_ann_index(spark, sf)
+    lex = with_rank(
+        bm25_search_postings(
+            spark, ["spark", "join", "stream", "vector"], stats_dir,
+            id_col="doc_id", top_k=20,
+        ),
+        [F.col("score").desc()],
+        "doc_id",
+    )
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    sem = with_rank(
+        ann_index_topk_refined(
+            spark, index_dir, emb, "embedding", "vec_id",
+            _query_vector(spark, sf), k=20, n_probe=16, overfetch=4,
+        ).withColumnRenamed("neighbor_id", "doc_id"),
+        [F.col("cosine").desc()],
+        "doc_id",
+    )
+    return rrf_fuse([lex, sem], "doc_id", k=60, top_k=15).select(
+        "doc_id", F.round("rrf_score", 9).alias("rrf_score"), "n_lists"
     )
 
 
@@ -6254,4 +6353,12 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # r10: serving-shape context assembly — zero-scan postings BM25 →
     # greedy pack (rows-only; exact_match self-check vs the scan twin)
     "context_assembly_indexed": QuerySpec(_context_assembly_indexed_q, None),
+    # r10: serve-only walls of the three indexed serving paths — the
+    # composite keys above carry state builds and ground-truth twins in
+    # their bench medians; these expose the steady-state serving floor
+    # (rows-only; correctness pinned by the composites' self-checks and
+    # the law tests over the same states)
+    "bm25_indexed_serve_only": QuerySpec(_bm25_indexed_serve_only, None),
+    "ann_topk_serve_only": QuerySpec(_ann_topk_serve_only, None),
+    "hybrid_serve_only": QuerySpec(_hybrid_serve_only, None),
 }

@@ -1,0 +1,209 @@
+"""One maintenance entry point for EVERY persisted state plane.
+
+The package accumulates delta-log state in seven layouts — rollup /
+profile / drift-count / embedding-moment sinks (``_deltas`` + pointer),
+BM25 term stats (``terms``/``corpus``/``postings`` subdirs), the
+incremental packing manifest (``pack``/``cursors``), the dedup
+screening indexes (``_new`` key dirs), the MinHash band index
+(``_bands``), and the IVF-PQ ANN index (``quantizers.json``) — each
+with its own compactor and GC. Correct, but an operator running a
+100 TB pipeline should not need to know seven maintenance calls and
+their per-plane replay guards: this module walks a state root,
+CLASSIFIES each plane by its on-disk signature (layout markers first,
+then the delta schema for the ``_deltas`` family), and dispatches to
+the right compactor with its always-safe default — the serving-plane
+analog of the source metadata log's bounded self-maintenance
+(reference: RocksDBS3SourceLog.scala:416-460, where one maintenance
+path both folds and GCs).
+
+Classification rules (checked in order, first match wins, matched
+subtrees are not descended into):
+
+- ``quantizers.json``            → ``operators/ann_index.compact_ann_index``
+- ``_bands/``                    → ``streaming/dedup_index.compact_index``
+- ``_new/``                      → ``streaming/exact_dedup.compact_index``
+  with the strictly-below-newest-delta guard (the line/passage default:
+  the newest delta is the only batch a restart can replay, and folding
+  it would corrupt a replay's ``_docs`` rewrite)
+- ``terms/`` + ``corpus/``       → ``streaming/term_stats.compact_term_stats``
+- ``pack/`` + ``cursors/``       → ``streaming/packing_state.compact_pack_state``
+- ``_deltas/`` with a delta schema of:
+    - ``_n_rows`` + ``_nn_*``    → ``streaming/profile.compact_profile``
+    - exactly ``bucket, n``      → ``streaming/drift.compact_drift_counts``
+    - exactly ``dim, n, s, ss``  → ``streaming/drift.compact_embedding_moments``
+    - ``bucket`` + ``_ca_*``     → ``streaming/rollup.compact_rollup`` with
+      ``keys`` = the non-bucket, non-partial columns (derived from the
+      schema, so rollups with any key set vacuum correctly)
+  anything else is reported as ``skipped`` (never guessed at).
+
+``upto_batch`` (optional) passes through to every compactor that takes
+a fold horizon — hand it the last COMMITTED batch id when vacuuming
+beside live streams, exactly as each compactor documents. Compactors
+GC their own superseded versions, so after a vacuum each plane holds
+ONE base version + only post-horizon deltas (the bounded-version law
+the tests pin over a 10-batch lifecycle).
+
+Returns a report (one dict per plane found: path, plane, result) so
+callers can log what a maintenance cycle actually did.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def _delta_schema_cols(spark: SparkSession, deltas_root: str) -> Optional[set]:
+    for e in sorted(os.listdir(deltas_root)):
+        p = os.path.join(deltas_root, e)
+        if e.startswith("batch=") and os.path.isdir(p):
+            try:
+                return set(spark.read.parquet(p).columns)
+            except Exception:
+                continue
+    return None
+
+
+def _classify_deltas(spark: SparkSession, plane_dir: str) -> Optional[str]:
+    cols = _delta_schema_cols(spark, os.path.join(plane_dir, "_deltas"))
+    if cols is None:
+        return None
+    if "_n_rows" in cols and any(c.startswith("_nn_") for c in cols):
+        return "profile"
+    if cols == {"bucket", "n"}:
+        return "drift_counts"
+    if cols == {"dim", "n", "s", "ss"}:
+        return "embedding_moments"
+    if "bucket" in cols and any(c.startswith("_ca_") for c in cols):
+        return "rollup"
+    return None
+
+
+def _vacuum_plane(
+    spark: SparkSession, d: str, upto_batch: Optional[int]
+) -> Optional[dict]:
+    """Compact ``d`` if it is a recognizable plane root; None if it is
+    not a plane (the walk then descends into it)."""
+    names = set(os.listdir(d))
+    if "quantizers.json" in names:
+        from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+            compact_ann_index,
+        )
+
+        return {
+            "path": d,
+            "plane": "ann_index",
+            "result": compact_ann_index(spark, d, upto_batch=upto_batch),
+        }
+    if "_bands" in names:
+        from spark_streaming_sql_s3_connector_spark.streaming.dedup_index import (
+            compact_index,
+        )
+
+        return {"path": d, "plane": "minhash_bands", "result": compact_index(spark, d)}
+    if "_new" in names:
+        from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+            _delta_ids,
+            compact_index,
+        )
+
+        if upto_batch is None:
+            # the line/passage safe default: never fold the newest
+            # delta — the only batch a restart could replay
+            ids = _delta_ids(d)
+            horizon = max(ids) if ids else None
+        else:
+            horizon = upto_batch
+        return {
+            "path": d,
+            "plane": "key_screen",
+            "result": compact_index(spark, d, upto_batch=horizon),
+        }
+    if "terms" in names and "corpus" in names:
+        from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+            compact_term_stats,
+        )
+
+        compact_term_stats(spark, d, upto_batch=upto_batch)
+        return {"path": d, "plane": "term_stats", "result": None}
+    if "pack" in names and "cursors" in names:
+        from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
+            compact_pack_state,
+        )
+
+        compact_pack_state(spark, d, upto_batch=upto_batch)
+        return {"path": d, "plane": "packing", "result": None}
+    if "_deltas" in names:
+        kind = _classify_deltas(spark, d)
+        if kind == "profile":
+            from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+                compact_profile,
+            )
+
+            return {"path": d, "plane": "profile", "result": compact_profile(spark, d)}
+        if kind == "drift_counts":
+            from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+                compact_drift_counts,
+            )
+
+            return {
+                "path": d,
+                "plane": "drift_counts",
+                "result": compact_drift_counts(spark, d),
+            }
+        if kind == "embedding_moments":
+            from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+                compact_embedding_moments,
+            )
+
+            return {
+                "path": d,
+                "plane": "embedding_moments",
+                "result": compact_embedding_moments(spark, d),
+            }
+        if kind == "rollup":
+            from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+                compact_rollup,
+            )
+
+            cols = _delta_schema_cols(spark, os.path.join(d, "_deltas"))
+            keys = sorted(
+                c for c in cols if c != "bucket" and not c.startswith("_ca_")
+            )
+            return {
+                "path": d,
+                "plane": "rollup",
+                "result": compact_rollup(spark, d, keys=keys),
+            }
+        return {"path": d, "plane": "unknown_deltas", "result": "skipped"}
+    return None
+
+
+def vacuum(
+    spark: SparkSession, state_root: str, upto_batch: Optional[int] = None
+) -> list[dict]:
+    """Walk ``state_root``, compact every recognized state plane with
+    its safe default, GC superseded versions (each compactor's own GC),
+    and return the per-plane report. See the module doc for the
+    classification table and the ``upto_batch`` live-stream guard."""
+    report: list[dict] = []
+    if not os.path.isdir(state_root):
+        return report
+    stack = [state_root]
+    while stack:
+        d = stack.pop()
+        try:
+            entry = _vacuum_plane(spark, d, upto_batch)
+        except Exception as e:  # one sick plane must not stop the sweep
+            entry = {"path": d, "plane": "error", "result": f"{type(e).__name__}: {e}"}
+        if entry is not None:
+            report.append(entry)
+            continue  # a plane root is never also a container
+        for e in sorted(os.listdir(d), reverse=True):
+            p = os.path.join(d, e)
+            # plane-internal dirs never nest other planes
+            if os.path.isdir(p) and not e.startswith(("batch=", "v=", "_")):
+                stack.append(p)
+    return sorted(report, key=lambda r: r["path"])
