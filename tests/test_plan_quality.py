@@ -620,3 +620,98 @@ def test_embedding_drift_partial_agg_no_window(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per side
     assert "CartesianProduct" not in plan
+
+
+def test_context_assembly_indexed_serve_has_zero_corpus_scans(spark):
+    """The r10 serving-shape RAG key: the SERVE half (postings BM25 →
+    greedy pack) must read ONLY the persisted state — no documents
+    corpus FileScan anywhere in the assembled plan (the scan twin
+    context_assembly_docs deliberately keeps them)."""
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        assemble_context_from_hits,
+    )
+    from spark_streaming_sql_s3_connector_spark.plans.pipeline_queries import (
+        _ensure_postings_state,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    stats_dir = _ensure_postings_state(spark, SF)
+    df = assemble_context_from_hits(
+        bm25_search_postings(
+            spark, ["spark", "join", "stream", "vector"], stats_dir,
+            id_col="doc_id", top_k=20,
+        ),
+        "doc_id",
+        420,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_screen_marker_filter_broadcasts_never_shuffles_index(spark, tmp_path):
+    """Forget markers are the delete sliver: applying them to a
+    screening index must be a BroadcastHashJoin LeftAnti per frame —
+    the (potentially huge) key index itself never shuffles for a
+    delete, and no SortMergeJoin appears."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _index_frames,
+        delete_docs_from_screen,
+        process_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id bigint, text string"
+    )
+    process_batch(docs, 0, idx, expected_total_items=1000)
+    delete_docs_from_screen(
+        docs.where(F.col("doc_id") % 7 == 0), 1, idx
+    )
+    frames = _index_frames(spark, idx)
+    assert frames
+    for f in frames:
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_incremental_pack_shuffles_batch_only_and_broadcasts_cursors(
+    spark, tmp_path
+):
+    """pack_batch_incremental's per-trigger plan: the window shuffle is
+    over the BATCH relation and the cursor state joins back as a
+    broadcast (num_shards rows) — no SortMergeJoin, no second Exchange
+    of the manifest."""
+    from spark_streaming_sql_s3_connector_spark.operators.packing import (
+        pack_concat,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
+        _cursor_base,
+        pack_batch_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    pdir = str(tmp_path / "pack")
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 9 + 1)) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    pack_batch_incremental(
+        docs, 0, pdir, "doc_id", 16, text_col="text", num_shards=4
+    )
+    batch1 = spark.createDataFrame(
+        [(100 + i, "tok " * (i % 5 + 1)) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    local = pack_concat(batch1, "doc_id", 16, text_col="text", num_shards=4)
+    cursors = _cursor_base(spark, pdir, before_batch=1)
+    shifted = local.join(F.broadcast(cursors), "shard", "left")
+    plan = shifted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -97,6 +97,13 @@ QUERIES = [
     "quantize_embeddings_docs",
     "embedding_drift_docs",
     "context_assembly_docs",
+    # r10: serving-shape context assembly (zero-scan postings BM25 →
+    # pack; prewarmed — the flat-row claim is the point) and the three
+    # serve-only walls of the indexed serving paths
+    "context_assembly_indexed",
+    "bm25_indexed_serve_only",
+    "ann_topk_serve_only",
+    "hybrid_serve_only",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -145,6 +152,19 @@ HEAVY = [
     "corpus_refresh_docs",
     # r9: hot-block sensitivity caught by this sweep (36x pre-fix)
     "fuzzy_match_docs",
+    # r10 (r9 verdict task #6): sf1 cells for the late-r9 rows — the
+    # serving-flat and scan-linear claims get the 5→10× confirmation
+    # point the heavy family already has
+    "hybrid_search_docs",
+    "hybrid_search_indexed",
+    "context_assembly_docs",
+    "length_buckets_docs",
+    "pca_embeddings",
+    # r10: the new serving keys' flat claim needs the same sf1 point
+    "context_assembly_indexed",
+    "bm25_indexed_serve_only",
+    "ann_topk_serve_only",
+    "hybrid_serve_only",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
@@ -228,6 +248,13 @@ def main():
         # caches the exact-twin ground truth so the timed run measures
         # the LSH screen, not its self-check
         "cross_corpus_minhash_docs",
+        # r10: exact-twin cache + postings-state build on first touch
+        "context_assembly_indexed",
+        # r10: serve-only keys build the shared disk-cached states on
+        # first touch of a scale dir; the rows must measure pure serve
+        "bm25_indexed_serve_only",
+        "ann_topk_serve_only",
+        "hybrid_serve_only",
     }
     for name in QUERIES:
         fn = qs[name]
@@ -239,6 +266,8 @@ def main():
             fn(spark, sf).count()
             times.append(time.time() - t0)
         if name in HEAVY:
+            if name in PREWARM_DISK_CACHE:
+                fn(spark, SF1).count()
             t0 = time.time()
             fn(spark, SF1).count()
             t_sf1 = time.time() - t0
