@@ -364,6 +364,13 @@ def compact_term_stats(
             shutil.rmtree(_delta_dir(subdir, b), ignore_errors=True)
         for b in mark_ids:
             shutil.rmtree(_delta_dir(mark_sub, b), ignore_errors=True)
+        # GC superseded base versions (dead once the pointer flipped) —
+        # without this every fold leaves its predecessor behind and the
+        # version count grows unbounded over a long-running stream
+        base_root = os.path.join(subdir, "base")
+        for name in os.listdir(base_root):
+            if name.startswith("v=") and int(name[2:]) != new_v:
+                shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
 
 
 def bm25_search_indexed(
