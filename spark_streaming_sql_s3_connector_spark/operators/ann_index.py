@@ -619,9 +619,9 @@ def refresh_ann_index_if_drifted(
         meta["vec_col"],
         meta["id_col"],
         index_dir,
-        n_centroids=n_centroids or meta["n_centroids"],
-        m_subspaces=m_subspaces or meta["m_subspaces"],
-        pq_centroids=pq_centroids or meta["pq_centroids"],
+        n_centroids=n_centroids if n_centroids is not None else meta["n_centroids"],
+        m_subspaces=m_subspaces if m_subspaces is not None else meta["m_subspaces"],
+        pq_centroids=pq_centroids if pq_centroids is not None else meta["pq_centroids"],
         seed=seed if seed is not None else meta["seed"],
         sample_rows=sample_rows,
     )

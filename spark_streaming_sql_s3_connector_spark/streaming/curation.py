@@ -37,7 +37,9 @@ scan of the raw corpus.
 
 from __future__ import annotations
 
+import json
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -324,6 +326,350 @@ def batch_curation(
         gated.select(id_col, "lang", "qscore")
         .join(packed, id_col)
         .orderBy(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental finalization (r11): per-batch gate + pack instead of a
+# full-corpus repack at every refresh.
+#
+# `finalize_curation` is the corpus-end shape: one gate shuffle + one
+# pack shuffle over the WHOLE survivor set, every call. Correct, but a
+# CONTINUOUS pipeline that wants the packed corpus fresh after every
+# trigger would pay a full-corpus repack per trigger — the one
+# remaining full-corpus stage after r10 made the screens, stats and
+# packing all incremental. The incremental finalize closes it:
+#
+# - the quality threshold is FROZEN at bootstrap (first finalized
+#   batch): per-language `percentile_approx(1-frac)` over the
+#   bootstrap survivors, persisted beside the pack state as JSON and
+#   never recomputed — a moving threshold would retro-invalidate
+#   already-packed sequences (a doc packed at batch 3 can't be
+#   un-packed at batch 7 because the corpus got better). Frozen-gate
+#   semantics are the streaming norm (compare: bloom FPP sized at
+#   bootstrap, ANN codebooks trained at build).
+# - per trigger, ONLY the batch's own survivors (its line-deduped docs
+#   ∩ its first-seen exact-dedup ids — both already materialized by
+#   `process_curation_batch` under batch=<id> dirs) are scored, gated
+#   by the frozen thresholds (a literal-map filter, no shuffle), and
+#   handed to `packing_state.pack_batch_incremental` — one window
+#   shuffle over the BATCH, cursors broadcast.
+# - every write is batch-id-keyed + overwritten ⇒ replay converges;
+#   the threshold file is written once via tmp+rename and skipped when
+#   present, so a replayed bootstrap batch reuses the frozen map.
+#
+# Law (tested through the connector with a replayed batch):
+# incremental over range-ordered batches == `finalize_curation_frozen`
+# (the batch twin that gates the union survivors with the SAME frozen
+# map and packs once) — gating with a fixed map is a pure per-row
+# filter, and the packing half is packing_state's incremental==batch
+# law over the gated subsets (which still partition the id space in
+# order). Docs whose language has no frozen threshold (a stratum that
+# appeared after bootstrap) are DROPPED on both sides — deterministic
+# and conservative; re-bootstrap into a new pipeline dir to admit new
+# strata.
+# ---------------------------------------------------------------------------
+
+
+def _pack_state_dir(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "pack_state")
+
+
+def _gated_dir(pipeline_dir: str, batch_id: int) -> str:
+    return os.path.join(_pack_state_dir(pipeline_dir), "gated", f"batch={batch_id}")
+
+
+def _thresholds_path(pipeline_dir: str) -> str:
+    return os.path.join(_pack_state_dir(pipeline_dir), "_thresholds.json")
+
+
+_GATED_SCHEMA_T = "{id} bigint, lang string, qscore double"
+
+
+def read_frozen_thresholds(pipeline_dir: str) -> Optional[dict]:
+    """The frozen per-language quality thresholds, or None before
+    bootstrap."""
+    try:
+        with open(_thresholds_path(pipeline_dir)) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def freeze_quality_thresholds(
+    scored: DataFrame,
+    pipeline_dir: str,
+    frac: float,
+    lang_col: str = "lang",
+    score_col: str = "qscore",
+    accuracy: int = 10_000,
+) -> dict:
+    """Compute per-language ``percentile_approx(1-frac)`` thresholds
+    over ``scored`` (the bootstrap survivors) and persist them ONCE
+    (tmp+rename; an existing file wins — replay/restart convergent).
+    Returns the frozen map actually in effect."""
+    existing = read_frozen_thresholds(pipeline_dir)
+    if existing is not None:
+        return existing
+    if not 0 < frac <= 1:
+        raise ValueError("frac must be in (0, 1]")
+    rows = (
+        scored.groupBy(lang_col)
+        .agg(F.percentile_approx(score_col, 1.0 - frac, accuracy).alias("_thr"))
+        .collect()
+    )
+    thr = {
+        r[0]: float(r["_thr"])
+        for r in rows
+        if r[0] is not None and r["_thr"] is not None
+    }
+    path = _thresholds_path(pipeline_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(thr, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return thr
+
+
+def _batch_survivors(
+    spark: SparkSession, pipeline_dir: str, batch_id: int, id_col: str
+) -> DataFrame:
+    """THIS batch's curation survivors: its line-deduped docs ∩ its
+    first-seen exact-dedup ids ∩ its (id, lang) side rows — all three
+    already on disk under batch=<id> from `process_curation_batch`, so
+    this is three batch-sized scans, zero history reads."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _INDEX_SCHEMA,
+        _new_dir,
+    )
+
+    docs = spark.read.parquet(
+        line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+    )
+    uniq = (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(_new_dir(_exact_index(pipeline_dir), batch_id))
+        .select(F.col("_id").alias(id_col))
+    )
+    meta = spark.read.parquet(_meta_dir(pipeline_dir, batch_id)).select(
+        id_col, "lang"
+    )
+    return (
+        docs.join(F.broadcast(uniq), id_col)
+        .join(F.broadcast(meta), id_col)
+        .select(id_col, "lang", "deduped_text")
+    )
+
+
+def _score(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "qscore", F.round(quality_score(F.col("deduped_text")), 6)
+    )
+
+
+def _gate_frozen(scored: DataFrame, thresholds: dict) -> DataFrame:
+    """Literal-map frozen gate: keep rows with qscore >= threshold of
+    their language; languages absent from the map drop (see module
+    section doc). No shuffle — a map-side filter."""
+    if not thresholds:
+        return scored.limit(0)
+    items: list = []
+    for lang in sorted(thresholds):
+        items.extend([F.lit(lang), F.lit(thresholds[lang])])
+    thr_map = F.create_map(*items)
+    return scored.where(F.col("qscore") >= thr_map[F.col("lang")])
+
+
+def finalize_curation_batch(
+    spark: SparkSession,
+    batch_id: int,
+    pipeline_dir: str,
+    id_col: str = "doc_id",
+    frac: float = 0.4,
+    capacity: int = 128,
+    num_shards: int = 8,
+) -> None:
+    """Incrementally finalize ONE committed micro-batch (call after
+    `process_curation_batch` in the same trigger): freeze the quality
+    thresholds if this is the bootstrap batch, gate the batch's own
+    survivors with the frozen map, record the gated (id, lang, qscore)
+    rows under ``pack_state/gated/batch=<id>``, and extend the packed
+    manifest via `packing_state.pack_batch_incremental`. Per-trigger
+    cost: three batch-sized scans + one batch window shuffle; the
+    already-packed manifest never moves."""
+    from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
+        pack_batch_incremental,
+    )
+
+    scored = _score(_batch_survivors(spark, pipeline_dir, batch_id, id_col))
+    thresholds = read_frozen_thresholds(pipeline_dir)
+    if thresholds is None:
+        thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
+    gated = _gate_frozen(scored, thresholds).persist()
+    try:
+        gated.select(id_col, "lang", "qscore").write.mode("overwrite").parquet(
+            _gated_dir(pipeline_dir, batch_id)
+        )
+        pack_batch_incremental(
+            gated,
+            batch_id,
+            _pack_state_dir(pipeline_dir),
+            id_col,
+            capacity,
+            text_col="deduped_text",
+            num_shards=num_shards,
+        )
+    finally:
+        gated.unpersist()
+
+
+def read_curated_pack(
+    spark: SparkSession, pipeline_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The continuously-maintained finalized corpus: one row per packed
+    doc, `finalize_curation`'s exact output schema — (id, lang, qscore,
+    shard, start_offset, n_tokens, seq_first, seq_last)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
+        read_packed_manifest,
+    )
+
+    gated = (
+        spark.read.schema(_GATED_SCHEMA_T.format(id=id_col))
+        .parquet(os.path.join(_pack_state_dir(pipeline_dir), "gated"))
+        .select(id_col, "lang", "qscore")  # drop the batch partition col
+    )
+    packed = read_packed_manifest(spark, _pack_state_dir(pipeline_dir))
+    return gated.join(packed, id_col).orderBy(id_col)
+
+
+def finalize_curation_frozen(
+    spark: SparkSession,
+    pipeline_dir: str,
+    id_col: str = "doc_id",
+    capacity: int = 128,
+    num_shards: int = 8,
+) -> DataFrame:
+    """The batch twin of the incremental finalize: gate ALL streamed
+    survivors with the SAME frozen thresholds and pack once with the
+    batch operator. The law asserts `read_curated_pack` equals this
+    row-for-row — the composed incremental==batch guarantee."""
+    thresholds = read_frozen_thresholds(pipeline_dir)
+    if thresholds is None:
+        raise FileNotFoundError(
+            f"no frozen thresholds under {pipeline_dir} — bootstrap via "
+            "finalize_curation_batch first"
+        )
+    docs = line_dedup.read_deduped_docs(spark, _line_index(pipeline_dir))
+    uniq = exact_dedup.read_unique_ids(
+        spark, _exact_index(pipeline_dir)
+    ).select(F.col("doc_id").alias(id_col))
+    meta = spark.read.parquet(os.path.join(pipeline_dir, "_meta")).select(
+        id_col, "lang"
+    )
+    survivors = docs.join(uniq, id_col).join(meta, id_col)
+    gated = _gate_frozen(_score(survivors), thresholds)
+    packed = pack_concat(
+        gated, id_col, capacity, text_col="deduped_text", num_shards=num_shards
+    )
+    return (
+        gated.select(id_col, "lang", "qscore")
+        .join(packed, id_col)
+        .orderBy(id_col)
+    )
+
+
+def process_curation_batch_incremental(
+    batch: DataFrame,
+    batch_id: int,
+    pipeline_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    expected_total_items: int = 1_000_000,
+    monitor: bool = True,
+    frac: float = 0.4,
+    capacity: int = 128,
+    num_shards: int = 8,
+    vacuum_every: Optional[int] = None,
+) -> None:
+    """The fully-incremental trigger: screens + monitors
+    (`process_curation_batch`), then the per-batch finalize
+    (`finalize_curation_batch`), then — every ``vacuum_every`` batches —
+    a `streaming/vacuum.vacuum` sweep of the WHOLE pipeline root with
+    ``upto_batch = batch_id - 1`` (the last COMMITTED batch: inclusive
+    compactors fold exactly the committed window; exclusive ones stay
+    one batch more conservative — both replay-safe by each plane's own
+    guard). This is the reference's A23 maintenance piggyback
+    (RocksDBS3SourceLog.scala:109-153) applied to every analytics
+    plane: a long-running pipeline self-bounds its state versions with
+    no manual compaction calls."""
+    process_curation_batch(
+        batch,
+        batch_id,
+        pipeline_dir,
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        expected_total_items=expected_total_items,
+        monitor=monitor,
+    )
+    finalize_curation_batch(
+        batch.sparkSession,
+        batch_id,
+        pipeline_dir,
+        id_col=id_col,
+        frac=frac,
+        capacity=capacity,
+        num_shards=num_shards,
+    )
+    if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
+        from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
+
+        vacuum(batch.sparkSession, pipeline_dir, upto_batch=batch_id - 1)
+
+
+def streaming_curation_incremental(
+    stream: DataFrame,
+    pipeline_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    expected_total_items: int = 1_000_000,
+    monitor: bool = True,
+    frac: float = 0.4,
+    capacity: int = 128,
+    num_shards: int = 8,
+    vacuum_every: Optional[int] = None,
+):
+    """Continuous curation: every trigger leaves a complete, packed,
+    serving-ready corpus under ``pipeline_dir`` (read it with
+    :func:`read_curated_pack`), with self-maintenance baked into the
+    cadence when ``vacuum_every`` is set. Returns the StreamingQuery."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_curation_batch_incremental(
+            batch,
+            batch_id,
+            pipeline_dir,
+            text_col=text_col,
+            id_col=id_col,
+            lang_col=lang_col,
+            expected_total_items=expected_total_items,
+            monitor=monitor,
+            frac=frac,
+            capacity=capacity,
+            num_shards=num_shards,
+            vacuum_every=vacuum_every,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 

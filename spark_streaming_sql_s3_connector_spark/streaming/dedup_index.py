@@ -237,13 +237,28 @@ def read_candidate_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "batch=*")).dropDuplicates(["id_a", "id_b"])
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
+def compact_index(
+    spark: SparkSession, index_dir: str, upto_batch: Optional[int] = None
+) -> Optional[int]:
     """Fold band deltas into a versioned, shard-partitioned base (sorted
     within shards so row-group stats tighten) and flip the pointer —
     identical crash-safety argument to ``rollup.compact_rollup``. Live
     forget markers fold physically (``_index_frames`` already applies
     them), their dirs GC, and the pointer advances over marker-only
-    windows — the `exact_dedup.compact_index` delete discipline."""
+    windows — the `exact_dedup.compact_index` delete discipline.
+
+    ``upto_batch``: fold only deltas/markers with id STRICTLY below it
+    (the `exact_dedup.compact_index` horizon semantics). Pass the
+    current/last-committed batch id when compacting beside a live
+    stream so the in-flight batch's possibly half-written delta never
+    bakes into the base; ``None`` folds everything (safe only when no
+    stream is writing).
+
+    Refuses to write an empty base (every indexed doc forgotten +
+    compacted away): parquet schema inference cannot read a rows-free
+    base back, so the state would become unreadable — the
+    `compact_ann_index` all-tombstoned discipline. Drop the state dir
+    and rebuild instead."""
     from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
         _deleted_dir,
         _marker_ids,
@@ -251,17 +266,32 @@ def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
 
     ids = _band_delta_ids(index_dir)
     ptr = _read_pointer(index_dir)
-    pending = [i for i in ids if ptr is None or i > ptr]
-    mpending = [t for t in _marker_ids(index_dir) if ptr is None or t > ptr]
+    pending = [
+        i
+        for i in ids
+        if (ptr is None or i > ptr) and (upto_batch is None or i < upto_batch)
+    ]
+    mpending = [
+        t
+        for t in _marker_ids(index_dir)
+        if (ptr is None or t > ptr) and (upto_batch is None or t < upto_batch)
+    ]
     if not pending and not mpending:
         return None
-    frames = _index_frames(spark, index_dir)
+    frames = _index_frames(spark, index_dir, before_batch=upto_batch)
     if not frames:
         return None  # marker-only activity on an empty index
     new_v = max(pending + mpending)
     df = frames[0]
     for fr in frames[1:]:
         df = df.unionByName(fr)
+    if df.isEmpty():
+        raise ValueError(
+            f"refusing to compact MinHash band index {index_dir}: the fold "
+            "would write an empty base (every indexed doc has been "
+            "forgotten), which schema inference cannot read back — drop "
+            "the state directory and rebuild instead"
+        )
     (
         df.dropDuplicates(["band_idx", "band_hash", "_id"])
         .repartition("_shard")
@@ -271,6 +301,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> Optional[int]:
         .parquet(os.path.join(index_dir, "base", f"v={new_v}"))
     )
     _write_pointer(index_dir, new_v)
+    # <= new_v covers exactly the folded window plus any pre-pointer
+    # stragglers a crashed earlier GC left behind; dirs above the
+    # horizon stay live
     for i in ids:
         if i <= new_v:
             shutil.rmtree(_bands_dir(index_dir, i), ignore_errors=True)

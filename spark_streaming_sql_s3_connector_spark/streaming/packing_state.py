@@ -43,12 +43,14 @@ append-only data, compacted only for file-count hygiene.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from spark_streaming_sql_s3_connector_spark.operators.packing import pack_concat
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
@@ -64,6 +66,43 @@ _CURSORS = "cursors"
 # explicit schemas: a batch with zero survivors writes _SUCCESS-only
 # dirs, which schema inference rejects but a fixed schema reads empty
 _CURSOR_SCHEMA = "shard int, toks bigint"
+
+# the manifest schema depends on the caller's id column, so it can't be
+# a module constant like _CURSOR_SCHEMA — it is persisted ONCE at the
+# first write and every later read (manifest reads AND the compaction
+# fold) uses it, so a zero-survivor batch's _SUCCESS-only pack dir
+# reads as empty instead of breaking schema inference
+_SCHEMA_FILE = "_schema.json"
+
+
+def _manifest_schema_path(pack_dir: str) -> str:
+    return os.path.join(pack_dir, _PACK, _SCHEMA_FILE)
+
+
+def _read_manifest_schema(pack_dir: str) -> Optional[StructType]:
+    try:
+        with open(_manifest_schema_path(pack_dir)) as f:
+            return StructType.fromJson(json.load(f))
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def _write_manifest_schema_once(pack_dir: str, schema: StructType) -> None:
+    path = _manifest_schema_path(pack_dir)
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(schema.jsonValue(), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _manifest_reader(spark: SparkSession, pack_dir: str):
+    schema = _read_manifest_schema(pack_dir)
+    return spark.read.schema(schema) if schema is not None else spark.read
 
 
 def _cursor_base(
@@ -140,6 +179,9 @@ def pack_batch_incremental(
             .alias("seq_last"),
         )
     )
+    # persist the manifest schema BEFORE the first delta lands so a
+    # zero-survivor batch (whose dir holds only _SUCCESS) stays readable
+    _write_manifest_schema_once(pack_dir, shifted.schema)
     shifted.write.mode("overwrite").parquet(
         _delta_dir(os.path.join(pack_dir, _PACK), batch_id)
     )
@@ -158,13 +200,14 @@ def read_packed_manifest(spark: SparkSession, pack_dir: str) -> DataFrame:
     the batches (the law the tests pin)."""
     sub = os.path.join(pack_dir, _PACK)
     ptr = _read_pointer(sub)
+    reader = _manifest_reader(spark, pack_dir)
     frames = []
     if ptr is not None:
         frames.append(
-            spark.read.parquet(os.path.join(sub, "base", f"v={ptr}"))
+            reader.parquet(os.path.join(sub, "base", f"v={ptr}"))
         )
     live = [b for b in _delta_ids(sub) if ptr is None or b > ptr]
-    frames.extend(spark.read.parquet(_delta_dir(sub, b)) for b in live)
+    frames.extend(reader.parquet(_delta_dir(sub, b)) for b in live)
     if not frames:
         raise FileNotFoundError(f"no packing state under {pack_dir}")
     out = frames[0]
@@ -223,7 +266,11 @@ def compact_pack_state(
             continue
 
         def _read(path):
-            r = spark.read.schema(_CURSOR_SCHEMA) if fold_sum else spark.read
+            r = (
+                spark.read.schema(_CURSOR_SCHEMA)
+                if fold_sum
+                else _manifest_reader(spark, pack_dir)
+            )
             return r.parquet(path)
 
         frames = []

@@ -369,7 +369,13 @@ def compact_term_stats(
         # version count grows unbounded over a long-running stream
         base_root = os.path.join(subdir, "base")
         for name in os.listdir(base_root):
-            if name.startswith("v=") and int(name[2:]) != new_v:
+            if not name.startswith("v="):
+                continue
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue  # tolerate stray names, like _marker_ids/_delta_ids
+            if v != new_v:
                 shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
 
 

@@ -99,10 +99,23 @@ def _vacuum_plane(
         }
     if "_bands" in names:
         from spark_streaming_sql_s3_connector_spark.streaming.dedup_index import (
+            _band_delta_ids,
             compact_index,
         )
 
-        return {"path": d, "plane": "minhash_bands", "result": compact_index(spark, d)}
+        if upto_batch is None:
+            # same safe default as the key screens: never fold the
+            # newest delta — the only batch a live stream could still
+            # be writing or a restart could replay
+            ids = _band_delta_ids(d)
+            horizon = max(ids) if ids else None
+        else:
+            horizon = upto_batch
+        return {
+            "path": d,
+            "plane": "minhash_bands",
+            "result": compact_index(spark, d, upto_batch=horizon),
+        }
     if "_new" in names:
         from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
             _delta_ids,

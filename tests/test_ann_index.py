@@ -1168,3 +1168,42 @@ def test_drift_triggered_refresh_fires_and_recovers_recall(spark, tmp_path):
     fresh_recall = len(exact & fresh) / 10
     assert fresh_recall > stale_recall
     assert fresh_recall >= 0.7  # retrained codebooks fit the new mode
+
+
+def test_refresh_forwards_explicit_zero_geometry(spark, tmp_path, monkeypatch):
+    """ADVICE r10: an explicit 0 for the geometry overrides must reach
+    build_ann_index's validation instead of silently falling back to
+    the stored meta (truthiness vs `is not None`)."""
+    import spark_streaming_sql_s3_connector_spark.operators.ann_index as AI
+    from spark_streaming_sql_s3_connector_spark.streaming import drift as SD
+
+    rows = _vectors(n=60, dim=8, seed=5)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        df, "embedding", "vec_id", idx,
+        n_centroids=4, m_subspaces=4, pq_centroids=16, seed=3,
+    )
+
+    # force the drift alarm and capture what the rebuild would get
+    monkeypatch.setattr(
+        SD,
+        "read_embedding_drift",
+        lambda *_a, **_k: spark.createDataFrame(
+            [(9.9,)], "mean_shift double"
+        ),
+    )
+    captured = {}
+
+    def _fake_build(df, vec_col, id_col, index_dir, **kw):
+        captured.update(kw)
+        return {}
+
+    monkeypatch.setattr(AI, "build_ann_index", _fake_build)
+    AI.refresh_ann_index_if_drifted(
+        df, idx, str(tmp_path / "moments"), df.limit(0),
+        threshold=0.5, n_centroids=0,
+    )
+    assert captured["n_centroids"] == 0  # NOT meta's 4
+    assert captured["m_subspaces"] == 4  # unset → stored meta
+    assert captured["pq_centroids"] == 16

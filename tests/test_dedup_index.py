@@ -107,3 +107,58 @@ def test_cross_batch_duplicates_found_incrementally(spark, tmp_path):
     got = _pairs(DI.read_candidate_pairs(spark, index))
     assert (1, 3) in got
     assert all(p in {(1, 3)} for p in got)
+
+
+def test_compact_upto_batch_never_folds_inflight_delta(spark, tmp_path, docs):
+    """ADVICE r10: vacuum beside a live band stream must not bake a
+    possibly half-written newest delta into the base. upto_batch is
+    STRICTLY-BELOW (the exact_dedup horizon semantics): deltas at or
+    above it stay live, keep answering, and fold later."""
+    data, index, ckpt = (str(tmp_path / d) for d in ("data", "index", "ckpt"))
+    os.makedirs(data)
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    _land(first, data, "b0")
+    _run(spark, data, index, ckpt)
+    _land(second, data, "b1")
+    _run(spark, data, index, ckpt)
+    ids = DI._band_delta_ids(index)
+    assert len(ids) == 2
+    newest = max(ids)
+
+    expect = _pairs(minhash_near_dup_pairs(docs, "text", "doc_id", verify=False))
+    assert DI.compact_index(spark, index, upto_batch=newest) is not None
+    # the newest delta survived the fold and the answer is unchanged
+    assert DI._band_delta_ids(index) == [newest]
+    assert _pairs(DI.read_candidate_pairs(spark, index)) == expect
+    # a later full fold picks it up
+    assert DI.compact_index(spark, index) is not None
+    assert DI._band_delta_ids(index) == []
+    assert _pairs(DI.read_candidate_pairs(spark, index)) == expect
+
+
+def test_compact_refuses_empty_band_fold(spark, tmp_path):
+    """Forgetting every indexed doc and compacting would write an
+    empty base that schema inference cannot read back — the compactor
+    must refuse with a descriptive error (ADVICE r10), leaving the
+    marker-filtered state readable."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        delete_docs_from_screen,
+    )
+
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    DI.process_batch(b0, 0, index)
+    delete_docs_from_screen(b0, 1, index)
+    with pytest.raises(ValueError, match="empty"):
+        DI.compact_index(spark, index)
+    # state still readable and still admits fresh docs
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    DI.process_batch(b2, 2, index)
+    pairs = {(r.id_a, r.id_b) for r in DI.read_candidate_pairs(spark, index).collect()}
+    assert (1, 10) not in pairs

@@ -155,3 +155,26 @@ def test_streaming_pack_through_connector(spark, tmp_path):
     q.stop()
     q.awaitTermination(30)
     assert _got(spark, pdir) == _want(spark, rows)
+
+
+def test_zero_survivor_batch_keeps_state_readable(spark, tmp_path):
+    """A micro-batch where every doc was screened out writes a
+    _SUCCESS-only pack dir; the persisted manifest schema (ADVICE r10)
+    must keep reads and compaction working."""
+    pdir = str(tmp_path / "pack")
+    rows = _rows()
+    bs = _batches(spark, rows)
+    pack_batch_incremental(
+        bs[0], 0, pdir, "doc_id", CAP, text_col="text", num_shards=SHARDS
+    )
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    pack_batch_incremental(
+        empty, 1, pdir, "doc_id", CAP, text_col="text", num_shards=SHARDS
+    )
+    for i, b in enumerate(bs[1:], start=2):
+        pack_batch_incremental(
+            b, i, pdir, "doc_id", CAP, text_col="text", num_shards=SHARDS
+        )
+    assert _got(spark, pdir) == _want(spark, rows)
+    compact_pack_state(spark, pdir)  # the _PACK fold must survive too
+    assert _got(spark, pdir) == _want(spark, rows)

@@ -400,3 +400,92 @@ def test_propagate_doc_deletes_reaches_every_serving_state(spark, tmp_path):
         r.neighbor_id
         for r in ann_index_topk(spark, ann_dir, qv, k=10, n_probe=4).collect()
     } & dead_ids
+
+
+def test_incremental_finalize_equals_frozen_batch_twin(spark, tmp_path):
+    """r11: the fully-incremental finalize (frozen bootstrap threshold +
+    per-batch gate + pack_batch_incremental) over range-ordered batches
+    — including a replayed batch — equals finalize_curation_frozen (the
+    batch twin gating the union survivors with the SAME frozen map and
+    packing once)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        finalize_curation_frozen,
+        process_curation_batch_incremental,
+        read_curated_pack,
+        read_frozen_thresholds,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch_incremental(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    thr = read_frozen_thresholds(pipeline_dir)
+    assert thr and set(thr) <= {"en", "de", "fr"}  # NULL stratum never frozen
+    # replay the last batch (crash-before-commit): every per-batch write
+    # overwrites, the threshold file is reused, state converges
+    process_curation_batch_incremental(
+        df.where((F.col("doc_id") >= cuts[2]) & (F.col("doc_id") < cuts[3])),
+        2,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    assert read_frozen_thresholds(pipeline_dir) == thr
+    got = _rows(read_curated_pack(spark, pipeline_dir))
+    want = _rows(finalize_curation_frozen(spark, pipeline_dir))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_curation_incremental_through_connector(spark, tmp_path):
+    """The continuous shape end-to-end: connector source, one file per
+    trigger, a duplicate redelivery, and vacuum piggybacked on the
+    trigger cadence — the packed corpus is correct AND every state
+    plane ends bounded with no manual maintenance calls."""
+    import os
+
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        finalize_curation_frozen,
+        read_curated_pack,
+        streaming_curation_incremental,
+    )
+
+    register(spark)
+    rows = _corpus()
+    paths = _write_files(tmp_path, rows, 6)
+    queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
+    pipeline_dir = str(tmp_path / "pipeline")
+    for p in paths:
+        queue.send_file_event(p, int(time.time() * 1000))
+    queue.send_file_event(paths[0], int(time.time() * 1000))  # redelivery
+
+    reader = spark.readStream.format("s3-connector").schema(DOC_SCHEMA)
+    for k, v in _options(tmp_path).items():
+        reader = reader.option(k, v)
+    q = streaming_curation_incremental(
+        reader.load(),
+        pipeline_dir,
+        str(tmp_path / "ckpt"),
+        expected_total_items=10_000,
+        vacuum_every=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _rows(read_curated_pack(spark, pipeline_dir))
+    want = _rows(finalize_curation_frozen(spark, pipeline_dir))
+    assert got == want
+    assert len(got) > 0
+    # the piggybacked vacuum bounded the state: at most one base version
+    # per screen, and ≤ a handful of live deltas (the post-horizon tail)
+    for idx in ("line_index", "exact_index"):
+        base_root = os.path.join(pipeline_dir, idx, "base")
+        assert len(os.listdir(base_root)) == 1

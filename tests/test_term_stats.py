@@ -438,3 +438,25 @@ def test_delete_then_reinsert_serves_again(spark, docs, tmp_path):
     assert bm25_search_postings(
         spark, TERMS, sink, id_col="doc_id", top_k=1
     ).collect()[0].doc_id == top1.doc_id
+
+
+def test_compaction_tolerates_stray_base_entries(spark, docs, tmp_path):
+    """ADVICE r10: the superseded-base GC must skip unparsable v= names
+    (a stray editor/tool artifact) instead of aborting compaction after
+    the pointer flip — the _marker_ids/_delta_ids tolerance."""
+    import os
+
+    sink = str(tmp_path / "ts")
+    for i, b in enumerate(_batches(docs)):
+        term_stats_batch(b, i, sink, "text", "doc_id")
+    compact_term_stats(spark, sink)
+    for sub in ("terms", "corpus", "postings"):
+        os.makedirs(os.path.join(sink, sub, "base", "v=tmp.bak"), exist_ok=True)
+    term_stats_batch(docs.limit(0), 7, sink, "text", "doc_id")
+    compact_term_stats(spark, sink)  # must not raise
+    want_terms, want_n, want_s = _batch_stats(docs)
+    assert {
+        r.term: r.df for r in read_term_stats(spark, sink).collect()
+    } == want_terms
+    tot = read_corpus_stats(spark, sink).collect()[0]
+    assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)

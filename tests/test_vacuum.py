@@ -130,6 +130,14 @@ def test_vacuum_compacts_every_plane_and_bounds_versions(spark, tmp_path):
     screen_deltas = os.listdir(str(root / "screen" / "_new"))
     assert len(screen_deltas) <= 1
     assert len(_base_versions(str(root / "screen"))) == 1
+    # the band plane now shares that horizon (ADVICE r10): the newest,
+    # possibly in-flight delta is never folded beside a live stream
+    band_deltas = [
+        e for e in os.listdir(str(root / "bands" / "_bands"))
+        if e.startswith("batch=")
+    ]
+    assert len(band_deltas) <= 1
+    assert len(_base_versions(str(root / "bands"))) == 1
 
     # readers still serve the full lifecycle's truth
     union = spark.createDataFrame(
