@@ -758,3 +758,73 @@ def propagate_doc_deletes(
         ):
             if d is not None:
                 delete_docs_from_screen(docs, batch_id, d, id_col=id_col)
+
+
+def propagate_doc_deletes_for_pipeline(
+    docs: DataFrame,
+    batch_id: int,
+    pipeline_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_docs: DataFrame | None = None,
+    policy: str = "takedown",
+) -> list[dict]:
+    """:func:`propagate_doc_deletes` with state DISCOVERY: a curation
+    pipeline has ONE root, not six dir arguments — walk it with the
+    vacuum signature classifier (`streaming/vacuum.classify_plane`, the
+    same detection table maintenance compacts by) and route every
+    id-addressable plane found to its delete:
+
+    - ``ann_index``       → `operators/ann_index.delete_from_ann_index`
+      (needs ``emb_docs`` or ``docs`` carrying the ids; tombstones)
+    - ``term_stats``      → `term_stats.delete_docs_from_term_stats`
+    - ``key_screen``      → forget markers (``forget`` policy only —
+      under ``takedown`` screens deliberately keep their keys)
+    - ``minhash_bands``   → same split
+    - aggregate planes (``rollup``/``profile``/``drift_counts``/
+      ``embedding_moments``) and the ``packing`` manifest are NOT
+      id-addressable — reported ``skipped`` (repacking after a delete
+      is a finalize-level decision, not a marker write)
+
+    Returns one dict per plane found: path, plane, action — the vacuum
+    report shape. Same policy semantics, same monotonic batch-id
+    contract as the explicit-args form (laws shared with
+    `test_screen_deletes`)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import walk_planes
+
+    if policy not in ("takedown", "forget"):
+        raise ValueError(f"policy must be 'takedown' or 'forget', got {policy!r}")
+    spark = docs.sparkSession
+    report: list[dict] = []
+    for d, kind in walk_planes(spark, pipeline_dir):
+        if kind == "ann_index":
+            from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+                delete_from_ann_index,
+            )
+
+            src = emb_docs if emb_docs is not None else docs
+            delete_from_ann_index(
+                src.select(F.col(id_col)), d, batch_id=batch_id
+            )
+            action = "tombstoned"
+        elif kind == "term_stats":
+            from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+                delete_docs_from_term_stats,
+            )
+
+            delete_docs_from_term_stats(docs, batch_id, d, text_col, id_col)
+            action = "stats-negated"
+        elif kind in ("key_screen", "minhash_bands"):
+            if policy == "forget":
+                from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+                    delete_docs_from_screen,
+                )
+
+                delete_docs_from_screen(docs, batch_id, d, id_col=id_col)
+                action = "forgotten"
+            else:
+                action = "kept (takedown suppresses re-crawls)"
+        else:
+            action = "skipped (not id-addressable)"
+        report.append({"path": d, "plane": kind, "action": action})
+    return sorted(report, key=lambda r: r["path"])

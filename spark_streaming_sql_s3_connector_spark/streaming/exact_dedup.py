@@ -171,11 +171,13 @@ def delete_docs_from_screen(
     ``takedown`` half — suppress the content forever — is the index's
     default behavior and deliberately writes nothing here.
 
-    Bloom bitmaps are NOT touched: extra bits are superset-safe — a
-    forgotten key still probes bloom-positive, routes to the exact
+    Bloom bitmaps are NOT touched here: extra bits are superset-safe —
+    a forgotten key still probes bloom-positive, routes to the exact
     history join, finds no row, and is admitted as new (law-tested).
     The bloom's only dangerous direction is missing bits for present
-    keys, which deletion never causes.
+    keys, which deletion never causes. The FPP the stale bits cost is
+    reclaimed at the next :func:`compact_index`, which rebuilds the
+    dirty shards' bitmaps from the surviving keys.
 
     Overwrites its own batch dir — replay-convergent. Preconditions
     match the serving-state deletes (`term_stats`/`ann_index`): one
@@ -239,9 +241,12 @@ def _apply_screen_markers(
     return out
 
 
-def _index_frames(
+def _tagged_frames(
     spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
-) -> list[DataFrame]:
+) -> tuple[list[tuple[int, DataFrame]], Optional[DataFrame]]:
+    """(insert-batch-tagged UNFILTERED index frames, live markers) —
+    the raw parts `_index_frames` composes; compaction also needs them
+    separately to find which shards a fold's markers actually dirty."""
     ptr = _read_pointer(index_dir)
     tagged: list[tuple[int, DataFrame]] = []
     if ptr is not None:
@@ -261,9 +266,14 @@ def _index_frames(
         tagged.append(
             (i, spark.read.schema(_INDEX_SCHEMA).parquet(_new_dir(index_dir, i)))
         )
-    return _apply_screen_markers(
-        tagged, _live_screen_markers(spark, index_dir, before_batch)
-    )
+    return tagged, _live_screen_markers(spark, index_dir, before_batch)
+
+
+def _index_frames(
+    spark: SparkSession, index_dir: str, before_batch: Optional[int] = None
+) -> list[DataFrame]:
+    tagged, marks = _tagged_frames(spark, index_dir, before_batch)
+    return _apply_screen_markers(tagged, marks)
 
 
 def _shard_params(expected_total_items: int, fpp: float) -> tuple[int, int]:
@@ -323,6 +333,38 @@ def _write_shard_bitmap(index_dir: str, shard: int, bits: np.ndarray) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(bits.tobytes())
+    os.replace(tmp, path)
+
+
+def _geometry_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_bloom", "_geometry.json")
+
+
+def _read_bloom_geometry(index_dir: str) -> Optional[tuple[int, int]]:
+    """(m_bits, k) the live bitmaps were written with, or None for a
+    pre-r11 state that never recorded it."""
+    import json as _json
+
+    try:
+        with open(_geometry_path(index_dir)) as f:
+            g = _json.load(f)
+        return int(g["m"]), int(g["k"])
+    except (FileNotFoundError, NotADirectoryError, KeyError, ValueError):
+        return None
+
+
+def _write_bloom_geometry(index_dir: str, sm_bits: int, sk: int) -> None:
+    """Record the bitmap geometry beside the shard files so maintenance
+    (compaction's dirty-shard rebuild) can rewrite bitmaps without being
+    handed ``expected_total_items``/``fpp`` again. Overwritten on every
+    update — process_batch's geometry is authoritative."""
+    import json as _json
+
+    path = _geometry_path(index_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"m": int(sm_bits), "k": int(sk)}, f)
     os.replace(tmp, path)
 
 
@@ -473,6 +515,7 @@ def _update_shard_bitmaps(
     batch_bits = _shard_bits(keyed, sm_bits, sk)
     if not batch_bits:
         return
+    _write_bloom_geometry(index_dir, sm_bits, sk)
     legacy = os.path.exists(_legacy_bitmap_path(index_dir))
     need_rebuild: list[int] = []
     current: dict[int, np.ndarray] = {}
@@ -685,7 +728,21 @@ def compact_index(
     with insert-order semantics, so the folded base simply lacks the
     forgotten rows — and their dirs GC'd; the pointer advances over
     marker-only windows too (marker liveness keys off it). Markers at
-    or above ``upto_batch`` stay live and keep filtering at read."""
+    or above ``upto_batch`` stay live and keep filtering at read.
+
+    Bloom hygiene (r11): shard bitmaps only ever GAIN bits between
+    compactions (forget leaves them untouched — superset-safe), so
+    under retention churn FPP would ratchet up monotonically until
+    every probe routed to the exact join. When a fold applies markers,
+    the DIRTY shards — those that actually lost a row — get their
+    bitmaps REBUILT from the folded base's surviving keys (one
+    partition-pruned scan of the base just written), restoring the
+    fresh-build FPP; clean shards keep their bytes. A pre-r11 state
+    with no recorded bitmap geometry deletes the dirty shards' files
+    instead — a missing bitmap routes rows to the exact join and the
+    next batch's updater rebuilds it with the live geometry (the
+    existing self-heal path). Either way correctness never moves; only
+    the acceleration is restored."""
     ids = _delta_ids(index_dir)
     ptr = _read_pointer(index_dir)
     pending = [
@@ -702,11 +759,25 @@ def compact_index(
     ]
     if not pending and not mpending:
         return None
-    frames = _index_frames(spark, index_dir, before_batch=upto_batch)
+    tagged, marks = _tagged_frames(spark, index_dir, before_batch=upto_batch)
+    frames = _apply_screen_markers(tagged, marks)
     if not frames:
         # marker-only activity on an index with no base and no data
         # deltas: nothing to apply the markers to — leave them live
         return None
+    dirty_shards: list[int] = []
+    if marks is not None:
+        # shards that lose at least one row to an applied marker, by the
+        # same insert-order rule the fold applies (marker t kills rows
+        # inserted strictly before t)
+        killed = None
+        for b, f in tagged:
+            m = marks.where(F.col("t") > F.lit(int(b))).select("_id")
+            hit = f.join(F.broadcast(m), "_id", "left_semi").select("_shard")
+            killed = hit if killed is None else killed.unionByName(hit)
+        dirty_shards = sorted(
+            r["_shard"] for r in killed.distinct().collect() if r["_shard"] is not None
+        )
     new_v = max(pending + mpending)
     df = frames[0]
     for fr in frames[1:]:
@@ -730,6 +801,8 @@ def compact_index(
         .parquet(os.path.join(index_dir, "base", f"v={new_v}"))
     )
     _write_pointer(index_dir, new_v)
+    if dirty_shards:
+        _rebuild_dirty_bitmaps(spark, index_dir, new_v, dirty_shards)
     for i in ids:
         if i <= new_v:
             shutil.rmtree(_new_dir(index_dir, i), ignore_errors=True)
@@ -739,3 +812,38 @@ def compact_index(
     if ptr is not None:
         shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
     return new_v
+
+
+def _rebuild_dirty_bitmaps(
+    spark: SparkSession, index_dir: str, base_v: int, dirty_shards: list[int]
+) -> None:
+    """Rewrite the bitmaps of shards that lost keys in the fold from
+    the just-written base's surviving rows (partition-pruned scan), or
+    delete them when the geometry was never recorded (see
+    :func:`compact_index`). Shards with no bitmap file need nothing —
+    they already take the exact-join path."""
+    present = [
+        s for s in dirty_shards if os.path.exists(_shard_bitmap_path(index_dir, s))
+    ]
+    if not present:
+        return
+    geom = _read_bloom_geometry(index_dir)
+    if geom is None:
+        for s in present:
+            try:
+                os.remove(_shard_bitmap_path(index_dir, s))
+            except FileNotFoundError:
+                pass
+        return
+    sm_bits, sk = geom
+    survivors = (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(os.path.join(index_dir, "base", f"v={base_v}"))
+        .where(F.col("_shard").isin(present))
+    )
+    rebuilt = _shard_bits(survivors, sm_bits, sk)
+    zeros = np.zeros((sm_bits + 7) // 8, dtype=np.uint8)
+    for s in present:
+        # a shard whose every key was forgotten rebuilds to all-zero —
+        # writing it is what bounds the FPP ratchet
+        _write_shard_bitmap(index_dir, s, rebuilt.get(s, zeros))

@@ -81,6 +81,49 @@ def _classify_deltas(spark: SparkSession, plane_dir: str) -> Optional[str]:
     return None
 
 
+def classify_plane(spark: SparkSession, d: str) -> Optional[str]:
+    """The signature classification table, exposed on its own so other
+    maintenance entry points (e.g. `curation.propagate_doc_deletes_for_pipeline`)
+    route by the SAME detection rules vacuum compacts by. Returns the
+    plane kind ('ann_index' | 'minhash_bands' | 'key_screen' |
+    'term_stats' | 'packing' | 'profile' | 'drift_counts' |
+    'embedding_moments' | 'rollup' | 'unknown_deltas'), or None when
+    ``d`` is not a plane root (a container to descend into)."""
+    names = set(os.listdir(d))
+    if "quantizers.json" in names:
+        return "ann_index"
+    if "_bands" in names:
+        return "minhash_bands"
+    if "_new" in names:
+        return "key_screen"
+    if "terms" in names and "corpus" in names:
+        return "term_stats"
+    if "pack" in names and "cursors" in names:
+        return "packing"
+    if "_deltas" in names:
+        return _classify_deltas(spark, d) or "unknown_deltas"
+    return None
+
+
+def walk_planes(spark: SparkSession, state_root: str):
+    """Yield ``(path, plane_kind)`` for every recognized state plane
+    under ``state_root`` — the shared walk (plane roots are never also
+    containers; plane-internal dirs never nest other planes)."""
+    if not os.path.isdir(state_root):
+        return
+    stack = [state_root]
+    while stack:
+        d = stack.pop()
+        kind = classify_plane(spark, d)
+        if kind is not None:
+            yield d, kind
+            continue
+        for e in sorted(os.listdir(d), reverse=True):
+            p = os.path.join(d, e)
+            if os.path.isdir(p) and not e.startswith(("batch=", "v=", "_")):
+                stack.append(p)
+
+
 def _vacuum_plane(
     spark: SparkSession, d: str, upto_batch: Optional[int]
 ) -> Optional[dict]:

@@ -654,3 +654,14 @@ def test_assemble_context_from_postings_equals_scan_twin(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(want) > 0
+
+
+def test_context_assembly_indexed_self_check_is_true(spark, sf_dir):
+    """r10 verdict task #4: the indexed RAG assembly's in-plan
+    exact_match column (full-row equality vs the scan twin) must be
+    all-true — pinned in pytest, not just observed in the sweep."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["context_assembly_indexed"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.exact_match for r in rows)

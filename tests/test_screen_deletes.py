@@ -311,3 +311,157 @@ def test_assemble_context_preserves_string_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     ids = [r.doc_id for r in out.collect()]
     assert ids and all(i.startswith("doc-") for i in ids)
+
+
+def _bitmap_bytes(idx):
+    """shard → bitmap bytes for every shard file present."""
+    import os as _os
+
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _shard_bitmap_path,
+    )
+
+    out = {}
+    root = _os.path.join(idx, "_bloom")
+    if not _os.path.isdir(root):
+        return out
+    for e in _os.listdir(root):
+        if e.startswith("shard="):
+            s = int(e.split("=", 1)[1].split(".", 1)[0])
+            with open(_shard_bitmap_path(idx, s), "rb") as f:
+                out[s] = f.read()
+    return out
+
+
+def test_compaction_rebuilds_dirty_bloom_shards(spark, tmp_path):
+    """r11 bloom-ratchet fix: after a fold applies forget markers, each
+    DIRTY shard's bitmap equals a fresh build over the surviving keys
+    byte-exactly (compare against a parallel index that only ever saw
+    the survivors), and untouched shards keep their bytes."""
+    from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+        _keyed,
+    )
+
+    rows = [(i, f"text number {i}") for i in range(40)]
+    forget_rows = [r for r in rows if r[0] % 4 == 0]
+    survive_rows = [r for r in rows if r[0] % 4 != 0]
+
+    idx = str(tmp_path / "idx")
+    exact_batch(_docs(spark, rows), 0, idx, expected_total_items=1000)
+    delete_docs_from_screen(_docs(spark, forget_rows), 1, idx)
+    before = _bitmap_bytes(idx)
+    assert compact_exact(spark, idx) == 1
+
+    # the oracle: an index that only ever ingested the survivors
+    twin = str(tmp_path / "twin")
+    exact_batch(_docs(spark, survive_rows), 0, twin, expected_total_items=1000)
+
+    got, want = _bitmap_bytes(idx), _bitmap_bytes(twin)
+    dirty = {
+        r._shard
+        for r in _keyed(_docs(spark, forget_rows), "text", "doc_id")
+        .select("_shard")
+        .distinct()
+        .collect()
+    }
+    assert dirty  # the fixture must actually dirty some shards
+    changed = {s for s in before if got.get(s) != before[s]}
+    assert changed == {s for s in dirty if s in before}
+    for s in dirty:
+        if s in want:
+            assert got[s] == want[s], f"shard {s} not byte-equal to fresh build"
+        else:
+            # every key of s was forgotten → rebuilt to all-zero
+            assert got[s] == bytes(len(before[s]))
+    for s in set(before) - dirty:
+        assert got[s] == before[s]
+
+    # semantics unchanged: forgotten content re-admits, dups still screen
+    exact_batch(_docs(spark, [(100, "text number 0")]), 2, idx, expected_total_items=1000)
+    exact_batch(_docs(spark, [(101, "text number 1")]), 3, idx, expected_total_items=1000)
+    uniq = {r.doc_id for r in read_unique_ids(spark, idx).collect()}
+    assert 100 in uniq and 101 not in uniq
+
+
+def test_bloom_fpp_bounded_under_forget_churn(spark, tmp_path):
+    """Saturation stress: repeated insert→forget→compact cycles must
+    leave the bitmaps equal to a single fresh build over the final
+    survivors — i.e. FPP does NOT ratchet with churn history."""
+    idx = str(tmp_path / "idx")
+    twin = str(tmp_path / "twin")
+    b = 0
+    keep = []
+    for cycle in range(4):
+        batch = [(cycle * 1000 + i, f"cycle {cycle} doc {i}") for i in range(30)]
+        gone = [r for r in batch if r[0] % 3 != 0]
+        keep.extend(r for r in batch if r[0] % 3 == 0)
+        exact_batch(_docs(spark, batch), b, idx, expected_total_items=1000)
+        delete_docs_from_screen(_docs(spark, gone), b + 1, idx)
+        assert compact_exact(spark, idx) == b + 1
+        b += 2
+    exact_batch(_docs(spark, keep), 0, twin, expected_total_items=1000)
+    got, want = _bitmap_bytes(idx), _bitmap_bytes(twin)
+    n_bytes = len(next(iter(got.values())))
+    for s, raw in got.items():
+        assert raw == want.get(s, bytes(n_bytes)), f"shard {s} carries ghost bits"
+    # and the index itself equals the survivor set
+    assert {r.doc_id for r in read_unique_ids(spark, idx).collect()} == {
+        r[0] for r in keep
+    }
+
+
+def test_pipeline_root_delete_discovers_and_drives_all_states(spark, tmp_path):
+    """r11: one call on a pipeline ROOT discovers every persisted state
+    by the vacuum signature classifier and routes each to its delete —
+    same policy split as the explicit-args form."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        propagate_doc_deletes_for_pipeline,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.dedup_index import (
+        process_batch as band_batch,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.line_dedup import (
+        process_batch as line_batch,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        term_stats_batch,
+    )
+
+    root = tmp_path / "pipeline"
+    b0 = _docs(
+        spark,
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(4)],
+    )
+    exact_batch(b0, 0, str(root / "exact"), expected_total_items=1000)
+    line_batch(b0, 0, str(root / "line"), expected_total_items=1000)
+    band_batch(b0, 0, str(root / "bands"))
+    term_stats_batch(b0, 0, str(root / "ts"), "text", "doc_id", with_postings=True)
+    dead = b0.where(F.col("doc_id") == 2)
+
+    rep = propagate_doc_deletes_for_pipeline(
+        dead, 1, str(root), policy="takedown"
+    )
+    planes = {r["plane"]: r["action"] for r in rep}
+    assert set(planes) == {"key_screen", "minhash_bands", "term_stats"}
+    # two key screens found (exact + line)
+    assert sum(1 for r in rep if r["plane"] == "key_screen") == 2
+    for d in ("exact", "line", "bands"):
+        assert not os.path.isdir(str(root / d / "_deleted"))
+    # takedown DID reach the serving stats: doc 2 out of the postings
+    hits = bm25_search_postings(
+        spark, ["alpha"], str(root / "ts"), id_col="doc_id", top_k=10
+    )
+    assert 2 not in {r.doc_id for r in hits.collect()}
+
+    rep = propagate_doc_deletes_for_pipeline(
+        dead, 2, str(root), policy="forget"
+    )
+    for d in ("exact", "line", "bands"):
+        assert os.path.isdir(str(root / d / "_deleted" / "batch=2"))
+    assert 2 not in {
+        r.doc_id for r in read_unique_ids(spark, str(root / "exact")).collect()
+    }
+
+    with pytest.raises(ValueError, match="policy"):
+        propagate_doc_deletes_for_pipeline(dead, 3, str(root), policy="purge")

@@ -47,12 +47,39 @@ def norm(v):
     return ("o", repr(v))
 
 
-def compare(name, spark_df, con) -> tuple[bool, str]:
+_SELF_CHECK_NAMES = ("exact_match", "found_exact")
+
+
+def _self_check_cols(spark_df) -> list[str]:
+    """Boolean columns that a rows-only key's plan computes as an
+    in-plan self-check (*_ok / exact_match / found_exact) — these are
+    LOAD-BEARING: the sweep fails if any value is not True."""
+    from pyspark.sql.types import BooleanType
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, BooleanType)
+        and (f.name.endswith("_ok") or f.name in _SELF_CHECK_NAMES)
+    ]
+
+
+def compare(name, spark_df, con) -> tuple[bool, str, int]:
+    """(ok, message, n_self_check_columns_asserted)."""
     sql = entrymod.oracle_sql().get(name)
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
     if sql is None:
-        return True, f"rows-only ({len(spark_rows)} rows)"
+        checks = _self_check_cols(spark_df)
+        bad = []
+        for c in checks:
+            i = spark_cols.index(c)
+            if not all(r[i] is True for r in spark_rows):
+                bad.append(c)
+        if bad:
+            return False, f"self-check column(s) not all-true: {bad}", len(checks)
+        suffix = f", {len(checks)} self-check col(s) all-true" if checks else ""
+        return True, f"rows-only ({len(spark_rows)} rows{suffix})", len(checks)
     # Materialize through pandas exactly like the driver's gate does:
     # fetchdf() turns DuckDB HUGEINT (e.g. SUM over integers) into float64,
     # so an un-CAST integer-sum oracle hashes 123.0 against Spark's 123 and
@@ -77,9 +104,9 @@ def compare(name, spark_df, con) -> tuple[bool, str]:
         for row in odf.itertuples(index=False, name=None)
     ]
     if sorted(spark_cols) != sorted(o_cols):
-        return False, f"column mismatch: spark {sorted(spark_cols)} vs oracle {sorted(o_cols)}"
+        return False, f"column mismatch: spark {sorted(spark_cols)} vs oracle {sorted(o_cols)}", 0
     if len(spark_rows) != len(o_rows):
-        return False, f"row count: spark {len(spark_rows)} vs oracle {len(o_rows)}"
+        return False, f"row count: spark {len(spark_rows)} vs oracle {len(o_rows)}", 0
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     s_norm = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
     o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
@@ -91,12 +118,12 @@ def compare(name, spark_df, con) -> tuple[bool, str]:
         # in different orders. Report those as a distinct near-miss so a
         # scale sweep separates "summation-order noise" from real bugs.
         if _rows_match_fp_tol(s_norm, d_norm):
-            return True, f"match-fp-tol<=1e-9 ({len(spark_rows)} rows; exact-hash differs, float rel err <= 1e-9)"
+            return True, f"match-fp-tol<=1e-9 ({len(spark_rows)} rows; exact-hash differs, float rel err <= 1e-9)", 0
         for a, b in zip(s_norm, d_norm):
             if a != b:
-                return False, f"value mismatch: spark {a} vs oracle {b}"
-        return False, "value mismatch (row ordering)"
-    return True, f"match ({len(spark_rows)} rows)"
+                return False, f"value mismatch: spark {a} vs oracle {b}", 0
+        return False, "value mismatch (row ordering)", 0
+    return True, f"match ({len(spark_rows)} rows)", 0
 
 
 def _rows_match_fp_tol(s_norm, d_norm, rel=1e-9):
@@ -156,14 +183,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = entrymod.queries()
-    failures = n_match = n_rows_only = 0
+    failures = n_match = n_rows_only = n_self_checks = 0
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            ok, msg = compare(name, fn(spark, sf_dir), con)
+            ok, msg, n_sc = compare(name, fn(spark, sf_dir), con)
+            n_self_checks += n_sc
         except Exception as e:
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
@@ -180,7 +208,8 @@ def main():
     # COVERAGE.md prose
     print(
         f"SUMMARY: {n_match + n_rows_only + failures} checked — "
-        f"{n_match} oracle-match, {n_rows_only} rows-only, "
+        f"{n_match} oracle-match, {n_rows_only} rows-only "
+        f"({n_self_checks} self-check cols asserted), "
         f"{failures} FAIL  ({time.time() - t_start:.0f}s)",
         flush=True,
     )
