@@ -284,6 +284,12 @@ BENCH_QUERIES = [
     "bm25_indexed_serve_only",
     "ann_topk_serve_only",
     "hybrid_serve_only",
+    # r11: the zero-scan lexical floor (pairs with
+    # bm25_indexed_serve_only: flat-vs-linear, both sides measured) and
+    # the 32-query batched serving shape (read wall/32 against the
+    # single-query serve-only keys for the amortization factor)
+    "bm25_postings_serve_only",
+    "hybrid_serve_batch",
     # DELIBERATE EXCLUSIONS (every other registry key is benched):
     # - streaming_exact_dedup_docs: three sequential foreachBatch-style
     #   jobs (~17 s of fixed orchestration) — would dominate the bench

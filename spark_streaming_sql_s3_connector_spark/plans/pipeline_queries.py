@@ -6063,6 +6063,127 @@ def _hybrid_serve_only(spark, sf):
     )
 
 
+def _bm25_postings_serve_only(spark, sf):
+    """SERVE-ONLY wall of the ZERO-scan lexical path (r10 verdict task
+    #5): ``bm25_search_postings`` alone from the prewarmed term-stats
+    state — every input a query-term slice of the postings, no corpus
+    scan at all. The pair with ``bm25_indexed_serve_only`` (which scans
+    the corpus once by design) documents the one-scan/zero-scan
+    trade-off with numbers on both sides: this key must stay FLAT
+    across sf while that one grows linearly. Rows-only; the postings
+    arithmetic is law-equal to the scan twins (test_term_stats)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    return bm25_search_postings(
+        spark, ["spark", "join", "stream", "vector"],
+        _ensure_postings_state(spark, sf), id_col="doc_id", top_k=20,
+    )
+
+
+_SERVE_BATCH_Q = 32
+_SERVE_BATCH_POOL = [
+    "spark", "join", "stream", "vector", "hash", "row",
+    "batch", "scan", "filter", "merge", "sort", "window",
+]
+
+
+def _serve_batch_queries(spark, sf):
+    """The deterministic 32-query serving workload: 3 terms per query
+    drawn from a 12-word corpus-live pool, paired with 32 query vectors
+    (embeddings vec_id 1..32 — bounded workload prep, not a corpus
+    scan; the single-query keys read vec_id 0 the same way)."""
+    n = len(_SERVE_BATCH_POOL)
+    term_qs = {
+        f"q{i:02d}": sorted(
+            {
+                _SERVE_BATCH_POOL[i % n],
+                _SERVE_BATCH_POOL[(i * 5 + 1) % n],
+                _SERVE_BATCH_POOL[(i * 7 + 2) % n],
+            }
+        )
+        for i in range(_SERVE_BATCH_Q)
+    }
+    vec_rows = (
+        load_table(spark, sf, "embeddings")
+        .where((F.col("vec_id") >= 1) & (F.col("vec_id") <= _SERVE_BATCH_Q))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vec_qs = [
+        (f"q{int(r.vec_id) - 1:02d}", [float(x) for x in r.embedding])
+        for r in sorted(vec_rows, key=lambda r: int(r.vec_id))
+    ]
+    return term_qs, vec_qs
+
+
+def _hybrid_serve_batch(spark, sf):
+    """BATCH-of-queries hybrid serving (r10 verdict task #7): 32
+    queries through the zero-scan postings BM25
+    (``bm25_search_postings_batch`` — ONE postings read sliced by the
+    union of all terms) and the persisted-index ANN
+    (``ann_index_topk_batch`` — ONE pruned scan of the union of probed
+    buckets), RRF-fused per query in the same plan. Real serving
+    amortizes state reads across a query batch — the reference's
+    ``maxFilesPerTrigger`` batch-cut idea (S3ConnectorSource.scala
+    A7) applied to queries: per-query cost must fall well below the
+    single-query serve-only keys' walls (bench: wall/32 vs
+    ``bm25_postings_serve_only`` + ``ann_topk_serve_only``; SCALING
+    carries the cells). Rows-only (Q×10 bounded rows); per-query
+    equality to the single-query paths is law-tested for both halves
+    (test_term_stats / test_ann_index), and the fused shape mirrors
+    ``hybrid_serve_only``'s RRF arithmetic (k=60, round-9)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk_batch,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings_batch,
+    )
+
+    stats_dir = _ensure_postings_state(spark, sf)
+    index_dir = _ensure_ann_index(spark, sf)
+    term_qs, vec_qs = _serve_batch_queries(spark, sf)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        bm25_search_postings_batch(
+            spark, term_qs, stats_dir, id_col="doc_id", top_k=20
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .select("query_id", "doc_id", "rank")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    sem = (
+        ann_index_topk_batch(spark, index_dir, vec_qs, k=20, n_probe=16)
+        .withColumn("rank", F.row_number().over(ws))
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    both = lex.unionByName(sem).select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(60) + F.col("rank"))).alias("_rrf"),
+    )
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_rrf"), 9).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(wtop))
+        .where(F.col("_rn") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "n_lists")
+        .orderBy("query_id", F.col("rrf_score").desc(), "doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -6361,4 +6482,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "bm25_indexed_serve_only": QuerySpec(_bm25_indexed_serve_only, None),
     "ann_topk_serve_only": QuerySpec(_ann_topk_serve_only, None),
     "hybrid_serve_only": QuerySpec(_hybrid_serve_only, None),
+    # r11: the zero-scan lexical serving floor (pairs with
+    # bm25_indexed_serve_only's one-scan wall — the trade-off with
+    # numbers on both sides) and the batched serving shape (32 queries,
+    # one plan, per-query cost amortized across shared state reads)
+    "bm25_postings_serve_only": QuerySpec(_bm25_postings_serve_only, None),
+    "hybrid_serve_batch": QuerySpec(_hybrid_serve_batch, None),
 }

@@ -473,6 +473,133 @@ def bm25_search_indexed(
     )
 
 
+def bm25_search_postings_batch(
+    spark: SparkSession,
+    queries,
+    sink_dir: str,
+    id_col: str = "id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 for a whole BATCH of queries in ONE zero-corpus-scan plan —
+    the amortized serving shape (r10 verdict task #7: real serving
+    amortizes state reads across a query batch, the analog of the
+    connector's ``maxFilesPerTrigger`` batch cut).
+
+    ``queries``: a mapping ``query_id -> term sequence`` (or an
+    iterable of such pairs). Vs looping :func:`bm25_search_postings`
+    Q times:
+
+    - ONE pruned postings read sliced by ``In(term, union-of-terms)``
+      instead of Q reads with Q job startups;
+    - each posting row is scored once and replicated to ONLY the
+      queries containing its term (a broadcast join against the
+      |query,term| pair table — queries-per-term ≪ Q for distinct
+      query mixes);
+    - one (query_id, doc) partial agg + one per-query window top-k,
+      both bounded by matched postings, never corpus-sized.
+
+    Arithmetic is the single-query path bit-for-bit (same per-term df
+    literals — df depends only on the term — same `_bm25_contrib`
+    decimals, same round-6): per query the rows equal
+    ``bm25_search_postings(terms)`` exactly (law-tested). Queries none
+    of whose terms exist in the corpus return no rows, matching the
+    single-query empty frame."""
+    from pyspark.sql import Window
+
+    from spark_streaming_sql_s3_connector_spark.operators.retrieval import (
+        _bm25_contrib,
+    )
+
+    pairs = queries.items() if isinstance(queries, dict) else queries
+    qterms: dict[str, list[str]] = {}
+    for q, ts in pairs:
+        terms = sorted(set(ts))
+        if not terms:
+            raise ValueError(f"query {q!r} has no terms")
+        if any(t is None or t == "" or t != t.strip().lower() for t in terms):
+            raise ValueError("query terms must be lowercase and stripped")
+        if str(q) in qterms:
+            raise ValueError(f"duplicate query_id {q!r}")
+        qterms[str(q)] = terms
+    if not qterms:
+        raise ValueError("queries must be non-empty")
+    union = sorted({t for ts in qterms.values() for t in ts})
+    stats = read_term_stats(spark, sink_dir, union).select(
+        "term",
+        F.col("df").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    ).unionByName(
+        read_corpus_stats(spark, sink_dir).select(
+            F.lit(None).cast("string").alias("term"),
+            F.col("n_docs").alias("a"),
+            F.col("sum_dl").alias("b"),
+        )
+    ).collect()
+    dfreq = {r.term: int(r.a) for r in stats if r.term is not None}
+    tot = next(r for r in stats if r.term is None)
+    n_docs, sum_dl = int(tot.a), int(tot.b)
+    if n_docs == 0:
+        raise ValueError("term-stats state is empty")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    live = [t for t in union if dfreq.get(t, 0) > 0]
+    posts = _apply_markers(
+        _live(spark, os.path.join(sink_dir, _POSTINGS)).where(
+            F.col("term").isin(live if live else union)
+        ),
+        _live_delete_markers(spark, sink_dir),
+    )
+    empty = posts.select(
+        F.lit(None).cast("string").alias("query_id"),
+        F.col("id").alias(id_col),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(0).alias("n_matched"),
+        F.col("dl").cast("bigint").alias("dl"),
+    ).where(F.lit(False))
+    if not live:
+        return empty
+    # (term, query_id) pair table: |Σ terms per query| rows — broadcast
+    tq = spark.createDataFrame(
+        [
+            (t, q)
+            for q, ts in sorted(qterms.items())
+            for t in ts
+            if dfreq.get(t, 0) > 0
+        ],
+        "term string, query_id string",
+    )
+    df_lit = F.when(F.col("term") == F.lit(live[0]), F.lit(dfreq[live[0]]))
+    for t in live[1:]:
+        df_lit = df_lit.when(F.col("term") == F.lit(t), F.lit(dfreq[t]))
+    contrib = _bm25_contrib(
+        F.col("tf"), df_lit, F.col("dl"), F.lit(n_docs), avgdl, k1, b
+    )
+    scored = (
+        posts.select("id", "dl", "term", contrib.alias("_c"))
+        .join(F.broadcast(tq), "term")
+        .groupBy("query_id", "id", "dl")
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(top_k))
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(F.col("_s"), 6).cast("double").alias("score"),
+            "n_matched",
+            F.col("dl").cast("bigint").alias("dl"),
+        )
+    )
+
+
 def postings_exist(sink_dir: str) -> bool:
     """True iff the state carries the opt-in postings table."""
     sub = os.path.join(sink_dir, _POSTINGS)

@@ -665,3 +665,62 @@ def test_context_assembly_indexed_self_check_is_true(spark, sf_dir):
     rows = entrymod.queries()["context_assembly_indexed"](spark, sf_dir).collect()
     assert rows
     assert all(r.exact_match for r in rows)
+
+
+def test_hybrid_serve_batch_equals_single_query_fusion(spark, sf_dir):
+    """r11 batched-serving law: for a pinned query in the 32-query
+    batch, the fused rows equal fusing the SINGLE-query serving halves
+    (bm25_search_postings + ann_index_topk, same params) with the same
+    RRF arithmetic — the amortized plan changes the cost, never the
+    answer."""
+    import __spark_entry__ as entrymod
+    from spark_streaming_sql_s3_connector_spark.plans.pipeline_queries import (
+        _ensure_ann_index,
+        _ensure_postings_state,
+        _serve_batch_queries,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+    )
+
+    got_all = entrymod.queries()["hybrid_serve_batch"](spark, sf_dir).collect()
+    qids = {r.query_id for r in got_all}
+    assert len(qids) == 32 and all(
+        sum(1 for r in got_all if r.query_id == q) <= 10 for q in qids
+    )
+
+    term_qs, vec_qs = _serve_batch_queries(spark, sf_dir)
+    pin = "q05"
+    got = [
+        (r.doc_id, r.rrf_score, r.n_lists)
+        for r in got_all
+        if r.query_id == pin
+    ]
+    lex = bm25_search_postings(
+        spark, term_qs[pin], _ensure_postings_state(spark, sf_dir),
+        id_col="doc_id", top_k=20,
+    ).collect()
+    vec = dict(vec_qs)[pin]
+    sem = ann_index_topk(
+        spark, _ensure_ann_index(spark, sf_dir), vec, k=20, n_probe=16
+    ).collect()
+    rrf = {}
+    for rank, r in enumerate(
+        sorted(lex, key=lambda r: (-r.score, r.doc_id)), start=1
+    ):
+        rrf[r.doc_id] = rrf.get(r.doc_id, (0.0, 0))
+        rrf[r.doc_id] = (rrf[r.doc_id][0] + 1.0 / (60 + rank), rrf[r.doc_id][1] + 1)
+    for rank, r in enumerate(
+        sorted(sem, key=lambda r: (-r.adc_score, r.neighbor_id)), start=1
+    ):
+        d = r.neighbor_id
+        rrf[d] = rrf.get(d, (0.0, 0))
+        rrf[d] = (rrf[d][0] + 1.0 / (60 + rank), rrf[d][1] + 1)
+    want = sorted(
+        ((d, round(s, 9), n) for d, (s, n) in rrf.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want

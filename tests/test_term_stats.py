@@ -460,3 +460,42 @@ def test_compaction_tolerates_stray_base_entries(spark, docs, tmp_path):
     } == want_terms
     tot = read_corpus_stats(spark, sink).collect()[0]
     assert (int(tot.n_docs), int(tot.sum_dl)) == (want_n, want_s)
+
+
+def test_postings_batch_equals_single_query_path(spark, docs, tmp_path):
+    """r11 batch serving law: bm25_search_postings_batch returns, per
+    query, EXACTLY the single-query bm25_search_postings rows (same df
+    literals, same contrib decimals, same round-6, same tie order) —
+    including a query with partially-dead terms and one with no live
+    terms at all (no rows, like the single-query empty frame)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        bm25_search_postings_batch,
+    )
+
+    sink = str(tmp_path / "ts")
+    for i, b in enumerate(_batches(docs)):
+        term_stats_batch(b, i, sink, "text", "doc_id", with_postings=True)
+    queries = {
+        "q0": ["spark", "join"],
+        "q1": ["stream", "vector", "zzznosuchterm"],
+        "q2": ["spark", "stream", "vector", "join"],
+        "q3": ["zzznosuchterm"],  # nothing live → no rows
+    }
+    got = {}
+    batch = bm25_search_postings_batch(
+        spark, queries, sink, id_col="doc_id", top_k=12
+    )
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.score, r.n_matched, r.dl)
+        )
+    for q, terms in queries.items():
+        want = [
+            (r.doc_id, r.score, r.n_matched, r.dl)
+            for r in bm25_search_postings(
+                spark, terms, sink, id_col="doc_id", top_k=12
+            ).collect()
+        ]
+        assert got.get(q, []) == want, q
+    assert "q3" not in got

@@ -104,6 +104,10 @@ QUERIES = [
     "bm25_indexed_serve_only",
     "ann_topk_serve_only",
     "hybrid_serve_only",
+    # r11: the zero-scan lexical floor and the 32-query batched serving
+    # shape (flat rows expected for both; wall/32 is the per-query cost)
+    "bm25_postings_serve_only",
+    "hybrid_serve_batch",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -165,6 +169,9 @@ HEAVY = [
     "bm25_indexed_serve_only",
     "ann_topk_serve_only",
     "hybrid_serve_only",
+    # r11: same flat claim for the postings floor and the query batch
+    "bm25_postings_serve_only",
+    "hybrid_serve_batch",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
@@ -255,6 +262,9 @@ def main():
         "bm25_indexed_serve_only",
         "ann_topk_serve_only",
         "hybrid_serve_only",
+        # r11: same prewarm discipline — measure serve, not state build
+        "bm25_postings_serve_only",
+        "hybrid_serve_batch",
     }
     for name in QUERIES:
         fn = qs[name]
