@@ -298,6 +298,14 @@ BENCH_QUERIES = [
     #   shape, heavier (~30 s+ each at sf0.1) — pure orchestration wall;
     #   their per-row costs are covered by dedup_lines_docs /
     #   passage_dedup_docs and the incremental==batch law tests.
+    # - curation_incremental_docs (r11): ~60 s lifecycle build on first
+    #   touch of a corpus + a ~9 s warm wall DOMINATED by its full-corpus
+    #   frozen-twin self-check (re-scoring every survivor with the
+    #   6-regexp quality gate) — a correctness probe, not a serving cost.
+    #   Its per-row serving costs are exactly the packing/screen keys
+    #   already benched; the composed law is pinned by the key's
+    #   load-bearing incremental_ok column in the sweep and by
+    #   test_streaming_curation's connector e2e.
 ]
 
 N_INGEST_FILES = 32
