@@ -715,3 +715,63 @@ def test_incremental_pack_shuffles_batch_only_and_broadcasts_cursors(
     plan = shifted._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_postings_batch_zero_corpus_scan_and_broadcast_pair_table(spark):
+    """r11 batched lexical serving: the whole 32-query plan reads ONLY
+    persisted state — no documents FileScan — with the postings slice
+    pruned by In(term, union-of-terms) and the (term, query_id) pair
+    table joined as a BroadcastHashJoin (posting rows never shuffle to
+    meet queries)."""
+    from spark_streaming_sql_s3_connector_spark.plans.pipeline_queries import (
+        _ensure_postings_state,
+        _serve_batch_queries,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings_batch,
+    )
+
+    stats_dir = _ensure_postings_state(spark, SF)
+    term_qs, _ = _serve_batch_queries(spark, SF)
+    df = bm25_search_postings_batch(
+        spark, term_qs, stats_dir, id_col="doc_id", top_k=10
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "PushedFilters: [In(term" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_serve_batch_zero_corpus_scans(spark):
+    """r11 batched hybrid serving: the fused 32-query plan touches the
+    postings state and the ANN index's code files only — neither the
+    documents corpus nor the embeddings table appears as a FileScan
+    (the single-query hybrid_serve_only deliberately reads embeddings
+    for its exact refine; the batch path is pure ADC)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["hybrid_serve_batch"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+
+
+def test_frozen_gate_is_mapside_filter_no_shuffle(spark, tmp_path):
+    """r11 incremental finalize: gating a batch with the FROZEN
+    threshold map adds no Exchange — it is a literal-map filter over
+    the scored batch (the moving-threshold gate's agg+broadcast pair
+    is exactly what freezing removes from the per-trigger path)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        _gate_frozen,
+        _score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"some sample text number {i}") for i in range(30)],
+        "doc_id bigint, lang string, deduped_text string",
+    )
+    gated = _gate_frozen(_score(docs), {"en": 0.5, "de": 0.4})
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
