@@ -97,9 +97,9 @@ def process_curation_batch(
     distribution shift BEFORE finalization."""
     spark = batch.sparkSession
     # (doc_id, lang) side table for the finalization gate
-    batch.select(F.col(id_col), F.col(lang_col)).write.mode("overwrite").parquet(
-        _meta_dir(pipeline_dir, batch_id)
-    )
+    meta = batch.select(F.col(id_col), F.col(lang_col))
+    _write_plane_schema_once(os.path.join(pipeline_dir, "_meta"), meta.schema)
+    meta.write.mode("overwrite").parquet(_meta_dir(pipeline_dir, batch_id))
     if monitor:
         from spark_streaming_sql_s3_connector_spark.streaming.drift import (
             count_batch,
@@ -249,10 +249,9 @@ def finalize_curation(
         exact_dedup.read_unique_ids(spark, _exact_index(pipeline_dir))
         .select(F.col("doc_id").alias(id_col))
     )
-    meta = (
-        spark.read.parquet(os.path.join(pipeline_dir, "_meta"))
-        .select(id_col, "lang")
-    )
+    meta = _read_concat_plane(
+        spark, os.path.join(pipeline_dir, "_meta")
+    ).select(id_col, "lang")
     survivors = docs.join(uniq, id_col).join(meta, id_col)
     scored = survivors.withColumn(
         "qscore", F.round(quality_score(F.col("deduped_text")), 6)
@@ -383,9 +382,6 @@ def _thresholds_path(pipeline_dir: str) -> str:
     return os.path.join(_pack_state_dir(pipeline_dir), "_thresholds.json")
 
 
-_GATED_SCHEMA_T = "{id} bigint, lang string, qscore double"
-
-
 def read_frozen_thresholds(pipeline_dir: str) -> Optional[dict]:
     """The frozen per-language quality thresholds, or None before
     bootstrap."""
@@ -432,6 +428,150 @@ def freeze_quality_thresholds(
         os.fsync(f.fileno())
     os.replace(tmp, path)
     return thr
+
+
+# --- append-only per-batch output planes (gated rows, (id, lang) side
+# rows): the _PACK concat-fold discipline, so a long-running pipeline's
+# dir count and reader listing cost stay bounded instead of growing one
+# directory per trigger forever. Rows never change in a fold — pure
+# file-count hygiene behind an atomic pointer; the schema persists once
+# at first write so zero-row batches (and the fold itself) never hit
+# parquet schema inference.
+
+
+def _plane_ptr_path(root: str) -> str:
+    return os.path.join(root, "_latest")
+
+
+def _read_plane_ptr(root: str) -> Optional[int]:
+    try:
+        with open(_plane_ptr_path(root)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return None
+
+
+def _write_plane_ptr(root: str, version: int) -> None:
+    tmp = _plane_ptr_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _plane_ptr_path(root))
+
+
+def _plane_delta_ids(root: str) -> list:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for e in os.listdir(root):
+        if e.startswith("batch="):
+            try:
+                out.append(int(e.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _plane_schema_path(root: str) -> str:
+    return os.path.join(root, "_schema.json")
+
+
+def _write_plane_schema_once(root: str, schema) -> None:
+    path = _plane_schema_path(root)
+    if os.path.exists(path):
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(schema.jsonValue(), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _plane_reader(spark: SparkSession, root: str):
+    from pyspark.sql.types import StructType
+
+    try:
+        with open(_plane_schema_path(root)) as f:
+            return spark.read.schema(StructType.fromJson(json.load(f)))
+    except (FileNotFoundError, NotADirectoryError):
+        return spark.read
+
+
+def _read_concat_plane(spark: SparkSession, root: str) -> DataFrame:
+    """base (if folded) + deltas above the pointer — the whole
+    append-only output."""
+    reader = _plane_reader(spark, root)
+    ptr = _read_plane_ptr(root)
+    frames = []
+    if ptr is not None:
+        frames.append(reader.parquet(os.path.join(root, "base", f"v={ptr}")))
+    frames.extend(
+        reader.parquet(os.path.join(root, f"batch={b}"))
+        for b in _plane_delta_ids(root)
+        if ptr is None or b > ptr
+    )
+    if not frames:
+        raise FileNotFoundError(f"no state under {root}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _compact_concat_plane(
+    spark: SparkSession, root: str, upto_batch: Optional[int] = None
+) -> None:
+    """Fold delta dirs STRICTLY below ``upto_batch`` (all, when None —
+    safe only with no stream writing) into ``base/v=<n>`` and GC them.
+    Concatenation only: a replayed folded batch rewrites a delta at or
+    below the pointer, which readers ignore — and its rows already sit
+    in the base verbatim, so the state converges (the _PACK
+    argument)."""
+    ptr = _read_plane_ptr(root)
+    ids = [
+        b
+        for b in _plane_delta_ids(root)
+        if (ptr is None or b > ptr) and (upto_batch is None or b < upto_batch)
+    ]
+    if not ids:
+        return
+    reader = _plane_reader(spark, root)
+    frames = []
+    if ptr is not None:
+        frames.append(reader.parquet(os.path.join(root, "base", f"v={ptr}")))
+    frames.extend(reader.parquet(os.path.join(root, f"batch={b}")) for b in ids)
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    new_v = max(ids)
+    allf.write.mode("overwrite").parquet(os.path.join(root, "base", f"v={new_v}"))
+    _write_plane_ptr(root, new_v)
+    import shutil
+
+    for b in _plane_delta_ids(root):
+        if b <= new_v:
+            shutil.rmtree(os.path.join(root, f"batch={b}"), ignore_errors=True)
+    if ptr is not None:
+        shutil.rmtree(os.path.join(root, "base", f"v={ptr}"), ignore_errors=True)
+
+
+def compact_curation_outputs(
+    spark: SparkSession, pipeline_dir: str, upto_batch: Optional[int] = None
+) -> None:
+    """File-count hygiene for the two append-only per-batch output
+    planes the incremental finalize maintains — the gated
+    (id, lang, qscore) rows and the (id, lang) ``_meta`` side table.
+    Piggybacked on the same maintenance cadence as `vacuum()` in
+    `process_curation_batch_incremental`."""
+    _compact_concat_plane(
+        spark, os.path.join(_pack_state_dir(pipeline_dir), "gated"), upto_batch
+    )
+    _compact_concat_plane(
+        spark, os.path.join(pipeline_dir, "_meta"), upto_batch
+    )
 
 
 def _batch_survivors(
@@ -510,9 +650,11 @@ def finalize_curation_batch(
         thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
     gated = _gate_frozen(scored, thresholds).persist()
     try:
-        gated.select(id_col, "lang", "qscore").write.mode("overwrite").parquet(
-            _gated_dir(pipeline_dir, batch_id)
+        out = gated.select(id_col, "lang", "qscore")
+        _write_plane_schema_once(
+            os.path.join(_pack_state_dir(pipeline_dir), "gated"), out.schema
         )
+        out.write.mode("overwrite").parquet(_gated_dir(pipeline_dir, batch_id))
         pack_batch_incremental(
             gated,
             batch_id,
@@ -536,11 +678,9 @@ def read_curated_pack(
         read_packed_manifest,
     )
 
-    gated = (
-        spark.read.schema(_GATED_SCHEMA_T.format(id=id_col))
-        .parquet(os.path.join(_pack_state_dir(pipeline_dir), "gated"))
-        .select(id_col, "lang", "qscore")  # drop the batch partition col
-    )
+    gated = _read_concat_plane(
+        spark, os.path.join(_pack_state_dir(pipeline_dir), "gated")
+    ).select(id_col, "lang", "qscore")
     packed = read_packed_manifest(spark, _pack_state_dir(pipeline_dir))
     return gated.join(packed, id_col).orderBy(id_col)
 
@@ -566,9 +706,9 @@ def finalize_curation_frozen(
     uniq = exact_dedup.read_unique_ids(
         spark, _exact_index(pipeline_dir)
     ).select(F.col("doc_id").alias(id_col))
-    meta = spark.read.parquet(os.path.join(pipeline_dir, "_meta")).select(
-        id_col, "lang"
-    )
+    meta = _read_concat_plane(
+        spark, os.path.join(pipeline_dir, "_meta")
+    ).select(id_col, "lang")
     survivors = docs.join(uniq, id_col).join(meta, id_col)
     gated = _gate_frozen(_score(survivors), thresholds)
     packed = pack_concat(
@@ -629,6 +769,13 @@ def process_curation_batch_incremental(
         from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
 
         vacuum(batch.sparkSession, pipeline_dir, upto_batch=batch_id - 1)
+        # same cadence for the two append-only output planes this
+        # composition owns (vacuum doesn't know them — they live inside
+        # the packing plane / behind the _meta underscore): fold all
+        # COMMITTED deltas (< batch_id, strictly-below semantics)
+        compact_curation_outputs(
+            batch.sparkSession, pipeline_dir, upto_batch=batch_id
+        )
 
 
 def streaming_curation_incremental(

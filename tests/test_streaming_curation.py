@@ -503,3 +503,51 @@ def test_streaming_curation_incremental_through_connector(spark, tmp_path):
     for plane in ("profile", "lang_counts"):
         base_root = os.path.join(pipeline_dir, "monitor", plane, "base")
         assert len([e for e in os.listdir(base_root) if e.startswith("v=")]) == 1
+
+
+def test_curation_output_fold_preserves_results(spark, tmp_path):
+    """r11 file-count hygiene: folding the gated/_meta per-batch output
+    dirs (compact_curation_outputs) changes NOTHING the readers see —
+    read_curated_pack and the frozen twin agree before and after, and
+    each plane ends at one base + only post-horizon deltas."""
+    import os
+
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        compact_curation_outputs,
+        finalize_curation_frozen,
+        process_curation_batch_incremental,
+        read_curated_pack,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch_incremental(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    before = _rows(read_curated_pack(spark, pipeline_dir))
+    compact_curation_outputs(spark, pipeline_dir, upto_batch=2)
+    for root in (
+        os.path.join(pipeline_dir, "_meta"),
+        os.path.join(pipeline_dir, "pack_state", "gated"),
+    ):
+        assert os.path.isdir(os.path.join(root, "base", "v=1"))
+        live = [e for e in os.listdir(root) if e.startswith("batch=")]
+        assert live == ["batch=2"]
+    assert _rows(read_curated_pack(spark, pipeline_dir)) == before
+    # a replayed folded batch converges (delta at/below the pointer is
+    # ignored; its rows already sit in the base verbatim)
+    process_curation_batch_incremental(
+        df.where((F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])),
+        1,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    got = _rows(read_curated_pack(spark, pipeline_dir))
+    assert got == before
+    assert got == _rows(finalize_curation_frozen(spark, pipeline_dir))
