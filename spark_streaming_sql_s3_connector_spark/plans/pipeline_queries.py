@@ -6115,6 +6115,13 @@ def _serve_batch_queries(spark, sf):
         (f"q{int(r.vec_id) - 1:02d}", [float(x) for x in r.embedding])
         for r in sorted(vec_rows, key=lambda r: int(r.vec_id))
     ]
+    if len(vec_qs) != _SERVE_BATCH_Q:
+        # a short/non-contiguous embeddings table would silently fuse
+        # lexical-only results for the missing query ids — fail loudly
+        raise ValueError(
+            f"serve-batch workload needs embeddings vec_id 1..{_SERVE_BATCH_Q}; "
+            f"found {len(vec_qs)} under {sf}"
+        )
     return term_qs, vec_qs
 
 
@@ -6267,21 +6274,29 @@ def _curation_incremental_docs(spark, sf):
     )
 
     pdir = _ensure_incremental_curation(spark, sf)
-    got = read_curated_pack(spark, pdir)
+    got_rows = read_curated_pack(spark, pdir).collect()
     want = finalize_curation_frozen(spark, pdir)
-    # one evaluation per side; the packed manifest is gated-survivor-
-    # sized, and the driver-side multiset compare is the same law
-    ok = sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    return (
-        got.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-            F.max("seq_last").cast("bigint").alias("max_seq"),
+    # genuinely one evaluation per side: the law compares the collected
+    # rows (gated-survivor-sized), and the per-language summary folds
+    # the SAME collected rows driver-side instead of re-running the plan
+    ok = sorted(map(tuple, got_rows)) == sorted(map(tuple, want.collect()))
+    summary: dict = {}
+    for r in got_rows:
+        lang = r["lang"]
+        n, toks, mx = summary.get(lang, (0, 0, 0))
+        summary[lang] = (
+            n + 1,
+            toks + int(r["n_tokens"]),
+            max(mx, int(r["seq_last"])),
         )
-        .withColumn("incremental_ok", F.lit(bool(ok)))
-        .orderBy("lang")
-    )
+    return spark.createDataFrame(
+        [
+            (lang, n, toks, mx, bool(ok))
+            for lang, (n, toks, mx) in sorted(summary.items())
+        ],
+        "lang string, n_docs bigint, sum_tokens bigint, max_seq bigint, "
+        "incremental_ok boolean",
+    ).orderBy("lang")
 
 
 PIPELINE_QUERIES: dict[str, QuerySpec] = {

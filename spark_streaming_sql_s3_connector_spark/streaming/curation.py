@@ -419,6 +419,14 @@ def freeze_quality_thresholds(
         for r in rows
         if r[0] is not None and r["_thr"] is not None
     }
+    if not thr:
+        # an empty bootstrap (zero survivors, or only NULL-lang /
+        # NULL-score rows) must NOT freeze: a persisted {} would gate
+        # every future batch to nothing forever. Defer — gate THIS
+        # batch with {} (law-consistent: any batch-0 row the eventual
+        # map could pass implies its language had non-NULL scores here,
+        # i.e. thr would not be empty) and let a later batch bootstrap.
+        return thr
     path = _thresholds_path(pipeline_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -439,25 +447,12 @@ def freeze_quality_thresholds(
 # parquet schema inference.
 
 
-def _plane_ptr_path(root: str) -> str:
-    return os.path.join(root, "_latest")
-
-
-def _read_plane_ptr(root: str) -> Optional[int]:
-    try:
-        with open(_plane_ptr_path(root)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, NotADirectoryError, ValueError):
-        return None
-
-
-def _write_plane_ptr(root: str, version: int) -> None:
-    tmp = _plane_ptr_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _plane_ptr_path(root))
+# atomic `_latest` pointer: rollup's helpers share the exact layout —
+# one implementation, not a third copy
+from spark_streaming_sql_s3_connector_spark.streaming.rollup import (  # noqa: E402
+    _read_pointer as _read_plane_ptr,
+    _write_pointer as _write_plane_ptr,
+)
 
 
 def _plane_delta_ids(root: str) -> list:
@@ -502,23 +497,23 @@ def _plane_reader(spark: SparkSession, root: str):
 
 def _read_concat_plane(spark: SparkSession, root: str) -> DataFrame:
     """base (if folded) + deltas above the pointer — the whole
-    append-only output."""
+    append-only output. ONE multi-path read: with the persisted schema
+    a zero-row dir reads empty; without one (a pre-r11 state) the
+    inference spans the union of paths, so a _SUCCESS-only dir beside
+    populated ones still reads (the old root-read behavior)."""
     reader = _plane_reader(spark, root)
     ptr = _read_plane_ptr(root)
-    frames = []
+    paths = []
     if ptr is not None:
-        frames.append(reader.parquet(os.path.join(root, "base", f"v={ptr}")))
-    frames.extend(
-        reader.parquet(os.path.join(root, f"batch={b}"))
+        paths.append(os.path.join(root, "base", f"v={ptr}"))
+    paths.extend(
+        os.path.join(root, f"batch={b}")
         for b in _plane_delta_ids(root)
         if ptr is None or b > ptr
     )
-    if not frames:
+    if not paths:
         raise FileNotFoundError(f"no state under {root}")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return reader.parquet(*paths)
 
 
 def _compact_concat_plane(
@@ -539,13 +534,11 @@ def _compact_concat_plane(
     if not ids:
         return
     reader = _plane_reader(spark, root)
-    frames = []
+    paths = []
     if ptr is not None:
-        frames.append(reader.parquet(os.path.join(root, "base", f"v={ptr}")))
-    frames.extend(reader.parquet(os.path.join(root, f"batch={b}")) for b in ids)
-    allf = frames[0]
-    for f in frames[1:]:
-        allf = allf.unionByName(f)
+        paths.append(os.path.join(root, "base", f"v={ptr}"))
+    paths.extend(os.path.join(root, f"batch={b}") for b in ids)
+    allf = reader.parquet(*paths)
     new_v = max(ids)
     allf.write.mode("overwrite").parquet(os.path.join(root, "base", f"v={new_v}"))
     _write_plane_ptr(root, new_v)

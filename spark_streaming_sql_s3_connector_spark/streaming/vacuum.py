@@ -125,116 +125,115 @@ def walk_planes(spark: SparkSession, state_root: str):
 
 
 def _vacuum_plane(
-    spark: SparkSession, d: str, upto_batch: Optional[int]
-) -> Optional[dict]:
-    """Compact ``d`` if it is a recognizable plane root; None if it is
-    not a plane (the walk then descends into it)."""
-    names = set(os.listdir(d))
-    if "quantizers.json" in names:
+    spark: SparkSession, d: str, kind: str, upto_batch: Optional[int]
+) -> dict:
+    """Dispatch ONE classified plane to its compactor. The kind comes
+    from :func:`classify_plane` — the single classification table both
+    maintenance and delete-routing share."""
+    if kind == "ann_index":
         from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
             compact_ann_index,
         )
 
         return {
             "path": d,
-            "plane": "ann_index",
+            "plane": kind,
             "result": compact_ann_index(spark, d, upto_batch=upto_batch),
         }
-    if "_bands" in names:
+    if kind == "minhash_bands":
         from spark_streaming_sql_s3_connector_spark.streaming.dedup_index import (
             _band_delta_ids,
             compact_index,
         )
+        from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
+            _marker_ids,
+        )
 
         if upto_batch is None:
             # same safe default as the key screens: never fold the
-            # newest delta — the only batch a live stream could still
-            # be writing or a restart could replay
-            ids = _band_delta_ids(d)
+            # newest delta OR forget marker — the only batch a live
+            # stream could still be writing or a restart could replay
+            # (a marker-only window's newest write is the marker)
+            ids = _band_delta_ids(d) + _marker_ids(d)
             horizon = max(ids) if ids else None
         else:
             horizon = upto_batch
         return {
             "path": d,
-            "plane": "minhash_bands",
+            "plane": kind,
             "result": compact_index(spark, d, upto_batch=horizon),
         }
-    if "_new" in names:
+    if kind == "key_screen":
         from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
             _delta_ids,
+            _marker_ids,
             compact_index,
         )
 
         if upto_batch is None:
             # the line/passage safe default: never fold the newest
-            # delta — the only batch a restart could replay
-            ids = _delta_ids(d)
+            # delta OR forget marker — the only batch a restart could
+            # replay (marker-only windows included)
+            ids = _delta_ids(d) + _marker_ids(d)
             horizon = max(ids) if ids else None
         else:
             horizon = upto_batch
         return {
             "path": d,
-            "plane": "key_screen",
+            "plane": kind,
             "result": compact_index(spark, d, upto_batch=horizon),
         }
-    if "terms" in names and "corpus" in names:
+    if kind == "term_stats":
         from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
             compact_term_stats,
         )
 
         compact_term_stats(spark, d, upto_batch=upto_batch)
-        return {"path": d, "plane": "term_stats", "result": None}
-    if "pack" in names and "cursors" in names:
+        return {"path": d, "plane": kind, "result": None}
+    if kind == "packing":
         from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
             compact_pack_state,
         )
 
         compact_pack_state(spark, d, upto_batch=upto_batch)
-        return {"path": d, "plane": "packing", "result": None}
-    if "_deltas" in names:
-        kind = _classify_deltas(spark, d)
-        if kind == "profile":
-            from spark_streaming_sql_s3_connector_spark.streaming.profile import (
-                compact_profile,
-            )
+        return {"path": d, "plane": kind, "result": None}
+    if kind == "profile":
+        from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+            compact_profile,
+        )
 
-            return {"path": d, "plane": "profile", "result": compact_profile(spark, d)}
-        if kind == "drift_counts":
-            from spark_streaming_sql_s3_connector_spark.streaming.drift import (
-                compact_drift_counts,
-            )
+        return {"path": d, "plane": kind, "result": compact_profile(spark, d)}
+    if kind == "drift_counts":
+        from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+            compact_drift_counts,
+        )
 
-            return {
-                "path": d,
-                "plane": "drift_counts",
-                "result": compact_drift_counts(spark, d),
-            }
-        if kind == "embedding_moments":
-            from spark_streaming_sql_s3_connector_spark.streaming.drift import (
-                compact_embedding_moments,
-            )
+        return {"path": d, "plane": kind, "result": compact_drift_counts(spark, d)}
+    if kind == "embedding_moments":
+        from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+            compact_embedding_moments,
+        )
 
-            return {
-                "path": d,
-                "plane": "embedding_moments",
-                "result": compact_embedding_moments(spark, d),
-            }
-        if kind == "rollup":
-            from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
-                compact_rollup,
-            )
+        return {
+            "path": d,
+            "plane": kind,
+            "result": compact_embedding_moments(spark, d),
+        }
+    if kind == "rollup":
+        from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+            compact_rollup,
+        )
 
-            cols = _delta_schema_cols(spark, os.path.join(d, "_deltas"))
-            keys = sorted(
-                c for c in cols if c != "bucket" and not c.startswith("_ca_")
-            )
-            return {
-                "path": d,
-                "plane": "rollup",
-                "result": compact_rollup(spark, d, keys=keys),
-            }
-        return {"path": d, "plane": "unknown_deltas", "result": "skipped"}
-    return None
+        cols = _delta_schema_cols(spark, os.path.join(d, "_deltas"))
+        keys = sorted(
+            c for c in cols if c != "bucket" and not c.startswith("_ca_")
+        )
+        return {
+            "path": d,
+            "plane": kind,
+            "result": compact_rollup(spark, d, keys=keys),
+        }
+    return {"path": d, "plane": kind, "result": "skipped"}
 
 
 def vacuum(
@@ -251,7 +250,12 @@ def vacuum(
     while stack:
         d = stack.pop()
         try:
-            entry = _vacuum_plane(spark, d, upto_batch)
+            kind = classify_plane(spark, d)
+            entry = (
+                _vacuum_plane(spark, d, kind, upto_batch)
+                if kind is not None
+                else None
+            )
         except Exception as e:  # one sick plane must not stop the sweep
             entry = {"path": d, "plane": "error", "result": f"{type(e).__name__}: {e}"}
         if entry is not None:

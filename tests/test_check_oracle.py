@@ -2,9 +2,10 @@
 boolean *_ok / exact_match / found_exact columns in ROWS-ONLY keys are
 load-bearing — a single False fails the sweep."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from check_oracle import _self_check_cols, compare  # noqa: E402
 

@@ -551,3 +551,44 @@ def test_curation_output_fold_preserves_results(spark, tmp_path):
     got = _rows(read_curated_pack(spark, pipeline_dir))
     assert got == before
     assert got == _rows(finalize_curation_frozen(spark, pipeline_dir))
+
+
+def test_empty_bootstrap_defers_threshold_freeze(spark, tmp_path):
+    """r11 review fix: a bootstrap batch with zero survivors (or only
+    NULL-lang rows) must NOT freeze an empty threshold map — gating
+    would drop every future doc forever. The freeze defers to the first
+    batch that yields per-language thresholds, and the incremental==
+    frozen-twin law still holds across the deferral."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        finalize_curation_frozen,
+        process_curation_batch_incremental,
+        read_curated_pack,
+        read_frozen_thresholds,
+    )
+
+    pipeline_dir = str(tmp_path / "pipeline")
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    process_curation_batch_incremental(
+        empty, 0, pipeline_dir, expected_total_items=10_000
+    )
+    assert read_frozen_thresholds(pipeline_dir) is None  # deferred
+
+    null_lang = spark.createDataFrame(
+        [(0, None, "some real text content here")], DOC_SCHEMA
+    )
+    process_curation_batch_incremental(
+        null_lang, 1, pipeline_dir, expected_total_items=10_000
+    )
+    assert read_frozen_thresholds(pipeline_dir) is None  # still deferred
+
+    rows = [(10 + i, ["en", "de"][i % 2], f"real document number {i} with words") for i in range(8)]
+    real = spark.createDataFrame(rows, DOC_SCHEMA)
+    process_curation_batch_incremental(
+        real, 2, pipeline_dir, expected_total_items=10_000
+    )
+    thr = read_frozen_thresholds(pipeline_dir)
+    assert thr and set(thr) == {"en", "de"}  # froze on the real batch
+    got = _rows(read_curated_pack(spark, pipeline_dir))
+    want = _rows(finalize_curation_frozen(spark, pipeline_dir))
+    assert got == want
+    assert len(got) > 0
