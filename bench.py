@@ -306,6 +306,12 @@ BENCH_QUERIES = [
     #   already benched; the composed law is pinned by the key's
     #   load-bearing incremental_ok column in the sweep and by
     #   test_streaming_curation's connector e2e.
+    # - ann_lifecycle_docs (r11): a full bootstrap-build + 4-batch
+    #   streamed lifecycle + compaction per call (~24 s at sf0.01) —
+    #   orchestration wall by construction. Its serving floor is
+    #   ann_topk_serve_only (benched, flat); its drift-refresh laws are
+    #   pytest (test_ann_lifecycle) + the key's load-bearing
+    #   refresh_ok/landed_ok bits in the sweep.
 ]
 
 N_INGEST_FILES = 32

@@ -6299,6 +6299,60 @@ def _curation_incremental_docs(spark, sf):
     ).orderBy("lang")
 
 
+def _ann_lifecycle_docs(spark, sf):
+    """The r11 self-refreshing ANN lifecycle end to end on the sf
+    embeddings: bootstrap on the low-vec_id half, stream the high half
+    as 4 range batches through `process_ann_lifecycle_batch` (landed
+    vectors + moment deltas + cadenced windowed drift check + appends),
+    then serve. The synthetic embeddings are one distribution, so the
+    per-corpus law here is the NO-FALSE-ALARM side: the cadenced checks
+    must not fire (`refresh_ok` pins baseline pointer == bootstrap
+    version; the planted-drift fire/recovery side is the pytest law in
+    test_ann_lifecycle, which needs a controlled two-mode corpus).
+    Rows-only, bounded output: served top-10 + the lifecycle bits."""
+    import tempfile
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _index_dir as _life_index_dir,
+        _read_pointer as _life_ptr,
+        bootstrap_ann_lifecycle,
+        process_ann_lifecycle_batch,
+        read_landed_vectors,
+    )
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    mid = hi // 2
+    root = tempfile.mkdtemp(prefix="s3conn-ann-life-")
+    bootstrap_ann_lifecycle(
+        emb.where(F.col("vec_id") <= mid), "embedding", "vec_id", root,
+        n_centroids=8, m_subspaces=4, pq_centroids=64, seed=7,
+    )
+    step = (hi - mid) // 4 + 1
+    for b in range(1, 5):
+        batch = emb.where(
+            (F.col("vec_id") > mid + (b - 1) * step)
+            & (F.col("vec_id") <= min(mid + b * step, hi))
+        )
+        process_ann_lifecycle_batch(
+            batch, b, root, threshold=0.5, check_every=2, compact_every=4
+        )
+    refresh_ok = _life_ptr(os.path.join(root, "baseline")) == 0
+    landed_ok = read_landed_vectors(spark, root).count() == emb.count()
+    served = ann_index_topk(
+        spark, _life_index_dir(root), _query_vector(spark, sf), k=10, n_probe=4
+    )
+    return served.select(
+        "neighbor_id",
+        F.round("adc_score", 6).alias("adc_score"),
+        F.lit(bool(refresh_ok)).alias("refresh_ok"),
+        F.lit(bool(landed_ok)).alias("landed_ok"),
+    ).orderBy(F.col("adc_score").desc(), "neighbor_id")
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # previously driver-unchecked — earliest slots, defensively
     "corpus_curation": QuerySpec(_corpus_curation, _CORPUS_CURATION_SQL),
@@ -6607,4 +6661,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     # pack + piggybacked vacuum, with a replayed batch); rows-only with
     # the LOAD-BEARING incremental==batch self-check column
     "curation_incremental_docs": QuerySpec(_curation_incremental_docs, None),
+    # r11: the self-refreshing ANN lifecycle (landed vectors + moment
+    # deltas + cadenced windowed drift check + appends + compaction);
+    # rows-only with load-bearing no-false-alarm/landed-count bits
+    "ann_lifecycle_docs": QuerySpec(_ann_lifecycle_docs, None),
 }
