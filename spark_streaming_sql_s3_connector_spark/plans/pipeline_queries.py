@@ -6340,7 +6340,7 @@ def _ann_lifecycle_docs(spark, sf):
         process_ann_lifecycle_batch(
             batch, b, root, threshold=0.5, check_every=2, compact_every=4
         )
-    refresh_ok = _life_ptr(os.path.join(root, "baseline")) == 0
+    refresh_ok = _life_ptr(os.path.join(root, "drift_state")) == 0
     landed_ok = read_landed_vectors(spark, root).count() == emb.count()
     served = ann_index_topk(
         spark, _life_index_dir(root), _query_vector(spark, sf), k=10, n_probe=4

@@ -26,26 +26,38 @@ cadence, never a side channel):
 - ``root/baseline`` — versioned d-row snapshot of the TRAINING-set
   moments of the CURRENT quantizers (bootstrap corpus at build; the
   landed union at each refresh)
-- ``root/window``   — versioned d-row snapshot of the live moments AT
-  the last refresh, so the drift question is always windowed: "what
-  streamed in SINCE the current quantizers were trained" vs "what they
-  were trained on". Moment partials are exact decimal sums, so the
-  window is an exact subtraction — no re-scan, no approximation.
+- ``root/drift_state`` — ONE versioned dir (``v=<n>/baseline`` +
+  ``v=<n>/window``) behind ONE atomic pointer: the TRAINING-set
+  moments of the CURRENT quantizers (bootstrap corpus at build; old
+  baseline + window at each refresh — never the full cumulative live
+  frame, which would re-count pre-refresh mass on every later
+  refresh), paired with the live-moment snapshot AT that refresh. The
+  drift question is always windowed — "what streamed in SINCE the
+  current quantizers were trained" vs "what they were trained on" —
+  and moment partials are exact decimal sums, so the window is an
+  exact subtraction: no re-scan, no approximation, and no torn state
+  where a new baseline pairs with a stale window (single commit
+  point).
 
-Per trigger: land the batch's vectors (overwrite-by-batch-dir), write
-its moment delta, every ``check_every`` batches run the drift check
-(d-row state reads, ZERO corpus IO), and — only when the windowed max
-standardized mean shift crosses ``threshold`` — rebuild the index from
-the landed union EXCLUDING the in-flight batch, advance baseline +
-window snapshots behind atomic pointers, then append the batch with
-the (possibly fresh) quantizers.
+Per trigger: land the batch's vectors (overwrite-by-batch-dir), every
+``check_every`` batches run the drift check BEFORE the batch's moment
+delta lands (decision and rebuild corpus see the same committed
+prefix; the in-flight batch's moments enter the NEXT window, so a
+one-batch drift burst raises the next alarm instead of being silently
+absorbed), rebuild + advance the drift state only on a threshold
+crossing, then write the moment delta and append — both off the
+just-landed parquet, one evaluation of the trigger's source lineage.
 
 Replay convergence: every write is batch-id-keyed and overwritten; the
-refresh rebuilds from committed batches only, and after its pointer
-flips the recomputed window shift is ~0, so a replayed trigger takes
-the no-op path and its re-append re-encodes the same rows with the
-same (new) quantizers — state converges (tested, incl. a replayed
-refresh trigger).
+refresh rebuilds from committed batches only and commits its state in
+one pointer flip, so after a completed refresh a replayed trigger's
+recomputed window shift is ~0 and it takes the no-op path, re-encoding
+the same rows with the same (new) quantizers (tested, incl. a replayed
+refresh trigger). The one crash window with a visible (benign) effect:
+dying between a trigger's moment-delta write and its checkpoint commit
+leaves that delta on disk, so the replayed trigger's check sees one
+batch of moments whose vectors are excluded from a rebuild it fires —
+a one-batch training-mass discrepancy that the next window absorbs.
 
 Scale shape: steady-state triggers cost one batch encode + one d-row
 moment delta; the drift DECISION costs three d-row reads; the rebuild
@@ -71,6 +83,7 @@ from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
 _INDEX = "index"
 _VECTORS = "vectors"
 _MOMENTS = "moments"
+_DRIFT_STATE = "drift_state"
 _BASELINE = "baseline"
 _WINDOW = "window"
 
@@ -89,10 +102,26 @@ def _moments_dir(root: str) -> str:
     return os.path.join(root, _MOMENTS)
 
 
-def _write_versioned_moments(df: DataFrame, root: str, sub: str, version: int) -> None:
-    sub_root = os.path.join(root, sub)
-    out = df.select(*_MOMENT_COLS).coalesce(1)
-    out.write.mode("overwrite").parquet(os.path.join(sub_root, f"v={version}"))
+def _drift_state_root(root: str) -> str:
+    return os.path.join(root, _DRIFT_STATE)
+
+
+def _write_drift_state(
+    baseline: DataFrame, window: Optional[DataFrame], root: str, version: int
+) -> None:
+    """Commit baseline + window snapshots in ONE versioned dir behind
+    ONE pointer flip — a crash between the parquet writes leaves the
+    old version intact and readable (there is no torn state where a new
+    baseline pairs with a stale window)."""
+    sub_root = _drift_state_root(root)
+    v_dir = os.path.join(sub_root, f"v={version}")
+    baseline.select(*_MOMENT_COLS).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(v_dir, _BASELINE)
+    )
+    if window is not None:
+        window.select(*_MOMENT_COLS).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(v_dir, _WINDOW)
+        )
     _write_pointer(sub_root, version)
     for name in os.listdir(sub_root):
         if not name.startswith("v="):
@@ -105,15 +134,23 @@ def _write_versioned_moments(df: DataFrame, root: str, sub: str, version: int) -
             shutil.rmtree(os.path.join(sub_root, name), ignore_errors=True)
 
 
-def _read_versioned_moments(spark: SparkSession, root: str, sub: str) -> Optional[DataFrame]:
-    # inference, not a fixed schema: the d-row snapshot is never empty,
-    # and the decimal precisions vary by write path (raw partials are
-    # decimal(38,6)/(38,12); merged baselines carry sum-widened types)
-    sub_root = os.path.join(root, sub)
+def _read_drift_state(
+    spark: SparkSession, root: str
+) -> tuple[Optional[int], Optional[DataFrame], Optional[DataFrame]]:
+    """(version, baseline, window) of the committed drift state, or
+    (None, None, None) before bootstrap. Inference reads, not a fixed
+    schema: the d-row snapshots are never empty and the decimal
+    precisions vary by write path (raw partials are decimal(38,6)/
+    (38,12); merged baselines carry sum-widened types)."""
+    sub_root = _drift_state_root(root)
     ptr = _read_pointer(sub_root)
     if ptr is None:
-        return None
-    return spark.read.parquet(os.path.join(sub_root, f"v={ptr}"))
+        return None, None, None
+    v_dir = os.path.join(sub_root, f"v={ptr}")
+    baseline = spark.read.parquet(os.path.join(v_dir, _BASELINE))
+    wpath = os.path.join(v_dir, _WINDOW)
+    window = spark.read.parquet(wpath) if os.path.isdir(wpath) else None
+    return int(ptr), baseline, window
 
 
 def bootstrap_ann_lifecycle(
@@ -146,7 +183,7 @@ def bootstrap_ann_lifecycle(
         n_centroids=n_centroids, m_subspaces=m_subspaces,
         pq_centroids=pq_centroids, seed=seed, sample_rows=sample_rows,
     )
-    _write_versioned_moments(embedding_moments(corpus, vec_col), root, _BASELINE, 0)
+    _write_drift_state(embedding_moments(corpus, vec_col), None, root, 0)
     return meta
 
 
@@ -162,6 +199,29 @@ def read_landed_vectors(
     return df.drop("batch")
 
 
+def _subtract_moments(live: DataFrame, snap: Optional[DataFrame]) -> DataFrame:
+    """Exact window = live − snapshot (decimal sums subtract exactly);
+    the live frame unchanged when there is no snapshot yet."""
+    if snap is None:
+        return live
+    s = snap.select(
+        "dim",
+        F.col("n").alias("_n0"),
+        F.col("s").alias("_s0"),
+        F.col("ss").alias("_ss0"),
+    )
+    return (
+        live.join(s, "dim", "left")
+        .select(
+            "dim",
+            (F.col("n") - F.coalesce("_n0", F.lit(0))).alias("n"),
+            (F.col("s") - F.coalesce("_s0", F.lit(0))).alias("s"),
+            (F.col("ss") - F.coalesce("_ss0", F.lit(0))).alias("ss"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
 def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
     """Max standardized mean shift of the moments accumulated SINCE the
     last (re)build vs the current quantizers' training-set moments —
@@ -174,32 +234,14 @@ def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
         read_embedding_moments,
     )
 
-    baseline = _read_versioned_moments(spark, root, _BASELINE)
+    _, baseline, snap = _read_drift_state(spark, root)
     if baseline is None:
         return None
     try:
         live = read_embedding_moments(spark, _moments_dir(root))
     except FileNotFoundError:
         return None
-    snap = _read_versioned_moments(spark, root, _WINDOW)
-    if snap is not None:
-        # exact window = live − snapshot (decimal sums subtract exactly)
-        s = snap.select(
-            "dim",
-            F.col("n").alias("_n0"),
-            F.col("s").alias("_s0"),
-            F.col("ss").alias("_ss0"),
-        )
-        live = (
-            live.join(s, "dim", "left")
-            .select(
-                "dim",
-                (F.col("n") - F.coalesce("_n0", F.lit(0))).alias("n"),
-                (F.col("s") - F.coalesce("_s0", F.lit(0))).alias("s"),
-                (F.col("ss") - F.coalesce("_ss0", F.lit(0))).alias("ss"),
-            )
-            .where(F.col("n") > 0)
-        )
+    live = _subtract_moments(live, snap)
     mo = baseline.select(
         "dim",
         F.col("n").alias("_n_o"),
@@ -230,11 +272,15 @@ def refresh_lifecycle_if_drifted(
 ) -> Optional[float]:
     """The lifecycle's drift actuator: when the WINDOWED shift crosses
     ``threshold``, rebuild the index wholesale from the landed vectors
-    (same quantizer geometry and seed as the stored meta), advance the
-    baseline to the new training set's moments (old baseline + window —
-    an exact d-row merge, no corpus re-scan) and the window snapshot to
-    the live moments, both behind atomic pointers. Returns the observed
-    shift when the refresh fired, else None (nothing touched)."""
+    (same quantizer geometry and seed as the stored meta), then commit
+    the new drift state in ONE pointer flip: baseline := old baseline +
+    WINDOW (live − previous snapshot — the new training set's moments
+    as an exact d-row merge, no corpus re-scan, no double-counting of
+    pre-refresh mass on later refreshes), window snapshot := the live
+    moments. Returns the observed shift when the refresh fired, else
+    None (nothing touched). ``version`` defaults to the current drift
+    state's version + 1 so a standalone call never collides with the
+    bootstrap v=0 sentinel."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         build_ann_index,
         load_index_meta,
@@ -257,11 +303,14 @@ def refresh_lifecycle_if_drifted(
         sample_rows=sample_rows,
     )
     live = read_embedding_moments(spark, _moments_dir(root))
-    baseline = _read_versioned_moments(spark, root, _BASELINE)
-    # new training set = old training set + window ⇒ its moments are the
-    # exact decimal sum of the two partials (mergeable by construction)
+    cur_v, baseline, snap = _read_drift_state(spark, root)
+    window = _subtract_moments(live, snap)
+    # new training set = old training set + WINDOW ⇒ its moments are
+    # the exact decimal sum of the two partials (mergeable by
+    # construction); summing the full cumulative live frame instead
+    # would re-count every pre-refresh batch on each later refresh
     merged = (
-        baseline.unionByName(live)
+        baseline.unionByName(window)
         .groupBy("dim")
         .agg(
             F.sum("n").alias("n"),
@@ -269,9 +318,8 @@ def refresh_lifecycle_if_drifted(
             F.sum("ss").alias("ss"),
         )
     )
-    v = version if version is not None else 0
-    _write_versioned_moments(merged, root, _BASELINE, v)
-    _write_versioned_moments(live, root, _WINDOW, v)
+    v = version if version is not None else (cur_v or 0) + 1
+    _write_drift_state(merged, live, root, v)
     return shift
 
 
@@ -285,8 +333,16 @@ def process_ann_lifecycle_batch(
     sample_rows: int = 100_000,
 ) -> None:
     """One trigger of the self-refreshing lifecycle (see module doc):
-    land → moments → (cadenced) drift check/refresh → append with the
-    current quantizers → (cadenced) compaction."""
+    land → (cadenced) drift check/refresh → moments → append with the
+    current quantizers → (cadenced) compaction.
+
+    The check runs BEFORE the batch's moment delta lands, so the drift
+    DECISION and the rebuild corpus see the same committed prefix (the
+    in-flight batch contributes to neither; its moments enter the NEXT
+    window, so a drift burst confined to one batch still raises the
+    next cadenced alarm instead of being silently absorbed). Moments
+    and the append both read back the just-landed ``batch=<id>``
+    parquet, so the trigger's source lineage is evaluated ONCE."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         append_to_ann_index,
         compact_ann_index,
@@ -298,23 +354,23 @@ def process_ann_lifecycle_batch(
 
     spark = batch.sparkSession
     meta = load_index_meta(_index_dir(root))
-    vecs = batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"]))
-    vecs.write.mode("overwrite").parquet(
-        os.path.join(_vectors_dir(root), f"batch={batch_id}")
-    )
-    embedding_moment_batch(
-        vecs, batch_id, _moments_dir(root), meta["vec_col"]
-    )
+    land_dir = os.path.join(_vectors_dir(root), f"batch={batch_id}")
+    batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"])).write.mode(
+        "overwrite"
+    ).parquet(land_dir)
+    landed = spark.read.schema(
+        batch.select(meta["id_col"], meta["vec_col"]).schema
+    ).parquet(land_dir)
     if check_every and batch_id > 0 and batch_id % check_every == 0:
-        # the refresh rebuilds from COMMITTED batches only: the
-        # in-flight batch is excluded and appended below either way,
-        # so a replayed refresh trigger converges (module doc)
         refresh_lifecycle_if_drifted(
             spark, root, threshold=threshold, version=batch_id,
             sample_rows=sample_rows, exclude_batch=batch_id,
         )
         meta = load_index_meta(_index_dir(root))  # quantizers may be new
-    append_to_ann_index(batch, _index_dir(root), batch_id=batch_id, meta=meta)
+    embedding_moment_batch(
+        landed, batch_id, _moments_dir(root), meta["vec_col"]
+    )
+    append_to_ann_index(landed, _index_dir(root), batch_id=batch_id, meta=meta)
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_ann_index(spark, _index_dir(root), upto_batch=batch_id)
 

@@ -73,7 +73,7 @@ def test_lifecycle_refreshes_on_drift_and_converges(spark, tmp_path):
             _df(spark, batch), b, stale, threshold=0.5, check_every=0
         )
         assert _meta_bytes(root) == meta_before  # quantizers untouched
-    assert _read_pointer(os.path.join(root, "baseline")) == 0
+    assert _read_pointer(os.path.join(root, "drift_state")) == 0
 
     # phase 2: drifted batches — the batch-8 check must fire
     for b in range(5, 9):
@@ -85,8 +85,18 @@ def test_lifecycle_refreshes_on_drift_and_converges(spark, tmp_path):
         process_ann_lifecycle_batch(
             _df(spark, batch), b, stale, threshold=0.5, check_every=0
         )
-    assert _read_pointer(os.path.join(root, "baseline")) == 8  # refresh fired
+    assert _read_pointer(os.path.join(root, "drift_state")) == 8  # refresh fired
     assert _meta_bytes(root) != _meta_bytes(stale)
+
+    # no double-count: the merged baseline is EXACTLY bootstrap +
+    # window (batches 1..7 — batch 8's moments land after its check),
+    # not bootstrap + the full cumulative live frame
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _read_drift_state,
+    )
+
+    _, baseline, _ = _read_drift_state(spark, root)
+    assert {int(r["n"]) for r in baseline.collect()} == {200 + 4 * 30 + 3 * 40}
 
     # the recovery law, measured as ADC-score FIDELITY on the drifted
     # slice (|adc − exact cosine|, mean over 6 drifted queries × every
@@ -125,13 +135,17 @@ def test_lifecycle_refreshes_on_drift_and_converges(spark, tmp_path):
     assert fresh_mae <= 0.85 * stale_mae, (fresh_mae, stale_mae)
     q = queries[0]  # the convergence probe below needs one query
 
-    # the window reset: the alarm must NOT re-fire on the next check
-    # (shift is now measured since the retrain, and nothing new arrived)
-    shift = _windowed_drift_shift(spark, root)
-    assert shift is None or shift <= 0.5
+    # batch 8's own drifted moments landed AFTER its check (by design:
+    # decision and rebuild see the same committed prefix), so they are
+    # the PENDING window for the next check — the alarm correctly stays
+    # armed rather than silently absorbing an untrained-on batch
+    pending = _windowed_drift_shift(spark, root)
+    assert pending is not None and pending > 0.5
 
-    # replayed refresh trigger converges: same landed vectors, same
-    # baseline pointer, same serving answers
+    # replayed refresh trigger converges: the check re-fires (the
+    # crashed attempt's moment delta is on disk), the rebuild re-runs
+    # over the SAME committed corpus with the same seed, and the
+    # served answers are unchanged
     before = sorted(
         tuple(r)
         for r in ann_index_topk(spark, _index_dir(root), q, k=10, n_probe=3).collect()
@@ -140,13 +154,24 @@ def test_lifecycle_refreshes_on_drift_and_converges(spark, tmp_path):
     process_ann_lifecycle_batch(
         _df(spark, replay), 8, root, threshold=0.5, check_every=4
     )
-    assert _read_pointer(os.path.join(root, "baseline")) == 8
+    assert _read_pointer(os.path.join(root, "drift_state")) == 8
     after = sorted(
         tuple(r)
         for r in ann_index_topk(spark, _index_dir(root), q, k=10, n_probe=3).collect()
     )
     assert after == before
     assert read_landed_vectors(spark, root).count() == len(all_rows)
+
+    # the window reset law: the replay's re-fire absorbed the straggler
+    # window, so with nothing new since the retrain the alarm is quiet
+    # and the standalone actuator is a no-op
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        refresh_lifecycle_if_drifted,
+    )
+
+    quiet = _windowed_drift_shift(spark, root)
+    assert quiet is None or quiet <= 0.5
+    assert refresh_lifecycle_if_drifted(spark, root, threshold=0.5) is None
 
 
 def test_streaming_lifecycle_through_stream(spark, tmp_path):
@@ -180,7 +205,7 @@ def test_streaming_lifecycle_through_stream(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     # at least one cadenced check fired on the drifted stream
-    assert _read_pointer(os.path.join(root, "baseline")) not in (None, 0)
+    assert _read_pointer(os.path.join(root, "drift_state")) not in (None, 0)
     assert read_landed_vectors(spark, root).count() == len(boot) + len(rows)
     got = {
         r.neighbor_id
