@@ -456,16 +456,11 @@ from spark_streaming_sql_s3_connector_spark.streaming.rollup import (  # noqa: E
 
 
 def _plane_delta_ids(root: str) -> list:
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for e in os.listdir(root):
-        if e.startswith("batch="):
-            try:
-                out.append(int(e.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+        list_batch_ids,
+    )
+
+    return list_batch_ids(root)
 
 
 def _plane_schema_path(root: str) -> str:

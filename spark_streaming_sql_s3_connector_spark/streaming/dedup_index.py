@@ -85,17 +85,11 @@ def _write_pointer(index_dir: str, version: int) -> None:
 
 
 def _band_delta_ids(index_dir: str) -> list[int]:
-    root = os.path.join(index_dir, "_bands")
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for e in os.listdir(root):
-        if e.startswith("batch="):
-            try:
-                out.append(int(e.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+        list_batch_ids,
+    )
+
+    return list_batch_ids(os.path.join(index_dir, "_bands"))
 
 
 def _index_frames(spark: SparkSession, index_dir: str, before_batch: Optional[int] = None) -> list[DataFrame]:

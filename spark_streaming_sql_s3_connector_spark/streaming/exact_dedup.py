@@ -116,17 +116,11 @@ def _write_pointer(index_dir: str, version: int) -> None:
 
 
 def _delta_ids(index_dir: str) -> list[int]:
-    root = os.path.join(index_dir, "_new")
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for e in os.listdir(root):
-        if e.startswith("batch="):
-            try:
-                out.append(int(e.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+        list_batch_ids,
+    )
+
+    return list_batch_ids(os.path.join(index_dir, "_new"))
 
 
 # explicit schema: a batch with zero new keys writes a delta dir holding
@@ -141,17 +135,11 @@ def _deleted_dir(index_dir: str, batch_id: int) -> str:
 
 
 def _marker_ids(index_dir: str) -> list[int]:
-    root = os.path.join(index_dir, "_deleted")
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for e in os.listdir(root):
-        if e.startswith("batch="):
-            try:
-                out.append(int(e.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
+        list_batch_ids,
+    )
+
+    return list_batch_ids(os.path.join(index_dir, "_deleted"))
 
 
 def delete_docs_from_screen(

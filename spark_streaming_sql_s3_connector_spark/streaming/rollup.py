@@ -94,8 +94,11 @@ def _write_pointer(sink_dir: str, version: int) -> None:
     os.replace(tmp, _pointer_path(sink_dir))
 
 
-def _delta_ids(sink_dir: str) -> list[int]:
-    root = os.path.join(sink_dir, "_deltas")
+def list_batch_ids(root: str) -> list[int]:
+    """Sorted integer ids of the ``batch=<id>`` dirs directly under
+    ``root`` (unparsable names tolerated and skipped) — THE shared
+    delta-dir listing parser; the per-module ``_delta_ids`` wrappers
+    differ only in which subdir they scan."""
     if not os.path.isdir(root):
         return []
     out = []
@@ -106,6 +109,10 @@ def _delta_ids(sink_dir: str) -> list[int]:
             except ValueError:
                 pass
     return sorted(out)
+
+
+def _delta_ids(sink_dir: str) -> list[int]:
+    return list_batch_ids(os.path.join(sink_dir, "_deltas"))
 
 
 def _merge(df: DataFrame, keys: Sequence[str]) -> DataFrame:
