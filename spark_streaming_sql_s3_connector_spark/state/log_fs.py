@@ -42,6 +42,11 @@ class LogFileSystem(Protocol):
 
     def exists(self, path: str) -> bool: ...
 
+    def is_dir(self, path: str) -> bool:
+        """True iff ``path`` exists and is a directory (on object stores:
+        a prefix with content, which is how pyarrow models S3 dirs)."""
+        ...
+
     def listdir(self, path: str) -> list[str]:
         """Base names of entries under ``path``; [] if it doesn't exist."""
         ...
@@ -50,10 +55,18 @@ class LogFileSystem(Protocol):
         """Raises FileNotFoundError if missing."""
         ...
 
+    def read_bytes(self, path: str) -> bytes:
+        """Raises FileNotFoundError if missing."""
+        ...
+
     def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
         """Persist ``data`` at ``path`` all-or-nothing. With
         ``overwrite=False`` this is an exclusive create: returns False
         (writing nothing) if the target already exists."""
+        ...
+
+    def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool) -> bool:
+        """Binary twin of :meth:`write_atomic` (bloom bitmaps etc.)."""
         ...
 
     def delete(self, path: str) -> None:
@@ -87,6 +100,9 @@ class PosixLogFileSystem:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
     def listdir(self, path: str) -> list[str]:
         try:
             return os.listdir(path)
@@ -97,13 +113,20 @@ class PosixLogFileSystem:
         with open(path, "r") as f:
             return f.read()
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
     def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
+        return self.write_bytes_atomic(path, data.encode("utf-8"), overwrite)
+
+    def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool) -> bool:
         parent = os.path.dirname(path)
         fd, tmp = tempfile.mkstemp(
             dir=parent, prefix="." + os.path.basename(path) + "-", suffix=".tmp"
         )
         try:
-            with os.fdopen(fd, "w") as f:
+            with os.fdopen(fd, "wb") as f:
                 f.write(data)
                 f.flush()
                 os.fsync(f.fileno())
@@ -164,6 +187,11 @@ class ArrowLogFileSystem:
 
         return self._fs.get_file_info(path).type != FileType.NotFound
 
+    def is_dir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._fs.get_file_info(path).type == FileType.Directory
+
     def listdir(self, path: str) -> list[str]:
         from pyarrow.fs import FileSelector
 
@@ -186,11 +214,18 @@ class ArrowLogFileSystem:
         with self._fs.open_input_stream(path) as f:
             return f.read().decode("utf-8")
 
+    def read_bytes(self, path: str) -> bytes:
+        with self._fs.open_input_stream(path) as f:
+            return f.read()
+
     def write_atomic(self, path: str, data: str, overwrite: bool) -> bool:
+        return self.write_bytes_atomic(path, data.encode("utf-8"), overwrite)
+
+    def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool) -> bool:
         if not overwrite and self.exists(path):
             return False
         with self._fs.open_output_stream(path) as f:
-            f.write(data.encode("utf-8"))
+            f.write(data)
         return True
 
     def acquire_lease(self, path: str, token: str) -> bool:
@@ -229,9 +264,17 @@ class ArrowLogFileSystem:
 def filesystem_for(path: str) -> Tuple[LogFileSystem, str]:
     """Resolve ``path`` to (filesystem, normalized path). Local paths and
     ``file://`` URIs get the POSIX impl; any other scheme goes through
-    ``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs://, …)."""
+    ``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs://, …).
+    ``s3a://``/``s3n://`` — the HADOOP spellings Spark's parquet reader
+    wants on vanilla clusters — alias to pyarrow's ``s3://`` here, so one
+    state-root string serves both the Spark data plane and this metadata
+    plane."""
     if path.startswith("file://"):
         return PosixLogFileSystem(), path[len("file://"):]
+    for alias in ("s3a://", "s3n://"):
+        if path.startswith(alias):
+            path = "s3://" + path[len(alias):]
+            break
     if "://" in path:
         fs, resolved = _pyarrow_from_uri(path)
         return ArrowLogFileSystem(fs), resolved

@@ -69,12 +69,12 @@ fitting — never on a blind schedule.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _read_pointer,
     _write_pointer,
@@ -123,15 +123,9 @@ def _write_drift_state(
             os.path.join(v_dir, _WINDOW)
         )
     _write_pointer(sub_root, version)
-    for name in os.listdir(sub_root):
-        if not name.startswith("v="):
-            continue
-        try:
-            v = int(name[2:])
-        except ValueError:
-            continue
+    for v in state_io.list_versions(sub_root):
         if v != version:
-            shutil.rmtree(os.path.join(sub_root, name), ignore_errors=True)
+            state_io.remove_tree(os.path.join(sub_root, f"v={v}"))
 
 
 def _read_drift_state(
@@ -149,7 +143,7 @@ def _read_drift_state(
     v_dir = os.path.join(sub_root, f"v={ptr}")
     baseline = spark.read.parquet(os.path.join(v_dir, _BASELINE))
     wpath = os.path.join(v_dir, _WINDOW)
-    window = spark.read.parquet(wpath) if os.path.isdir(wpath) else None
+    window = spark.read.parquet(wpath) if state_io.is_dir(wpath) else None
     return int(ptr), baseline, window
 
 

@@ -49,7 +49,11 @@ from spark_streaming_sql_s3_connector_spark.operators.packing import pack_concat
 from spark_streaming_sql_s3_connector_spark.operators.sampling import (
     keep_top_fraction,
 )
-from spark_streaming_sql_s3_connector_spark.streaming import exact_dedup, line_dedup
+from spark_streaming_sql_s3_connector_spark.streaming import (
+    exact_dedup,
+    line_dedup,
+    state_io,
+)
 
 
 def _line_index(pipeline_dir: str) -> str:
@@ -386,10 +390,10 @@ def read_frozen_thresholds(pipeline_dir: str) -> Optional[dict]:
     """The frozen per-language quality thresholds, or None before
     bootstrap."""
     try:
-        with open(_thresholds_path(pipeline_dir)) as f:
-            return {k: float(v) for k, v in json.load(f).items()}
-    except (FileNotFoundError, NotADirectoryError):
+        raw = state_io.read_text(_thresholds_path(pipeline_dir))
+    except FileNotFoundError:
         return None
+    return {k: float(v) for k, v in json.loads(raw).items()}
 
 
 def freeze_quality_thresholds(
@@ -427,14 +431,9 @@ def freeze_quality_thresholds(
         # map could pass implies its language had non-NULL scores here,
         # i.e. thr would not be empty) and let a later batch bootstrap.
         return thr
-    path = _thresholds_path(pipeline_dir)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(thr, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    state_io.write_text_atomic(
+        _thresholds_path(pipeline_dir), json.dumps(thr, sort_keys=True)
+    )
     return thr
 
 
@@ -447,20 +446,14 @@ def freeze_quality_thresholds(
 # parquet schema inference.
 
 
-# atomic `_latest` pointer: rollup's helpers share the exact layout —
-# one implementation, not a third copy
-from spark_streaming_sql_s3_connector_spark.streaming.rollup import (  # noqa: E402
-    _read_pointer as _read_plane_ptr,
-    _write_pointer as _write_plane_ptr,
-)
+# atomic `_latest` pointer: state_io is the one shared implementation
+# (object-store capable since r12)
+_read_plane_ptr = state_io.read_pointer
+_write_plane_ptr = state_io.write_pointer
 
 
 def _plane_delta_ids(root: str) -> list:
-    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
-        list_batch_ids,
-    )
-
-    return list_batch_ids(root)
+    return state_io.list_batch_ids(root)
 
 
 def _plane_schema_path(root: str) -> str:
@@ -468,26 +461,20 @@ def _plane_schema_path(root: str) -> str:
 
 
 def _write_plane_schema_once(root: str, schema) -> None:
-    path = _plane_schema_path(root)
-    if os.path.exists(path):
-        return
-    os.makedirs(root, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(schema.jsonValue(), f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    # exclusive create: an existing schema wins (replay/restart convergent)
+    state_io.write_text_atomic(
+        _plane_schema_path(root), json.dumps(schema.jsonValue()), overwrite=False
+    )
 
 
 def _plane_reader(spark: SparkSession, root: str):
     from pyspark.sql.types import StructType
 
     try:
-        with open(_plane_schema_path(root)) as f:
-            return spark.read.schema(StructType.fromJson(json.load(f)))
-    except (FileNotFoundError, NotADirectoryError):
+        raw = state_io.read_text(_plane_schema_path(root))
+    except FileNotFoundError:
         return spark.read
+    return spark.read.schema(StructType.fromJson(json.loads(raw)))
 
 
 def _read_concat_plane(spark: SparkSession, root: str) -> DataFrame:
@@ -537,13 +524,11 @@ def _compact_concat_plane(
     new_v = max(ids)
     allf.write.mode("overwrite").parquet(os.path.join(root, "base", f"v={new_v}"))
     _write_plane_ptr(root, new_v)
-    import shutil
-
     for b in _plane_delta_ids(root):
         if b <= new_v:
-            shutil.rmtree(os.path.join(root, f"batch={b}"), ignore_errors=True)
+            state_io.remove_tree(os.path.join(root, f"batch={b}"))
     if ptr is not None:
-        shutil.rmtree(os.path.join(root, "base", f"v={ptr}"), ignore_errors=True)
+        state_io.remove_tree(os.path.join(root, "base", f"v={ptr}"))
 
 
 def compact_curation_outputs(

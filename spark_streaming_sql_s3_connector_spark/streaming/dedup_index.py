@@ -41,11 +41,12 @@ corpus). Join candidates back to the corpus store to verify, as
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 
 from spark_streaming_sql_s3_connector_spark.operators.dedup import (
     _minhash_sig_udf,
@@ -63,33 +64,12 @@ def _matches_dir(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, "_matches", f"batch={batch_id}")
 
 
-def _pointer_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_latest")
-
-
-def _read_pointer(index_dir: str) -> Optional[int]:
-    try:
-        with open(_pointer_path(index_dir)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
-
-
-def _write_pointer(index_dir: str, version: int) -> None:
-    tmp = _pointer_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(index_dir))
+_read_pointer = state_io.read_pointer
+_write_pointer = state_io.write_pointer
 
 
 def _band_delta_ids(index_dir: str) -> list[int]:
-    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
-        list_batch_ids,
-    )
-
-    return list_batch_ids(os.path.join(index_dir, "_bands"))
+    return state_io.list_batch_ids(os.path.join(index_dir, "_bands"))
 
 
 def _index_frames(spark: SparkSession, index_dir: str, before_batch: Optional[int] = None) -> list[DataFrame]:
@@ -300,10 +280,10 @@ def compact_index(
     # horizon stay live
     for i in ids:
         if i <= new_v:
-            shutil.rmtree(_bands_dir(index_dir, i), ignore_errors=True)
+            state_io.remove_tree(_bands_dir(index_dir, i))
     for t in _marker_ids(index_dir):
         if t <= new_v:
-            shutil.rmtree(_deleted_dir(index_dir, t), ignore_errors=True)
+            state_io.remove_tree(_deleted_dir(index_dir, t))
     if ptr is not None:
-        shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
+        state_io.remove_tree(os.path.join(index_dir, "base", f"v={ptr}"))
     return new_v

@@ -22,7 +22,6 @@ itself never re-scans.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +31,7 @@ from spark_streaming_sql_s3_connector_spark.operators.drift import (
     _NULL_TOKEN,
     drift_from_counts,
 )
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _delta_dir,
     _delta_ids,
@@ -127,11 +127,11 @@ def compact_drift_counts(spark: SparkSession, sink_dir: str) -> Optional[int]:
     _write_pointer(sink_dir, new_ptr)
     for bid in _delta_ids(sink_dir):
         if bid <= new_ptr:
-            shutil.rmtree(_delta_dir(sink_dir, bid), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(sink_dir, bid))
     base_root = os.path.join(sink_dir, "base")
-    for name in os.listdir(base_root):
-        if name.startswith("v=") and int(name[2:]) != new_ptr:
-            shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+    for v in state_io.list_versions(base_root):
+        if v != new_ptr:
+            state_io.remove_tree(os.path.join(base_root, f"v={v}"))
     return new_ptr
 
 
@@ -252,9 +252,9 @@ def compact_embedding_moments(
     _write_pointer(sink_dir, new_ptr)
     for bid in _delta_ids(sink_dir):
         if bid <= new_ptr:
-            shutil.rmtree(_delta_dir(sink_dir, bid), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(sink_dir, bid))
     base_root = os.path.join(sink_dir, "base")
-    for name in os.listdir(base_root):
-        if name.startswith("v=") and int(name[2:]) != new_ptr:
-            shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+    for v in state_io.list_versions(base_root):
+        if v != new_ptr:
+            state_io.remove_tree(os.path.join(base_root, f"v={v}"))
     return new_ptr

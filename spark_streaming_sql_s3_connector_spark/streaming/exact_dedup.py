@@ -59,13 +59,14 @@ nothing — the same convention as the batch anti-join operators).
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 
 from spark_streaming_sql_s3_connector_spark.operators.bloom import (
     BloomFilter,
@@ -96,31 +97,12 @@ def _shard_bitmap_path(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, "_bloom", f"shard={shard}.bin")
 
 
-def _pointer_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_latest")
-
-
-def _read_pointer(index_dir: str) -> Optional[int]:
-    try:
-        with open(_pointer_path(index_dir)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
-
-
-def _write_pointer(index_dir: str, version: int) -> None:
-    tmp = _pointer_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _pointer_path(index_dir))
+_read_pointer = state_io.read_pointer
+_write_pointer = state_io.write_pointer
 
 
 def _delta_ids(index_dir: str) -> list[int]:
-    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
-        list_batch_ids,
-    )
-
-    return list_batch_ids(os.path.join(index_dir, "_new"))
+    return state_io.list_batch_ids(os.path.join(index_dir, "_new"))
 
 
 # explicit schema: a batch with zero new keys writes a delta dir holding
@@ -135,11 +117,7 @@ def _deleted_dir(index_dir: str, batch_id: int) -> str:
 
 
 def _marker_ids(index_dir: str) -> list[int]:
-    from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
-        list_batch_ids,
-    )
-
-    return list_batch_ids(os.path.join(index_dir, "_deleted"))
+    return state_io.list_batch_ids(os.path.join(index_dir, "_deleted"))
 
 
 def delete_docs_from_screen(
@@ -279,7 +257,7 @@ def _shard_params(expected_total_items: int, fpp: float) -> tuple[int, int]:
 
 def _load_legacy_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFilter]:
     try:
-        raw = open(_legacy_bitmap_path(index_dir), "rb").read()
+        raw = state_io.read_bytes(_legacy_bitmap_path(index_dir))
     except FileNotFoundError:
         return None
     if len(raw) != (m_bits + 7) // 8:
@@ -289,10 +267,7 @@ def _load_legacy_bitmap(index_dir: str, m_bits: int, k: int) -> Optional[BloomFi
 
 def _any_shard_bitmap(index_dir: str) -> bool:
     root = os.path.join(index_dir, "_bloom")
-    try:
-        return any(e.startswith("shard=") for e in os.listdir(root))
-    except FileNotFoundError:
-        return False
+    return any(e.startswith("shard=") for e in state_io.list_names(root))
 
 
 def _load_shard_blooms(
@@ -306,7 +281,7 @@ def _load_shard_blooms(
     out: dict[int, BloomFilter] = {}
     for s in shards:
         try:
-            raw = open(_shard_bitmap_path(index_dir, s), "rb").read()
+            raw = state_io.read_bytes(_shard_bitmap_path(index_dir, s))
         except FileNotFoundError:
             continue
         if len(raw) != n_bytes:
@@ -316,12 +291,7 @@ def _load_shard_blooms(
 
 
 def _write_shard_bitmap(index_dir: str, shard: int, bits: np.ndarray) -> None:
-    path = _shard_bitmap_path(index_dir, shard)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(bits.tobytes())
-    os.replace(tmp, path)
+    state_io.write_bytes_atomic(_shard_bitmap_path(index_dir, shard), bits.tobytes())
 
 
 def _geometry_path(index_dir: str) -> str:
@@ -334,10 +304,9 @@ def _read_bloom_geometry(index_dir: str) -> Optional[tuple[int, int]]:
     import json as _json
 
     try:
-        with open(_geometry_path(index_dir)) as f:
-            g = _json.load(f)
+        g = _json.loads(state_io.read_text(_geometry_path(index_dir)))
         return int(g["m"]), int(g["k"])
-    except (FileNotFoundError, NotADirectoryError, KeyError, ValueError):
+    except (FileNotFoundError, KeyError, ValueError):
         return None
 
 
@@ -348,12 +317,9 @@ def _write_bloom_geometry(index_dir: str, sm_bits: int, sk: int) -> None:
     update — process_batch's geometry is authoritative."""
     import json as _json
 
-    path = _geometry_path(index_dir)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"m": int(sm_bits), "k": int(sk)}, f)
-    os.replace(tmp, path)
+    state_io.write_text_atomic(
+        _geometry_path(index_dir), _json.dumps({"m": int(sm_bits), "k": int(sk)})
+    )
 
 
 def _shard_partials(df: DataFrame, sm_bits: int, sk: int) -> list:
@@ -504,13 +470,13 @@ def _update_shard_bitmaps(
     if not batch_bits:
         return
     _write_bloom_geometry(index_dir, sm_bits, sk)
-    legacy = os.path.exists(_legacy_bitmap_path(index_dir))
+    legacy = state_io.exists(_legacy_bitmap_path(index_dir))
     need_rebuild: list[int] = []
     current: dict[int, np.ndarray] = {}
     n_bytes = (sm_bits + 7) // 8
     for s in batch_bits:
         try:
-            raw = open(_shard_bitmap_path(index_dir, s), "rb").read()
+            raw = state_io.read_bytes(_shard_bitmap_path(index_dir, s))
         except FileNotFoundError:
             raw = None
         if raw is not None and len(raw) == n_bytes:
@@ -537,10 +503,7 @@ def _update_shard_bitmaps(
             merged = merged | rebuilt[s]
         _write_shard_bitmap(index_dir, s, merged)
     if legacy:
-        try:
-            os.remove(_legacy_bitmap_path(index_dir))
-        except FileNotFoundError:
-            pass
+        state_io.remove_file(_legacy_bitmap_path(index_dir))
 
 
 def _keyed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -793,12 +756,12 @@ def compact_index(
         _rebuild_dirty_bitmaps(spark, index_dir, new_v, dirty_shards)
     for i in ids:
         if i <= new_v:
-            shutil.rmtree(_new_dir(index_dir, i), ignore_errors=True)
+            state_io.remove_tree(_new_dir(index_dir, i))
     for t in _marker_ids(index_dir):
         if t <= new_v:
-            shutil.rmtree(_deleted_dir(index_dir, t), ignore_errors=True)
+            state_io.remove_tree(_deleted_dir(index_dir, t))
     if ptr is not None:
-        shutil.rmtree(os.path.join(index_dir, "base", f"v={ptr}"), ignore_errors=True)
+        state_io.remove_tree(os.path.join(index_dir, "base", f"v={ptr}"))
     return new_v
 
 
@@ -811,17 +774,14 @@ def _rebuild_dirty_bitmaps(
     :func:`compact_index`). Shards with no bitmap file need nothing —
     they already take the exact-join path."""
     present = [
-        s for s in dirty_shards if os.path.exists(_shard_bitmap_path(index_dir, s))
+        s for s in dirty_shards if state_io.exists(_shard_bitmap_path(index_dir, s))
     ]
     if not present:
         return
     geom = _read_bloom_geometry(index_dir)
     if geom is None:
         for s in present:
-            try:
-                os.remove(_shard_bitmap_path(index_dir, s))
-            except FileNotFoundError:
-                pass
+            state_io.remove_file(_shard_bitmap_path(index_dir, s))
         return
     sm_bits, sk = geom
     survivors = (

@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from spark_streaming_sql_s3_connector_spark.operators.packing import pack_concat
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _delta_dir,
     _delta_ids,
@@ -81,23 +81,19 @@ def _manifest_schema_path(pack_dir: str) -> str:
 
 def _read_manifest_schema(pack_dir: str) -> Optional[StructType]:
     try:
-        with open(_manifest_schema_path(pack_dir)) as f:
-            return StructType.fromJson(json.load(f))
-    except (FileNotFoundError, NotADirectoryError):
+        raw = state_io.read_text(_manifest_schema_path(pack_dir))
+    except FileNotFoundError:
         return None
+    return StructType.fromJson(json.loads(raw))
 
 
 def _write_manifest_schema_once(pack_dir: str, schema: StructType) -> None:
-    path = _manifest_schema_path(pack_dir)
-    if os.path.exists(path):
-        return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(schema.jsonValue(), f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    # exclusive create: an existing schema wins (replay/restart convergent)
+    state_io.write_text_atomic(
+        _manifest_schema_path(pack_dir),
+        json.dumps(schema.jsonValue()),
+        overwrite=False,
+    )
 
 
 def _manifest_reader(spark: SparkSession, pack_dir: str):
@@ -290,8 +286,6 @@ def compact_pack_state(
         )
         _write_pointer(sub, new_v)
         for b in ids:
-            shutil.rmtree(_delta_dir(sub, b), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(sub, b))
         if ptr is not None:
-            shutil.rmtree(
-                os.path.join(sub, "base", f"v={ptr}"), ignore_errors=True
-            )
+            state_io.remove_tree(os.path.join(sub, "base", f"v={ptr}"))

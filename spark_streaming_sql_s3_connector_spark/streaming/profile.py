@@ -39,10 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_streaming_sql_s3_connector_spark.operators.profile import _render
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _delta_dir,
     _delta_ids,
-    _pointer_path,
     _read_pointer,
     _write_pointer,
 )
@@ -214,7 +214,6 @@ def compact_profile(spark: SparkSession, sink_dir: str) -> Optional[int]:
     base is unreachable, un-GC'd dead deltas are filtered by the
     pointer. Returns the new pointer, or None if nothing to fold."""
     import os
-    import shutil
 
     ptr = _read_pointer(sink_dir)
     ids = [i for i in _delta_ids(sink_dir) if ptr is None or i > ptr]
@@ -234,9 +233,9 @@ def compact_profile(spark: SparkSession, sink_dir: str) -> Optional[int]:
     # GC: dead deltas and superseded bases
     for bid in _delta_ids(sink_dir):
         if bid <= new_ptr:
-            shutil.rmtree(_delta_dir(sink_dir, bid), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(sink_dir, bid))
     base_root = os.path.join(sink_dir, "base")
-    for name in os.listdir(base_root):
-        if name.startswith("v=") and int(name[2:]) != new_ptr:
-            shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+    for v in state_io.list_versions(base_root):
+        if v != new_ptr:
+            state_io.remove_tree(os.path.join(base_root, f"v={v}"))
     return new_ptr

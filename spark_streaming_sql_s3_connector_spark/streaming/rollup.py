@@ -37,11 +37,12 @@ prunes to the queried time range, and compaction shuffles partial rows
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 
 _PARTIALS = (
     ("_ca_cnt", lambda v: F.count(F.lit(1))),
@@ -73,46 +74,16 @@ def _delta_dir(sink_dir: str, batch_id: int) -> str:
     return os.path.join(sink_dir, "_deltas", f"batch={batch_id}")
 
 
-def _pointer_path(sink_dir: str) -> str:
-    return os.path.join(sink_dir, "_latest")
-
-
-def _read_pointer(sink_dir: str) -> Optional[int]:
-    try:
-        with open(_pointer_path(sink_dir)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
-
-
-def _write_pointer(sink_dir: str, version: int) -> None:
-    tmp = _pointer_path(sink_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(sink_dir))
-
-
-def list_batch_ids(root: str) -> list[int]:
-    """Sorted integer ids of the ``batch=<id>`` dirs directly under
-    ``root`` (unparsable names tolerated and skipped) — THE shared
-    delta-dir listing parser; the per-module ``_delta_ids`` wrappers
-    differ only in which subdir they scan."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for e in os.listdir(root):
-        if e.startswith("batch="):
-            try:
-                out.append(int(e.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+# pointer + listing IO lives in state_io (object-store capable since
+# r12); these aliases keep the pre-r12 import surface working — new
+# code should import state_io directly.
+_read_pointer = state_io.read_pointer
+_write_pointer = state_io.write_pointer
+list_batch_ids = state_io.list_batch_ids
 
 
 def _delta_ids(sink_dir: str) -> list[int]:
-    return list_batch_ids(os.path.join(sink_dir, "_deltas"))
+    return state_io.list_batch_ids(os.path.join(sink_dir, "_deltas"))
 
 
 def _merge(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -226,7 +197,7 @@ def compact_rollup(spark: SparkSession, sink_dir: str, keys: Sequence[str] = ("e
     # GC: dead to every reader from here on
     for i in ids:
         if i <= new_v:
-            shutil.rmtree(_delta_dir(sink_dir, i), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(sink_dir, i))
     if ptr is not None:
-        shutil.rmtree(os.path.join(sink_dir, "base", f"v={ptr}"), ignore_errors=True)
+        state_io.remove_tree(os.path.join(sink_dir, "base", f"v={ptr}"))
     return new_v

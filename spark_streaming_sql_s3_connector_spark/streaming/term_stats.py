@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.functions.text import tokenize
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _delta_dir,
     _delta_ids,
@@ -286,7 +287,7 @@ def compact_term_stats(
     stay live and keep filtering at read."""
     for sub, keys in ((_TERMS, ["term"]), (_CORPUS, []), (_POSTINGS, None)):
         subdir = os.path.join(sink_dir, sub)
-        if sub == _POSTINGS and not os.path.isdir(subdir):
+        if sub == _POSTINGS and not state_io.is_dir(subdir):
             continue  # postings are opt-in state
         ptr = _read_pointer(subdir)
         ids = [
@@ -358,25 +359,18 @@ def compact_term_stats(
             os.path.join(subdir, "base", f"v={new_v}")
         )
         _write_pointer(subdir, new_v)
-        import shutil
-
         for b in ids:
-            shutil.rmtree(_delta_dir(subdir, b), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(subdir, b))
         for b in mark_ids:
-            shutil.rmtree(_delta_dir(mark_sub, b), ignore_errors=True)
+            state_io.remove_tree(_delta_dir(mark_sub, b))
         # GC superseded base versions (dead once the pointer flipped) —
         # without this every fold leaves its predecessor behind and the
         # version count grows unbounded over a long-running stream
+        # (list_versions tolerates stray names, like _marker_ids/_delta_ids)
         base_root = os.path.join(subdir, "base")
-        for name in os.listdir(base_root):
-            if not name.startswith("v="):
-                continue
-            try:
-                v = int(name[2:])
-            except ValueError:
-                continue  # tolerate stray names, like _marker_ids/_delta_ids
+        for v in state_io.list_versions(base_root):
             if v != new_v:
-                shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+                state_io.remove_tree(os.path.join(base_root, f"v={v}"))
 
 
 def bm25_search_indexed(

@@ -54,11 +54,13 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from spark_streaming_sql_s3_connector_spark.streaming import state_io
+
 
 def _delta_schema_cols(spark: SparkSession, deltas_root: str) -> Optional[set]:
-    for e in sorted(os.listdir(deltas_root)):
+    for e in sorted(state_io.list_names(deltas_root)):
         p = os.path.join(deltas_root, e)
-        if e.startswith("batch=") and os.path.isdir(p):
+        if e.startswith("batch=") and state_io.is_dir(p):
             try:
                 return set(spark.read.parquet(p).columns)
             except Exception:
@@ -89,7 +91,7 @@ def classify_plane(spark: SparkSession, d: str) -> Optional[str]:
     'term_stats' | 'packing' | 'profile' | 'drift_counts' |
     'embedding_moments' | 'rollup' | 'unknown_deltas'), or None when
     ``d`` is not a plane root (a container to descend into)."""
-    names = set(os.listdir(d))
+    names = set(state_io.list_names(d))
     if "quantizers.json" in names:
         return "ann_index"
     if "_bands" in names:
@@ -109,7 +111,7 @@ def walk_planes(spark: SparkSession, state_root: str):
     """Yield ``(path, plane_kind)`` for every recognized state plane
     under ``state_root`` — the shared walk (plane roots are never also
     containers; plane-internal dirs never nest other planes)."""
-    if not os.path.isdir(state_root):
+    if not state_io.is_dir(state_root):
         return
     stack = [state_root]
     while stack:
@@ -118,9 +120,9 @@ def walk_planes(spark: SparkSession, state_root: str):
         if kind is not None:
             yield d, kind
             continue
-        for e in sorted(os.listdir(d), reverse=True):
+        for e in sorted(state_io.list_names(d), reverse=True):
             p = os.path.join(d, e)
-            if os.path.isdir(p) and not e.startswith(("batch=", "v=", "_")):
+            if state_io.is_dir(p) and not e.startswith(("batch=", "v=", "_")):
                 stack.append(p)
 
 
@@ -244,7 +246,7 @@ def vacuum(
     and return the per-plane report. See the module doc for the
     classification table and the ``upto_batch`` live-stream guard."""
     report: list[dict] = []
-    if not os.path.isdir(state_root):
+    if not state_io.is_dir(state_root):
         return report
     stack = [state_root]
     while stack:
@@ -261,9 +263,9 @@ def vacuum(
         if entry is not None:
             report.append(entry)
             continue  # a plane root is never also a container
-        for e in sorted(os.listdir(d), reverse=True):
+        for e in sorted(state_io.list_names(d), reverse=True):
             p = os.path.join(d, e)
             # plane-internal dirs never nest other planes
-            if os.path.isdir(p) and not e.startswith(("batch=", "v=", "_")):
+            if state_io.is_dir(p) and not e.startswith(("batch=", "v=", "_")):
                 stack.append(p)
     return sorted(report, key=lambda r: r["path"])

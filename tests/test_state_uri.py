@@ -1,0 +1,124 @@
+"""Plane lifecycles over ``file://`` STATE-ROOT URIs — the end-to-end
+scheme-routing test: Spark's parquet reader/writer handles the URI on
+the data plane while `streaming/state_io.py` resolves the SAME string
+for pointers / listings / sidecars / GC (r12; on a cluster the root is
+``s3a://…``/``hdfs://…`` — `test_state_io.py` covers the object-store
+file layer with the pyarrow mock, which Spark itself cannot reach, so
+``file://`` is the scheme the full lifecycle can honestly exercise)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_sql_s3_connector_spark.streaming import (
+    exact_dedup,
+    rollup,
+    state_io,
+    term_stats,
+)
+
+
+@pytest.fixture()
+def uri_root(tmp_path):
+    return "file://" + str(tmp_path / "state")
+
+
+def test_rollup_lifecycle_over_file_uri(spark, uri_root, tmp_path):
+    sink = uri_root + "/rollup"
+    rows = [(f"2024-01-01 0{h}:15:00", "click", float(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    for bid in (0, 1):
+        delta = (
+            df.withColumn("bucket", rollup.time_bucket(F.col("ts"), 3600))
+            .groupBy("bucket", "event_type")
+            .agg(F.count(F.lit(1)).alias("_ca_cnt"), F.sum("value").alias("_ca_sum"),
+                 F.min("value").alias("_ca_min"), F.max("value").alias("_ca_max"))
+        )
+        delta.write.mode("overwrite").parquet(
+            sink + f"/_deltas/batch={bid}"
+        )
+    before = {
+        (r["bucket"], r["cnt"], r["total"])
+        for r in rollup.read_rollup(spark, sink).collect()
+    }
+    assert len(before) == 4 and all(c == 2 for _, c, _ in before)
+    v = rollup.compact_rollup(spark, sink)
+    assert v == 1
+    # pointer + GC happened on the URI path, and the fold is readable
+    local = str(tmp_path / "state" / "rollup")
+    assert open(os.path.join(local, "_latest")).read().strip() == "1"
+    assert not os.path.isdir(os.path.join(local, "_deltas", "batch=0"))
+    after = {
+        (r["bucket"], r["cnt"], r["total"])
+        for r in rollup.read_rollup(spark, sink).collect()
+    }
+    assert after == before
+
+
+def test_exact_dedup_lifecycle_over_file_uri(spark, uri_root, tmp_path):
+    index = uri_root + "/screen"
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    exact_dedup.process_batch(b0, 0, index)
+    b1 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    exact_dedup.process_batch(b1, 1, index)
+    uniq = {r["doc_id"] for r in exact_dedup.read_unique_ids(spark, index).collect()}
+    dups = {r["doc_id"] for r in exact_dedup.read_dup_ids(spark, index).collect()}
+    assert uniq == {1, 2, 5} and dups == {3, 4}
+    # bloom sidecars (bytes + geometry JSON) landed via state_io on the URI
+    local = str(tmp_path / "state" / "screen")
+    assert os.path.exists(os.path.join(local, "_bloom", "_geometry.json"))
+    assert any(
+        e.startswith("shard=") for e in os.listdir(os.path.join(local, "_bloom"))
+    )
+    v = exact_dedup.compact_index(spark, index)
+    assert v == 1  # no stream running: every delta folds
+    assert {r["doc_id"] for r in exact_dedup.read_unique_ids(spark, index).collect()} == uniq
+    # a redelivered duplicate still screens out post-compaction
+    b2 = spark.createDataFrame([(6, "alpha")], "doc_id long, text string")
+    exact_dedup.process_batch(b2, 2, index)
+    assert 6 in {r["doc_id"] for r in exact_dedup.read_dup_ids(spark, index).collect()}
+
+
+def test_term_stats_lifecycle_over_file_uri(spark, uri_root, tmp_path):
+    sink = uri_root + "/bm25"
+    b0 = spark.createDataFrame(
+        [(1, "spark streams files"), (2, "spark sql")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(3, "files files sql")], "doc_id long, text string")
+    term_stats.term_stats_batch(b0, 0, sink, "text", "doc_id")
+    term_stats.term_stats_batch(b1, 1, sink, "text", "doc_id")
+    df_before = {
+        (r["term"], r["df"])
+        for r in term_stats.read_term_stats(spark, sink).collect()
+    }
+    assert ("spark", 2) in df_before and ("files", 2) in df_before
+    term_stats.compact_term_stats(spark, sink, upto_batch=1)
+    local = str(tmp_path / "state" / "bm25")
+    assert open(os.path.join(local, "terms", "_latest")).read().strip() == "1"
+    df_after = {
+        (r["term"], r["df"])
+        for r in term_stats.read_term_stats(spark, sink).collect()
+    }
+    assert df_after == df_before
+    row = term_stats.read_corpus_stats(spark, sink).collect()[0]
+    assert row["n_docs"] == 3
+
+
+def test_vacuum_walks_file_uri_root(spark, uri_root, tmp_path):
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
+
+    sink = uri_root + "/planes/counts"
+    df = spark.createDataFrame([("a", 3), ("b", 2)], "bucket string, n long")
+    for bid in (0, 1):
+        df.write.mode("overwrite").parquet(sink + f"/_deltas/batch={bid}")
+    report = vacuum(spark, uri_root + "/planes")
+    assert [r["plane"] for r in report] == ["drift_counts"]
+    local = str(tmp_path / "state" / "planes" / "counts")
+    assert open(os.path.join(local, "_latest")).read().strip() == "1"
+    assert os.listdir(os.path.join(local, "_deltas")) == []
