@@ -16,11 +16,21 @@ RocksDBS3SourceLog.scala:109-153 — maintenance rides the commit
 cadence, never a side channel):
 
 - ``root/index``    — the served IVF-PQ index (codes + quantizer meta)
-- ``root/vectors``  — the RAW landed vectors, one ``batch=<id>`` dir
-  per trigger (plus ``batch=bootstrap``): the index stores only 8-bit
-  codes, so a retrain NEEDS the raw vectors; landing them beside the
-  index makes the lifecycle self-contained instead of assuming some
-  other system kept them
+- ``root/vectors``  — the RAW landed vectors: the index stores only
+  8-bit codes, so a retrain NEEDS the raw vectors; landing them beside
+  the index makes the lifecycle self-contained instead of assuming
+  some other system kept them. Layout (r12): one ``batch=<id>`` dir
+  per trigger (plus ``batch=bootstrap``), FOLDED into a versioned
+  ``base/v=<n>`` behind an atomic ``_latest`` pointer by
+  :func:`fold_landed_vectors` — which rides the refresh (the rebuild
+  reads the folded base) and the ``compact_every`` cadence, so the
+  plane holds ONE base + the post-horizon deltas instead of one dir
+  per trigger forever (at 10⁴ triggers/day the unbounded listing
+  would sit on the hot refresh path). Raw-float RETENTION is still
+  O(corpus) by design (codes cannot retrain); the optional
+  ``retain_fraction`` knob ages the corpus down deterministically at
+  fold time for deployments that accept a subsampled retrain/serve
+  set.
 - ``root/moments``  — the streaming per-dim moment state
   (`streaming/drift.embedding_moment_batch`)
 - ``root/baseline`` — versioned d-row snapshot of the TRAINING-set
@@ -147,6 +157,133 @@ def _read_drift_state(
     return int(ptr), baseline, window
 
 
+_BOOTSTRAP_LABEL = "batch=bootstrap"
+_VEC_SCHEMA_FILE = "_schema.json"
+
+
+def _vectors_schema_path(root: str) -> str:
+    return os.path.join(_vectors_dir(root), _VEC_SCHEMA_FILE)
+
+
+def _write_vectors_schema_once(root: str, schema) -> None:
+    """Persist the landed (id, vec) schema beside the plane so a
+    zero-row trigger dir (or the fold of one) never hits parquet schema
+    inference — exclusive create, an existing file wins."""
+    import json
+
+    state_io.write_text_atomic(
+        _vectors_schema_path(root), json.dumps(schema.jsonValue()), overwrite=False
+    )
+
+
+def _vectors_reader(spark: SparkSession, root: str):
+    import json
+
+    from pyspark.sql.types import StructType
+
+    try:
+        raw = state_io.read_text(_vectors_schema_path(root))
+    except FileNotFoundError:
+        return spark.read  # pre-r12 state: inference (never-empty dirs)
+    return spark.read.schema(StructType.fromJson(json.loads(raw)))
+
+
+def _live_vector_paths(root: str, exclude_batch: Optional[int] = None) -> list[str]:
+    """The plane's live dirs: folded base (if any), else the bootstrap
+    landing, plus integer deltas above the fold horizon — the same
+    pointer-liveness rule every other plane uses. ``exclude_batch``
+    drops the in-flight trigger's dir (refresh reads committed data
+    only)."""
+    vdir = _vectors_dir(root)
+    ptr = state_io.read_pointer(vdir)
+    paths = []
+    if ptr is not None:
+        paths.append(os.path.join(vdir, "base", f"v={ptr}"))
+    elif state_io.is_dir(os.path.join(vdir, _BOOTSTRAP_LABEL)):
+        paths.append(os.path.join(vdir, _BOOTSTRAP_LABEL))
+    for b in state_io.list_batch_ids(vdir):
+        if (ptr is None or b > ptr) and b != exclude_batch:
+            paths.append(os.path.join(vdir, f"batch={b}"))
+    return paths
+
+
+def fold_landed_vectors(
+    spark: SparkSession,
+    root: str,
+    upto_batch: Optional[int] = None,
+    retain_fraction: Optional[float] = None,
+) -> Optional[int]:
+    """Fold the landed raw-vector dirs (bootstrap + integer deltas with
+    id <= ``upto_batch``; None = all) into ``vectors/base/v=<n>`` behind
+    an atomically-flipped pointer, then GC the folded dirs — the rollup
+    fold discipline applied to the lifecycle's retrain corpus, which
+    otherwise accumulates one dir per trigger forever. Returns the new
+    fold horizon (−1 for a bootstrap-only fold: batch ids start at 0,
+    so the sentinel keeps every future delta live), or None when
+    nothing to fold.
+
+    Crash-safe at every step: an unflipped base is unread; after the
+    flip the folded dirs are dead to every reader, so a replayed
+    trigger rewriting its ``batch=<id>`` dir below the horizon is
+    invisible (its rows already sit in the base verbatim). Pass the
+    last COMMITTED batch id as ``upto_batch`` beside a live stream —
+    the lifecycle's own call sites use ``batch_id - 1``.
+
+    ``retain_fraction`` (optional, (0, 1]) deterministically subsamples
+    the folded base by id hash — CORPUS RETENTION, not compression: the
+    next rebuild retrains AND re-encodes from this plane, so dropped
+    ids leave the served index at that point. For full-fidelity
+    refresh leave it None; raw-float retention is then O(corpus), the
+    honest price of retrainability (module doc)."""
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        load_index_meta,
+    )
+
+    if retain_fraction is not None and not 0 < retain_fraction <= 1:
+        raise ValueError("retain_fraction must be in (0, 1]")
+    vdir = _vectors_dir(root)
+    ptr = state_io.read_pointer(vdir)
+    ids = state_io.list_batch_ids(vdir)
+    pending = [
+        b
+        for b in ids
+        if (ptr is None or b > ptr) and (upto_batch is None or b <= upto_batch)
+    ]
+    has_bootstrap = ptr is None and state_io.is_dir(
+        os.path.join(vdir, _BOOTSTRAP_LABEL)
+    )
+    if not pending and not has_bootstrap:
+        return None
+    paths = []
+    if ptr is not None:
+        paths.append(os.path.join(vdir, "base", f"v={ptr}"))
+    elif has_bootstrap:
+        paths.append(os.path.join(vdir, _BOOTSTRAP_LABEL))
+    paths.extend(os.path.join(vdir, f"batch={b}") for b in pending)
+    df = _vectors_reader(spark, root).parquet(*paths)
+    if retain_fraction is not None and retain_fraction < 1:
+        id_col = load_index_meta(_index_dir(root))["id_col"]
+        df = df.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < F.lit(int(retain_fraction * 1_000_000))
+        )
+    new_v = max(pending) if pending else -1
+    # fold many per-trigger dribbles into cluster-parallel files: the
+    # fold is exactly the file-count compactor, so don't carry the
+    # input's one-file-per-trigger layout into the base
+    df = df.repartition(max(1, spark.sparkContext.defaultParallelism))
+    df.write.mode("overwrite").parquet(os.path.join(vdir, "base", f"v={new_v}"))
+    state_io.write_pointer(vdir, new_v)
+    if has_bootstrap:
+        state_io.remove_tree(os.path.join(vdir, _BOOTSTRAP_LABEL))
+    for b in ids:
+        if b <= new_v:
+            state_io.remove_tree(os.path.join(vdir, f"batch={b}"))
+    if ptr is not None and ptr != new_v:
+        state_io.remove_tree(os.path.join(vdir, "base", f"v={ptr}"))
+    return new_v
+
+
 def bootstrap_ann_lifecycle(
     corpus: DataFrame,
     vec_col: str,
@@ -169,8 +306,10 @@ def bootstrap_ann_lifecycle(
         embedding_moments,
     )
 
-    corpus.select(F.col(id_col), F.col(vec_col)).write.mode("overwrite").parquet(
-        os.path.join(_vectors_dir(root), "batch=bootstrap")
+    landed = corpus.select(F.col(id_col), F.col(vec_col))
+    _write_vectors_schema_once(root, landed.schema)
+    landed.write.mode("overwrite").parquet(
+        os.path.join(_vectors_dir(root), _BOOTSTRAP_LABEL)
     )
     meta = build_ann_index(
         corpus, vec_col, id_col, _index_dir(root),
@@ -184,13 +323,15 @@ def bootstrap_ann_lifecycle(
 def read_landed_vectors(
     spark: SparkSession, root: str, exclude_batch: Optional[int] = None
 ) -> DataFrame:
-    """The landed raw-vector union (bootstrap + streamed batches),
-    optionally excluding the in-flight batch (refresh reads committed
-    data only)."""
-    df = spark.read.parquet(_vectors_dir(root))
-    if exclude_batch is not None:
-        df = df.where(F.col("batch") != str(exclude_batch))
-    return df.drop("batch")
+    """The landed raw-vector union (folded base — or bootstrap — plus
+    live streamed deltas), optionally excluding the in-flight batch
+    (refresh reads committed data only). Explicit live-path reads: a
+    stale dir below the fold horizon is never opened, not merely
+    filtered."""
+    paths = _live_vector_paths(root, exclude_batch)
+    if not paths:
+        raise FileNotFoundError(f"no landed vectors under {root}")
+    return _vectors_reader(spark, root).parquet(*paths)
 
 
 def _subtract_moments(live: DataFrame, snap: Optional[DataFrame]) -> DataFrame:
@@ -289,6 +430,16 @@ def refresh_lifecycle_if_drifted(
     if shift is None or shift <= threshold:
         return None
     meta = load_index_meta(_index_dir(root))
+    # fold the committed landings FIRST: the rebuild then reads one
+    # base dir instead of a per-trigger dir population, and the plane's
+    # listing stays bounded without a separate maintenance schedule. A
+    # crash between fold and rebuild is benign: the drift state is
+    # untouched, so the next check re-fires over the folded base.
+    fold_landed_vectors(
+        spark,
+        root,
+        upto_batch=(exclude_batch - 1) if exclude_batch is not None else None,
+    )
     corpus = read_landed_vectors(spark, root, exclude_batch=exclude_batch)
     build_ann_index(
         corpus, meta["vec_col"], meta["id_col"], _index_dir(root),
@@ -349,9 +500,9 @@ def process_ann_lifecycle_batch(
     spark = batch.sparkSession
     meta = load_index_meta(_index_dir(root))
     land_dir = os.path.join(_vectors_dir(root), f"batch={batch_id}")
-    batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"])).write.mode(
-        "overwrite"
-    ).parquet(land_dir)
+    landing = batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"]))
+    _write_vectors_schema_once(root, landing.schema)
+    landing.write.mode("overwrite").parquet(land_dir)
     landed = spark.read.schema(
         batch.select(meta["id_col"], meta["vec_col"]).schema
     ).parquet(land_dir)
@@ -367,6 +518,10 @@ def process_ann_lifecycle_batch(
     append_to_ann_index(landed, _index_dir(root), batch_id=batch_id, meta=meta)
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_ann_index(spark, _index_dir(root), upto_batch=batch_id)
+        # bound the raw-vector plane on the same cadence; strictly
+        # below the in-flight batch (its landing commits with the
+        # checkpoint, not before)
+        fold_landed_vectors(spark, root, upto_batch=batch_id - 1)
 
 
 def streaming_ann_lifecycle(

@@ -494,9 +494,10 @@ def bm25_search_postings_batch(
     - one (query_id, doc) partial agg + one per-query window top-k,
       both bounded by matched postings, never corpus-sized.
 
-    Arithmetic is the single-query path bit-for-bit (same per-term df
-    literals — df depends only on the term — same `_bm25_contrib`
-    decimals, same round-6): per query the rows equal
+    Arithmetic is the single-query path bit-for-bit: df reaches
+    `_bm25_contrib` as a broadcast-joined column instead of the
+    single-query path's literal, but the contrib casts df to double
+    first, so the decimals are identical — per query the rows equal
     ``bm25_search_postings(terms)`` exactly (law-tested). Queries none
     of whose terms exist in the corpus return no rows, matching the
     single-query empty frame."""
@@ -520,57 +521,41 @@ def bm25_search_postings_batch(
     if not qterms:
         raise ValueError("queries must be non-empty")
     union = sorted({t for ts in qterms.values() for t in ts})
-    stats = read_term_stats(spark, sink_dir, union).select(
-        "term",
-        F.col("df").cast("long").alias("a"),
-        F.lit(None).cast("long").alias("b"),
-    ).unionByName(
-        read_corpus_stats(spark, sink_dir).select(
-            F.lit(None).cast("string").alias("term"),
-            F.col("n_docs").alias("a"),
-            F.col("sum_dl").alias("b"),
-        )
-    ).collect()
-    dfreq = {r.term: int(r.a) for r in stats if r.term is not None}
-    tot = next(r for r in stats if r.term is None)
-    n_docs, sum_dl = int(tot.a), int(tot.b)
+    tot = read_corpus_stats(spark, sink_dir).collect()[0]  # ONE row
+    n_docs, sum_dl = int(tot.n_docs), int(tot.sum_dl)
     if n_docs == 0:
         raise ValueError("term-stats state is empty")
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
-    live = [t for t in union if dfreq.get(t, 0) > 0]
+    # per-term df rides a BROADCAST (term, df) frame instead of the
+    # pre-r12 driver collect + O(|union|) chained CASE WHEN literal:
+    # a 256-query/2k-term batch plans flat (no expression-depth or
+    # literal-plan growth), and the only driver read left is the 1-row
+    # corpus totals the avgdl literal needs. df > 0 is the same
+    # liveness rule the single-query path applies driver-side — a term
+    # deleted down to zero df contributes nothing, and a query with no
+    # live terms naturally yields no rows (the single-query empty
+    # frame, law-tested).
+    live_df = read_term_stats(spark, sink_dir, union).where(F.col("df") > 0)
     posts = _apply_markers(
         _live(spark, os.path.join(sink_dir, _POSTINGS)).where(
-            F.col("term").isin(live if live else union)
+            F.col("term").isin(union)
         ),
         _live_delete_markers(spark, sink_dir),
     )
-    empty = posts.select(
-        F.lit(None).cast("string").alias("query_id"),
-        F.col("id").alias(id_col),
-        F.lit(None).cast("double").alias("score"),
-        F.lit(0).alias("n_matched"),
-        F.col("dl").cast("bigint").alias("dl"),
-    ).where(F.lit(False))
-    if not live:
-        return empty
     # (term, query_id) pair table: |Σ terms per query| rows — broadcast
     tq = spark.createDataFrame(
-        [
-            (t, q)
-            for q, ts in sorted(qterms.items())
-            for t in ts
-            if dfreq.get(t, 0) > 0
-        ],
+        [(t, q) for q, ts in sorted(qterms.items()) for t in ts],
         "term string, query_id string",
     )
-    df_lit = F.when(F.col("term") == F.lit(live[0]), F.lit(dfreq[live[0]]))
-    for t in live[1:]:
-        df_lit = df_lit.when(F.col("term") == F.lit(t), F.lit(dfreq[t]))
     contrib = _bm25_contrib(
-        F.col("tf"), df_lit, F.col("dl"), F.lit(n_docs), avgdl, k1, b
+        F.col("tf"), F.col("_df"), F.col("dl"), F.lit(n_docs), avgdl, k1, b
     )
     scored = (
-        posts.select("id", "dl", "term", contrib.alias("_c"))
+        posts.join(
+            F.broadcast(live_df.select("term", F.col("df").alias("_df"))),
+            "term",
+        )
+        .select("id", "dl", "term", contrib.alias("_c"))
         .join(F.broadcast(tq), "term")
         .groupBy("query_id", "id", "dl")
         .agg(

@@ -92,6 +92,13 @@ def classify_plane(spark: SparkSession, d: str) -> Optional[str]:
     'embedding_moments' | 'rollup' | 'unknown_deltas'), or None when
     ``d`` is not a plane root (a container to descend into)."""
     names = set(state_io.list_names(d))
+    if {"index", "vectors", "moments", "drift_state"} <= names:
+        # a self-refreshing ANN lifecycle root (streaming/ann_lifecycle):
+        # must match BEFORE descending, so its index / vectors / moments
+        # planes are maintained together with the lifecycle's own replay
+        # horizons (the vectors fold in particular is not discoverable
+        # from the child dirs alone)
+        return "ann_lifecycle"
     if "quantizers.json" in names:
         return "ann_index"
     if "_bands" in names:
@@ -141,6 +148,43 @@ def _vacuum_plane(
             "path": d,
             "plane": kind,
             "result": compact_ann_index(spark, d, upto_batch=upto_batch),
+        }
+    if kind == "ann_lifecycle":
+        from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+            compact_ann_index,
+        )
+        from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+            _vectors_dir,
+            fold_landed_vectors,
+        )
+        from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+            compact_embedding_moments,
+        )
+
+        if upto_batch is None:
+            # safe default beside a live stream: never fold the newest
+            # vector landing — the only trigger a restart could replay
+            # (vectors land FIRST in a trigger, so their newest id is
+            # the lifecycle's newest write)
+            ids = state_io.list_batch_ids(_vectors_dir(d))
+            horizon = max(ids) - 1 if ids else None
+            fold = fold_landed_vectors(spark, d, upto_batch=horizon) if (
+                horizon is not None
+                or state_io.read_pointer(_vectors_dir(d)) is None
+            ) else None
+            idx = compact_ann_index(
+                spark, os.path.join(d, "index"), upto_batch=max(ids) if ids else None
+            )
+        else:
+            fold = fold_landed_vectors(spark, d, upto_batch=upto_batch)
+            idx = compact_ann_index(
+                spark, os.path.join(d, "index"), upto_batch=upto_batch + 1
+            )
+        moments = compact_embedding_moments(spark, os.path.join(d, "moments"))
+        return {
+            "path": d,
+            "plane": kind,
+            "result": {"index": idx, "vectors": fold, "moments": moments},
         }
     if kind == "minhash_bands":
         from spark_streaming_sql_s3_connector_spark.streaming.dedup_index import (

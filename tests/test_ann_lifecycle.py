@@ -214,3 +214,142 @@ def test_streaming_lifecycle_through_stream(spark, tmp_path):
         ).collect()
     }
     assert got  # the refreshed index serves the drifted mode
+
+
+def test_vectors_plane_stays_bounded_over_long_run(spark, tmp_path):
+    """r12: the raw-vector landing plane folds on the compact cadence —
+    a 20-trigger run holds ONE base + at most a cadence-window of
+    deltas (pre-r12 this was 21 dirs and growing), the bootstrap dir is
+    GC'd at the first fold, and the landed union is byte-identical to
+    the never-folded twin."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _vectors_dir,
+        fold_landed_vectors,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+
+    root = str(tmp_path / "life")
+    boot = _old_rows(n=80)
+    bootstrap_ann_lifecycle(_df(spark, boot), "embedding", "vec_id", root, **GEOM)
+    expected = {r[0] for r in boot}
+    for b in range(1, 21):
+        batch = _old_rows(n=10, start=5000 + b * 100, seed=b)
+        expected |= {r[0] for r in batch}
+        process_ann_lifecycle_batch(
+            _df(spark, batch), b, root, threshold=0.5, check_every=0,
+            compact_every=5,
+        )
+    vdir = _vectors_dir(root)
+    names = os.listdir(vdir)
+    delta_dirs = [n for n in names if n.startswith("batch=")]
+    # folds fired at b=5,10,15,20 with horizon b-1: one base + the
+    # in-flight window only
+    assert "batch=bootstrap" not in names
+    assert len(delta_dirs) <= 5
+    assert state_io.read_pointer(vdir) == 19
+    assert len(os.listdir(os.path.join(vdir, "base"))) == 1  # superseded GC'd
+    got = {
+        r["vec_id"] for r in read_landed_vectors(spark, root).collect()
+    }
+    assert got == expected
+    # idempotence: nothing pending below the horizon → fold is a no-op
+    assert fold_landed_vectors(spark, root, upto_batch=19) is None
+
+
+def test_refresh_recovers_after_fold(spark, tmp_path):
+    """The planted-drift refresh law survives the fold: vectors folded
+    into the base retrain the quantizers exactly like per-trigger dirs
+    did (the refresh itself folds first, so this is the shape every
+    steady-state refresh now runs)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _vectors_dir,
+        refresh_lifecycle_if_drifted,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+
+    root = str(tmp_path / "life")
+    boot = _old_rows()
+    bootstrap_ann_lifecycle(_df(spark, boot), "embedding", "vec_id", root, **GEOM)
+    all_rows = list(boot)
+    for b in range(1, 5):
+        batch = _new_rows(n=50, start=1000 + b * 200, seed=b)
+        all_rows += batch
+        process_ann_lifecycle_batch(
+            _df(spark, batch), b, root, threshold=0.5, check_every=0
+        )
+    meta_before = _meta_bytes(root)
+    shift = refresh_lifecycle_if_drifted(spark, root, threshold=0.5)
+    assert shift is not None and shift > 0.5
+    assert _meta_bytes(root) != meta_before
+    # the refresh folded everything it retrained on
+    assert state_io.read_pointer(_vectors_dir(root)) == 4
+    assert read_landed_vectors(spark, root).count() == len(all_rows)
+    # the refreshed index serves the drifted mode from the folded base
+    got = {
+        r.neighbor_id
+        for r in ann_index_topk(
+            spark, _index_dir(root), _new_rows()[0][1], k=10, n_probe=3
+        ).collect()
+    }
+    assert any(i >= 1000 for i in got)
+
+
+def test_fold_retention_knob(spark, tmp_path):
+    """retain_fraction subsamples the folded corpus deterministically
+    by id hash — same ids survive a re-fold (replay-convergent), and
+    the knob is corpus retention: the base genuinely shrinks."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        fold_landed_vectors,
+    )
+
+    root = str(tmp_path / "life")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=300)), "embedding", "vec_id", root, **GEOM
+    )
+    v = fold_landed_vectors(spark, root, retain_fraction=0.5)
+    assert v == -1  # bootstrap-only fold: every future delta stays live
+    kept = sorted(r["vec_id"] for r in read_landed_vectors(spark, root).collect())
+    assert 0 < len(kept) < 300
+    # deterministic: a fresh twin folds to the same surviving set
+    root2 = str(tmp_path / "life2")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=300)), "embedding", "vec_id", root2, **GEOM
+    )
+    fold_landed_vectors(spark, root2, retain_fraction=0.5)
+    kept2 = sorted(r["vec_id"] for r in read_landed_vectors(spark, root2).collect())
+    assert kept2 == kept
+
+
+def test_vacuum_maintains_lifecycle_root(spark, tmp_path):
+    """The unified vacuum recognizes a lifecycle root and maintains all
+    three growing planes together: index batches folded, vector
+    landings folded (newest kept live — the replay guard), moment
+    deltas folded."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _vectors_dir,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+
+    root = str(tmp_path / "state" / "life")
+    boot = _old_rows(n=80)
+    bootstrap_ann_lifecycle(_df(spark, boot), "embedding", "vec_id", root, **GEOM)
+    expected = {r[0] for r in boot}
+    for b in range(1, 5):
+        batch = _old_rows(n=10, start=5000 + b * 100, seed=b)
+        expected |= {r[0] for r in batch}
+        process_ann_lifecycle_batch(
+            _df(spark, batch), b, root, threshold=0.5, check_every=0
+        )
+    report = vacuum(spark, str(tmp_path / "state"))
+    assert [r["plane"] for r in report] == ["ann_lifecycle"]
+    assert report[0]["result"]["vectors"] == 3  # newest landing stays live
+    vdir = _vectors_dir(root)
+    assert state_io.read_pointer(vdir) == 3
+    assert [n for n in os.listdir(vdir) if n.startswith("batch=")] == ["batch=4"]
+    assert {
+        r["vec_id"] for r in read_landed_vectors(spark, root).collect()
+    } == expected
+    # serving still works off the maintained root
+    got = ann_index_topk(spark, _index_dir(root), _old_rows()[0][1], k=5, n_probe=3)
+    assert got.count() > 0

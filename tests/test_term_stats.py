@@ -499,3 +499,49 @@ def test_postings_batch_equals_single_query_path(spark, docs, tmp_path):
         ]
         assert got.get(q, []) == want, q
     assert "q3" not in got
+
+
+def test_postings_batch_plans_flat_at_large_term_counts(spark, docs, tmp_path):
+    """r12: the batch path ships per-term df on a broadcast (term, df)
+    join — a 256-query / ~2k-distinct-term batch must PLAN without
+    expression-depth or literal-size blowup (the pre-r12 chained CASE
+    WHEN grew O(|terms|) and collected every term's df to the driver).
+    Assert the plan materializes fast, contains the broadcast join and
+    no per-term literal chain, and a spot-checked query still equals
+    the single-query path."""
+    import time
+
+    from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
+        bm25_search_postings,
+        bm25_search_postings_batch,
+    )
+
+    sink = str(tmp_path / "ts")
+    for i, b in enumerate(_batches(docs)):
+        term_stats_batch(b, i, sink, "text", "doc_id", with_postings=True)
+    # ~2k distinct synthetic terms (mostly corpus-dead — liveness is
+    # plan-side now) spread over 256 queries, plus live anchors
+    queries = {
+        f"q{i}": [f"synthterm{i * 8 + j}" for j in range(8)] + [TERMS[i % 4]]
+        for i in range(256)
+    }
+    t0 = time.monotonic()
+    out = bm25_search_postings_batch(spark, queries, sink, id_col="doc_id", top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30, f"planning took {elapsed:.1f}s"
+    assert plan.count("BroadcastHashJoin") >= 2  # (term,df) + pair table
+    # df rides the join, not a per-term literal chain (the In(term,…)
+    # pruning filter is the only place terms legitimately enter the plan)
+    assert "CASE WHEN" not in plan
+    got = [
+        (r.doc_id, r.score, r.n_matched, r.dl)
+        for r in out.where(F.col("query_id") == "q0").drop("query_id").collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.n_matched, r.dl)
+        for r in bm25_search_postings(
+            spark, queries["q0"], sink, id_col="doc_id", top_k=5
+        ).collect()
+    ]
+    assert got == want
