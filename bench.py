@@ -305,7 +305,10 @@ BENCH_QUERIES = [
     #   Its per-row serving costs are exactly the packing/screen keys
     #   already benched; the composed law is pinned by the key's
     #   load-bearing incremental_ok column in the sweep and by
-    #   test_streaming_curation's connector e2e.
+    #   test_streaming_curation's connector e2e. The STEADY-STATE
+    #   per-trigger wall is benched since r12 as
+    #   curation_trigger_serve_only (one replayed trigger against the
+    #   prewarmed state — r11 verdict Next #5).
     # - ann_lifecycle_docs (r11): a full bootstrap-build + 4-batch
     #   streamed lifecycle + compaction per call (~24 s at sf0.01) —
     #   orchestration wall by construction. Its serving floor is
@@ -337,6 +340,21 @@ def bench_streaming_ingest(spark, sf_dir: str, rep: int = 0) -> dict[str, float]
             os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
         schema = ev.schema
+        # one tiny warmup file per pipeline, delivered through the RUNNING
+        # stream before the timed batch (r12): the first trigger of a fresh
+        # stream pays one-time machinery (offset bookkeeping init, sink
+        # setup, stock source's first LIST) that a long-running ingest
+        # amortizes away — without this the rep-0 median mixes first-stream
+        # cost into the steady-state ratio (measured swing: in-run ratio
+        # 0.74 on a cold rep vs 1.0-1.8 warm, same session). Both sides
+        # get the same extra file, so the row-mismatch probe still holds.
+        warm_dir = os.path.join(work, "warmfile")
+        ev.limit(1).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+        warm_file = next(
+            os.path.join(warm_dir, f)
+            for f in sorted(os.listdir(warm_dir))
+            if f.endswith(".parquet")
+        )
 
         # pre-warm the Python worker pool (interpreter + pyarrow import is a
         # fixed per-worker cost that a long-running stream amortizes away;
@@ -387,6 +405,8 @@ def bench_streaming_ingest(spark, sf_dir: str, rep: int = 0) -> dict[str, float]
         )
         try:
             query.processAllAvailable()  # stream is up, queue empty
+            q.send_file_event(warm_file, int(time.time() * 1000))
+            query.processAllAvailable()  # first-trigger machinery, unmeasured
             now = int(time.time() * 1000)
             for f in files:
                 q.send_file_event(f, now)
@@ -413,6 +433,8 @@ def bench_streaming_ingest(spark, sf_dir: str, rep: int = 0) -> dict[str, float]
         )
         try:
             query2.processAllAvailable()  # stream is up, dir empty
+            shutil.copy(warm_file, os.path.join(watch_dir, "warm.parquet"))
+            query2.processAllAvailable()  # first-trigger machinery, unmeasured
             for f in files:
                 os.rename(f, os.path.join(watch_dir, os.path.basename(f)))
             t0 = time.time()
