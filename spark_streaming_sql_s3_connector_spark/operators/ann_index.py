@@ -158,7 +158,8 @@ def _tombstones_path(index_dir: str) -> str:
 
 def _tombstone_labels(index_dir: str) -> list[int]:
     """Integer batch labels of tombstone dirs present on disk (no
-    liveness filtering)."""
+    liveness filtering; unparsable names tolerated and skipped — a
+    stray operator-made dir must not wedge every serve)."""
     fs, root = filesystem_for(index_dir)
     try:
         entries = fs.listdir(fs.join(root, _TOMBSTONES_NAME))
@@ -168,7 +169,10 @@ def _tombstone_labels(index_dir: str) -> list[int]:
     for e in entries:
         name = e.rstrip("/").rsplit("/", 1)[-1]
         if name.startswith("batch="):
-            out.append(int(name.split("=", 1)[1]))
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
     return out
 
 

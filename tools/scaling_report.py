@@ -265,6 +265,9 @@ def main():
         # r11: same prewarm discipline — measure serve, not state build
         "bm25_postings_serve_only",
         "hybrid_serve_batch",
+        # r12: the first call pays the 3-batch lifecycle prewarm; the
+        # timed call replays ONE trigger against that state
+        "curation_trigger_serve_only",
     }
     for name in QUERIES:
         fn = qs[name]
