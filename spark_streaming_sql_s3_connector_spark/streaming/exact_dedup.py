@@ -530,6 +530,7 @@ def process_batch(
     sm_bits, sk = _shard_params(expected_total_items, fpp)
 
     flagged = None  # assigned in the bloom branch; finally unpersists it
+    cached_matched = None  # assigned in the history branch; finally unpersists
     keyed = _keyed(batch, text_col, id_col)
     null_rows = keyed.where(F.col("key").isNull())
     keyed = keyed.where(F.col("key").isNotNull())
@@ -567,11 +568,16 @@ def process_batch(
                 cand = keepers
             shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
             hist = hist.where(F.col("_shard").isin(shards))
+            # persisted: `matched` feeds BOTH the dups and the new-rows
+            # writes — without the cache each write re-runs the pruned
+            # HISTORY scan, doubling the trigger's dominant IO
             matched = (
                 hist.join(F.broadcast(cand.select("key")), "key", "left_semi")
                 .select("key")
                 .distinct()
+                .persist()
             )
+            cached_matched = matched
             hist_dups = cand.join(F.broadcast(matched), "key", "left_semi").select(
                 "_id", "key", F.lit("vs_history").alias("dup_kind")
             )
@@ -605,6 +611,8 @@ def process_batch(
         keepers.unpersist()
         if flagged is not None:
             flagged.unpersist()
+        if cached_matched is not None:
+            cached_matched.unpersist()
 
 
 def streaming_exact_dedup(

@@ -96,6 +96,7 @@ def process_batch(
 
     lines = _lines(batch, text_col, id_col).persist()
     flagged = None
+    cached_matched = None  # assigned in the history branch; finally unpersists
     try:
         # within-batch first occurrence per key (partial agg, windowless)
         firsts = (
@@ -126,11 +127,17 @@ def process_batch(
                 cand = firsts
             shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
             hist = hist.where(F.col("_shard").isin(shards))
+            # persisted: `matched` sits under BOTH the rebuilt-docs and
+            # the index-delta writes — without the cache each write
+            # re-runs the pruned HISTORY scan, doubling the trigger's
+            # dominant IO
             matched = (
                 hist.join(F.broadcast(cand.select("key")), "key", "left_semi")
                 .select("key")
                 .distinct()
+                .persist()
             )
+            cached_matched = matched
             new_firsts = negatives.unionByName(
                 cand.join(F.broadcast(matched), "key", "left_anti")
             )
@@ -184,6 +191,8 @@ def process_batch(
         firsts.unpersist()
         if flagged is not None:
             flagged.unpersist()
+        if cached_matched is not None:
+            cached_matched.unpersist()
 
 
 def read_deduped_docs(spark: SparkSession, index_dir: str) -> DataFrame:
