@@ -290,6 +290,13 @@ BENCH_QUERIES = [
     # single-query serve-only keys for the amortization factor)
     "bm25_postings_serve_only",
     "hybrid_serve_batch",
+    # r12: ONE replayed incremental-curation trigger against prewarmed
+    # state (replay is cost-identical to a fresh trigger under the
+    # exactly-once layout) — the steady-state per-trigger wall the
+    # excluded curation_incremental_docs lifecycle can't expose.
+    # Job-count dominated (~25 small jobs: two dedup screens, meta
+    # write, frozen gate, incremental pack), so expect near-flat in sf.
+    "curation_trigger_serve_only",
     # DELIBERATE EXCLUSIONS (every other registry key is benched):
     # - streaming_exact_dedup_docs: three sequential foreachBatch-style
     #   jobs (~17 s of fixed orchestration) — would dominate the bench

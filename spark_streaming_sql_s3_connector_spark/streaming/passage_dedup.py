@@ -111,6 +111,7 @@ def process_batch(
 
     base = _tokenized(batch, text_col, id_col).persist()
     occ = _gram_occurrences(base, k).persist()
+    cached_matched = None  # assigned in the history branch; finally unpersists
     flagged = None
     try:
         firsts = (
@@ -141,11 +142,16 @@ def process_batch(
                 cand = firsts
             shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
             hist = hist.where(F.col("_shard").isin(shards))
+            # persisted: `matched` sits under BOTH the rebuilt-docs and
+            # the index-delta writes — without the cache each write
+            # re-runs the pruned HISTORY scan (the r12 line/exact fix)
             matched = (
                 hist.join(F.broadcast(cand.select("key")), "key", "left_semi")
                 .select("key")
                 .distinct()
+                .persist()
             )
+            cached_matched = matched
             new_firsts = negatives.unionByName(
                 cand.join(F.broadcast(matched), "key", "left_anti")
             )
@@ -206,6 +212,8 @@ def process_batch(
         occ.unpersist()
         if flagged is not None:
             flagged.unpersist()
+        if cached_matched is not None:
+            cached_matched.unpersist()
 
 
 def read_deduped_docs(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -64,15 +64,40 @@ def unregister_scheme(scheme: str) -> None:
     _SCHEME_OVERRIDES.pop(scheme, None)
 
 
+# (scheme, authority) -> (fs, resolved prefix of "scheme://authority"):
+# pyarrow's from_uri constructs a fresh FileSystem per call (for S3 that
+# includes region resolution — network RTTs), and the planes resolve
+# paths several times per trigger. The fs depends only on scheme +
+# authority, so one construction per (scheme, bucket/namenode) amortizes
+# across the stream's lifetime.
+_FS_CACHE: dict[tuple[str, str], tuple[LogFileSystem, str]] = {}
+
+
+def clear_fs_cache() -> None:
+    """Test seam: drop memoized filesystem instances."""
+    _FS_CACHE.clear()
+
+
 def resolve(path: str) -> tuple[LogFileSystem, str]:
     """(filesystem, fs-native path) for any plane path — plain local,
     ``file://``, a registered test scheme, or anything pyarrow.fs
     understands (plus the ``s3a://`` Hadoop alias)."""
-    if "://" in path:
-        scheme, rest = path.split("://", 1)
-        if scheme in _SCHEME_OVERRIDES:
-            return _SCHEME_OVERRIDES[scheme], rest
-    return filesystem_for(path)
+    if "://" not in path:
+        return filesystem_for(path)
+    scheme, rest = path.split("://", 1)
+    if scheme in _SCHEME_OVERRIDES:
+        return _SCHEME_OVERRIDES[scheme], rest
+    if scheme == "file":
+        return filesystem_for(path)  # POSIX impl — construction is free
+    authority, _, tail = rest.partition("/")
+    key = (scheme, authority)
+    if key not in _FS_CACHE:
+        fs, resolved_root = filesystem_for(f"{scheme}://{authority}")
+        _FS_CACHE[key] = (fs, resolved_root)
+    fs, resolved_root = _FS_CACHE[key]
+    if not tail:
+        return fs, resolved_root
+    return fs, resolved_root.rstrip("/") + "/" + tail
 
 
 # --- pointers -------------------------------------------------------------

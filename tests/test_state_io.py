@@ -135,6 +135,43 @@ def test_s3a_alias_resolves_like_s3(monkeypatch):
         return _Fake(), path.split("://", 1)[1]
 
     monkeypatch.setattr(log_fs, "_pyarrow_from_uri", fake_from_uri)
-    fs, resolved = state_io.resolve("s3a://bucket/state/plane")
-    assert seen["path"] == "s3://bucket/state/plane"
-    assert resolved == "bucket/state/plane"
+    state_io.clear_fs_cache()
+    try:
+        fs, resolved = state_io.resolve("s3a://bucket/state/plane")
+        # the cached construction resolves the authority root once
+        assert seen["path"] == "s3://bucket"
+        assert resolved == "bucket/state/plane"
+    finally:
+        state_io.clear_fs_cache()
+
+
+def test_resolve_caches_fs_per_authority(monkeypatch):
+    """One pyarrow FileSystem construction per (scheme, authority) —
+    for S3 each from_uri pays region-resolution RTTs, and the planes
+    resolve several paths per trigger."""
+    import spark_streaming_sql_s3_connector_spark.state.log_fs as log_fs
+
+    calls = []
+
+    def fake_from_uri(path):
+        calls.append(path)
+
+        class _Fake:
+            pass
+
+        # mirror pyarrow: s3://bucket → resolved "bucket"
+        return _Fake(), path.split("://", 1)[1]
+
+    monkeypatch.setattr(log_fs, "_pyarrow_from_uri", fake_from_uri)
+    state_io.clear_fs_cache()
+    try:
+        fs1, p1 = state_io.resolve("s3://bucket/state/plane/_latest")
+        fs2, p2 = state_io.resolve("s3://bucket/state/other/_deltas")
+        fs3, p3 = state_io.resolve("s3://bucket2/x")
+        assert p1 == "bucket/state/plane/_latest"
+        assert p2 == "bucket/state/other/_deltas"
+        assert p3 == "bucket2/x"
+        assert fs1._fs is fs2._fs and fs1._fs is not fs3._fs
+        assert len(calls) == 2  # one per authority, not per path
+    finally:
+        state_io.clear_fs_cache()
