@@ -108,6 +108,10 @@ QUERIES = [
     # shape (flat rows expected for both; wall/32 is the per-query cost)
     "bm25_postings_serve_only",
     "hybrid_serve_batch",
+    # r12: one replayed incremental-curation trigger against prewarmed
+    # state — the steady-state per-trigger wall (job-count dominated;
+    # near-flat expected)
+    "curation_trigger_serve_only",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -172,6 +176,8 @@ HEAVY = [
     # r11: same flat claim for the postings floor and the query batch
     "bm25_postings_serve_only",
     "hybrid_serve_batch",
+    # r12: the trigger wall's sf1 point (flat claim)
+    "curation_trigger_serve_only",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
