@@ -6239,12 +6239,21 @@ def _ensure_incremental_curation(spark, sf: str) -> str:
     return pdir
 
 
+# workload-prep cache: max(doc_id) per corpus dir — one scan per corpus
+# per session instead of one per serve-only trigger replay (prep, not
+# trigger cost; the single-query serve keys cache their query rows the
+# same way)
+_CURATION_HI: dict = {}
+
+
 def _incr_curation_batches(spark, sf: str):
     """The lifecycle's deterministic 3-batch doc-id-range split —
     shared by the prewarm and the serve-only trigger replay so both
     always stream the SAME slices."""
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
-    hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    if sf not in _CURATION_HI:
+        _CURATION_HI[sf] = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    hi = _CURATION_HI[sf]
     step = hi // 3 + 1
     return [
         docs.where(
