@@ -51,6 +51,12 @@ class LogFileSystem(Protocol):
         """Base names of entries under ``path``; [] if it doesn't exist."""
         ...
 
+    def listdir_info(self, path: str) -> list[tuple[str, bool]]:
+        """(base name, is_dir) pairs under ``path``; [] if it doesn't
+        exist. One round trip on object stores — callers that would
+        otherwise listdir + per-entry is_dir (N+1 requests) use this."""
+        ...
+
     def read_text(self, path: str) -> str:
         """Raises FileNotFoundError if missing."""
         ...
@@ -106,6 +112,13 @@ class PosixLogFileSystem:
     def listdir(self, path: str) -> list[str]:
         try:
             return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def listdir_info(self, path: str) -> list[tuple[str, bool]]:
+        try:
+            with os.scandir(path) as it:
+                return [(e.name, e.is_dir()) for e in it]
         except FileNotFoundError:
             return []
 
@@ -206,6 +219,17 @@ class ArrowLogFileSystem:
         except FileNotFoundError:
             return []
         return [i.base_name for i in infos]
+
+    def listdir_info(self, path: str) -> list[tuple[str, bool]]:
+        from pyarrow.fs import FileSelector, FileType
+
+        try:
+            infos = self._fs.get_file_info(
+                FileSelector(path, allow_not_found=True, recursive=False)
+            )
+        except FileNotFoundError:
+            return []
+        return [(i.base_name, i.type == FileType.Directory) for i in infos]
 
     def read_text(self, path: str) -> str:
         # pyarrow raises FileNotFoundError for missing objects; any other

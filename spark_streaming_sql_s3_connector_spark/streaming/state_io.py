@@ -159,6 +159,14 @@ def list_names(path: str) -> list[str]:
     return fs.listdir(p)
 
 
+def list_names_info(path: str) -> list[tuple[str, bool]]:
+    """(base name, is_dir) pairs under ``path``; [] when missing — ONE
+    store round trip where ``list_names`` + per-entry :func:`is_dir`
+    would pay N+1 (the vacuum walk's shape)."""
+    fs, p = resolve(path)
+    return fs.listdir_info(p)
+
+
 def exists(path: str) -> bool:
     fs, p = resolve(path)
     return fs.exists(p)

@@ -58,9 +58,9 @@ from spark_streaming_sql_s3_connector_spark.streaming import state_io
 
 
 def _delta_schema_cols(spark: SparkSession, deltas_root: str) -> Optional[set]:
-    for e in sorted(state_io.list_names(deltas_root)):
+    for e, isdir in sorted(state_io.list_names_info(deltas_root)):
         p = os.path.join(deltas_root, e)
-        if e.startswith("batch=") and state_io.is_dir(p):
+        if e.startswith("batch=") and isdir:
             try:
                 return set(spark.read.parquet(p).columns)
             except Exception:
@@ -127,9 +127,9 @@ def walk_planes(spark: SparkSession, state_root: str):
         if kind is not None:
             yield d, kind
             continue
-        for e in sorted(state_io.list_names(d), reverse=True):
+        for e, isdir in sorted(state_io.list_names_info(d), reverse=True):
             p = os.path.join(d, e)
-            if state_io.is_dir(p) and not e.startswith(("batch=", "v=", "_")):
+            if isdir and not e.startswith(("batch=", "v=", "_")):
                 stack.append(p)
 
 
@@ -307,9 +307,9 @@ def vacuum(
         if entry is not None:
             report.append(entry)
             continue  # a plane root is never also a container
-        for e in sorted(state_io.list_names(d), reverse=True):
+        for e, isdir in sorted(state_io.list_names_info(d), reverse=True):
             p = os.path.join(d, e)
             # plane-internal dirs never nest other planes
-            if state_io.is_dir(p) and not e.startswith(("batch=", "v=", "_")):
+            if isdir and not e.startswith(("batch=", "v=", "_")):
                 stack.append(p)
     return sorted(report, key=lambda r: r["path"])

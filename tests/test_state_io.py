@@ -175,3 +175,49 @@ def test_resolve_caches_fs_per_authority(monkeypatch):
         assert len(calls) == 2  # one per authority, not per path
     finally:
         state_io.clear_fs_cache()
+
+
+def test_list_names_info_pairs(root):
+    d = root + "/plane"
+    state_io.write_text_atomic(d + "/_latest", "3")
+    state_io.makedirs(d + "/_deltas/batch=4")
+    got = dict(state_io.list_names_info(d))
+    assert got["_latest"] is False
+    assert got["_deltas"] is True
+
+
+def test_vacuum_walk_discovers_planes_on_mock_store(spark):
+    """The maintenance walk's DISCOVERY runs against a registered mock
+    object store with one listing per directory (the r12 listdir_info
+    path) — classification of layout-marker planes needs no Spark
+    reads, so this exercises the walk end-to-end off POSIX."""
+    from pyarrow.fs import _MockFileSystem
+
+    from spark_streaming_sql_s3_connector_spark.state.log_fs import (
+        ArrowLogFileSystem,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import walk_planes
+
+    fs = ArrowLogFileSystem(_MockFileSystem())
+    state_io.register_scheme("mockwalk", fs)
+    try:
+        for p in (
+            "root/pipeline/bm25/terms",
+            "root/pipeline/bm25/corpus",
+            "root/pipeline/screen/_new/batch=0",
+            "root/pipeline/bands/_bands/batch=0",
+            "root/life/index",
+            "root/life/vectors",
+            "root/life/moments",
+            "root/life/drift_state",
+        ):
+            fs.mkdirs(p)
+        found = dict(walk_planes(spark, "mockwalk://root"))
+        assert found == {
+            "mockwalk://root/pipeline/bm25": "term_stats",
+            "mockwalk://root/pipeline/screen": "key_screen",
+            "mockwalk://root/pipeline/bands": "minhash_bands",
+            "mockwalk://root/life": "ann_lifecycle",
+        }
+    finally:
+        state_io.unregister_scheme("mockwalk")
