@@ -78,6 +78,7 @@ fitting — never on a blind schedule.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -194,17 +195,115 @@ def _live_vector_paths(root: str, exclude_batch: Optional[int] = None) -> list[s
     pointer-liveness rule every other plane uses. ``exclude_batch``
     drops the in-flight trigger's dir (refresh reads committed data
     only)."""
+    return [p for p, _ in _ordered_vector_paths(root, exclude_batch)]
+
+
+def _ordered_vector_paths(
+    root: str, exclude_batch: Optional[int] = None
+) -> list[tuple[str, int]]:
+    """Live vector dirs WITH their landing order — the rank delete
+    markers kill by: bootstrap is −1 (older than every marker), a
+    folded base ranks as the fold horizon (every row in it landed at or
+    below it, every live marker strictly above — the screens' exact
+    argument), a delta is its batch id."""
     vdir = _vectors_dir(root)
     ptr = state_io.read_pointer(vdir)
-    paths = []
+    out: list[tuple[str, int]] = []
     if ptr is not None:
-        paths.append(os.path.join(vdir, "base", f"v={ptr}"))
+        out.append((os.path.join(vdir, "base", f"v={ptr}"), int(ptr)))
     elif state_io.is_dir(os.path.join(vdir, _BOOTSTRAP_LABEL)):
-        paths.append(os.path.join(vdir, _BOOTSTRAP_LABEL))
+        out.append((os.path.join(vdir, _BOOTSTRAP_LABEL), -1))
     for b in state_io.list_batch_ids(vdir):
         if (ptr is None or b > ptr) and b != exclude_batch:
-            paths.append(os.path.join(vdir, f"batch={b}"))
-    return paths
+            out.append((os.path.join(vdir, f"batch={b}"), b))
+    return out
+
+
+_VEC_DELETED = "_deleted"
+_VEC_MARKER_SCHEMA = "_id bigint, t bigint"
+
+
+def delete_vectors_from_lifecycle(
+    docs: DataFrame, batch_id: int, root: str, id_col: Optional[str] = None
+) -> None:
+    """Remove documents' RAW vectors from the lifecycle's retrain
+    corpus: write an id-keyed delete marker under
+    ``vectors/_deleted/batch=<batch_id>`` (overwrite-by-batch-dir —
+    replay-convergent). A marker at batch t kills vector rows LANDED
+    strictly before t (dir-granular insert order, exactly the screens'
+    rule in `exact_dedup.delete_docs_from_screen`), so a later
+    re-ingest of the same id lands above t and serves again.
+
+    This is the half the index tombstone cannot give: `ann_index`
+    tombstones stop the CODES from serving, but the lifecycle retrains
+    from the landed floats — without a vectors marker every refresh
+    would re-encode the deleted ids back into the index. With it the
+    rows leave :func:`read_landed_vectors` immediately and the next
+    fold drops them physically. (The d-row moment aggregates keep the
+    deleted rows' mass — aggregate planes are not id-addressable,
+    same as the delete router documents for rollup/profile/drift.)"""
+    if id_col is None:
+        from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+            load_index_meta,
+        )
+
+        id_col = load_index_meta(_index_dir(root))["id_col"]
+    (
+        docs.select(F.col(id_col).cast("bigint").alias("_id"))
+        .distinct()
+        .withColumn("t", F.lit(int(batch_id)).cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(_vectors_dir(root), _VEC_DELETED, f"batch={batch_id}"))
+    )
+
+
+def _vector_marker_ids(root: str) -> list[int]:
+    return state_io.list_batch_ids(os.path.join(_vectors_dir(root), _VEC_DELETED))
+
+
+def _live_vector_markers(spark: SparkSession, root: str) -> Optional[DataFrame]:
+    """Un-applied delete markers (``_id | t``): dirs strictly above the
+    fold pointer (at/below it they were applied physically by the fold
+    and GC'd — a replayed folded dir is filtered here). None when the
+    lifecycle has never deleted."""
+    ids = _vector_marker_ids(root)
+    if not ids:
+        return None
+    ptr = state_io.read_pointer(_vectors_dir(root))
+    live = [t for t in ids if ptr is None or t > ptr]
+    if not live:
+        return None
+    vdir = _vectors_dir(root)
+    frames = [
+        spark.read.schema(_VEC_MARKER_SCHEMA).parquet(
+            os.path.join(vdir, _VEC_DELETED, f"batch={t}")
+        )
+        for t in live
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _apply_vector_markers(
+    frames: list[tuple[int, DataFrame]],
+    marks: Optional[DataFrame],
+    id_col: str,
+) -> list[DataFrame]:
+    """Anti-join markers onto order-tagged vector frames: a frame of
+    order b loses the ids of markers with t > b (marker set is the
+    delete sliver — broadcast)."""
+    if marks is None:
+        return [f for _, f in frames]
+    out = []
+    for b, f in frames:
+        m = marks.where(F.col("t") > F.lit(int(b))).select(
+            F.col("_id").alias(id_col)
+        )
+        out.append(f.join(F.broadcast(m), id_col, "left_anti"))
+    return out
 
 
 def fold_landed_vectors(
@@ -254,20 +353,33 @@ def fold_landed_vectors(
     )
     if not pending and not has_bootstrap:
         return None
-    paths = []
+    reader = _vectors_reader(spark, root)
+    ordered: list[tuple[int, DataFrame]] = []
     if ptr is not None:
-        paths.append(os.path.join(vdir, "base", f"v={ptr}"))
+        ordered.append((int(ptr), reader.parquet(os.path.join(vdir, "base", f"v={ptr}"))))
     elif has_bootstrap:
-        paths.append(os.path.join(vdir, _BOOTSTRAP_LABEL))
-    paths.extend(os.path.join(vdir, f"batch={b}") for b in pending)
-    df = _vectors_reader(spark, root).parquet(*paths)
-    if retain_fraction is not None and retain_fraction < 1:
+        ordered.append((-1, reader.parquet(os.path.join(vdir, _BOOTSTRAP_LABEL))))
+    ordered.extend(
+        (b, reader.parquet(os.path.join(vdir, f"batch={b}"))) for b in pending
+    )
+    new_v = max(pending) if pending else -1
+    # apply delete markers PHYSICALLY (order rule: a marker t kills rows
+    # landed strictly before t; the folded base ranks as new_v, which
+    # keeps any marker above the new horizon exact at read time)
+    marks = _live_vector_markers(spark, root)
+    if marks is not None or (retain_fraction is not None and retain_fraction < 1):
         id_col = load_index_meta(_index_dir(root))["id_col"]
+    frames = _apply_vector_markers(ordered, marks, id_col) if marks is not None else [
+        f for _, f in ordered
+    ]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    if retain_fraction is not None and retain_fraction < 1:
         df = df.where(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
             < F.lit(int(retain_fraction * 1_000_000))
         )
-    new_v = max(pending) if pending else -1
     # fold many per-trigger dribbles into cluster-parallel files: the
     # fold is exactly the file-count compactor, so don't carry the
     # input's one-file-per-trigger layout into the base
@@ -279,9 +391,74 @@ def fold_landed_vectors(
     for b in ids:
         if b <= new_v:
             state_io.remove_tree(os.path.join(vdir, f"batch={b}"))
+    # markers at/below the new horizon are applied in the base — GC;
+    # markers above it stay live and keep filtering at read
+    for t in _vector_marker_ids(root):
+        if t <= new_v:
+            state_io.remove_tree(os.path.join(vdir, _VEC_DELETED, f"batch={t}"))
     if ptr is not None and ptr != new_v:
         state_io.remove_tree(os.path.join(vdir, "base", f"v={ptr}"))
+    # record the base size for the cadence gate (footer-only count of
+    # the just-written base — no data read)
+    base_rows = reader.parquet(os.path.join(vdir, "base", f"v={new_v}")).count()
+    state_io.write_text_atomic(
+        os.path.join(vdir, _FOLD_META), json.dumps({"base_rows": int(base_rows)})
+    )
     return new_v
+
+
+_FOLD_META = "_fold_meta.json"
+
+
+def fold_landed_vectors_if_due(
+    spark: SparkSession,
+    root: str,
+    upto_batch: Optional[int] = None,
+    growth_fraction: float = 0.5,
+    max_deltas: int = 256,
+) -> Optional[int]:
+    """The CADENCE gate around :func:`fold_landed_vectors`: fold only
+    when the pending deltas hold at least ``growth_fraction`` of the
+    current base's rows (or when the delta DIR count reaches
+    ``max_deltas``, the listing bound; or when nothing was ever
+    folded). An unconditional cadence fold rewrites the entire
+    O(corpus) raw-float base to absorb a handful of trigger landings —
+    at 10⁴ triggers/day with ``compact_every=5`` that is ~2000
+    full-corpus rewrite cycles a day. The geometric gate makes each
+    row's total rewrite count O(log corpus): a fold fires only when it
+    grows the base by a constant factor, so write amplification is
+    amortized O(1) per landed row per doubling. The decision costs one
+    footer-only count over the PENDING dirs (bounded by the cadence
+    window), never the base."""
+    vdir = _vectors_dir(root)
+    ptr = state_io.read_pointer(vdir)
+    if ptr is None:
+        return fold_landed_vectors(spark, root, upto_batch=upto_batch)
+    pending = [
+        b
+        for b in state_io.list_batch_ids(vdir)
+        if b > ptr and (upto_batch is None or b <= upto_batch)
+    ]
+    if not pending:
+        return None
+    if len(pending) < max_deltas:
+        try:
+            base_rows = int(
+                json.loads(state_io.read_text(os.path.join(vdir, _FOLD_META)))[
+                    "base_rows"
+                ]
+            )
+        except (FileNotFoundError, KeyError, ValueError):
+            base_rows = None  # pre-gate state: fold once to learn the size
+        if base_rows is not None and base_rows > 0:
+            pending_rows = (
+                _vectors_reader(spark, root)
+                .parquet(*[os.path.join(vdir, f"batch={b}") for b in pending])
+                .count()
+            )
+            if pending_rows < growth_fraction * base_rows:
+                return None
+    return fold_landed_vectors(spark, root, upto_batch=upto_batch)
 
 
 def bootstrap_ann_lifecycle(
@@ -325,13 +502,29 @@ def read_landed_vectors(
 ) -> DataFrame:
     """The landed raw-vector union (folded base — or bootstrap — plus
     live streamed deltas), optionally excluding the in-flight batch
-    (refresh reads committed data only). Explicit live-path reads: a
-    stale dir below the fold horizon is never opened, not merely
-    filtered."""
-    paths = _live_vector_paths(root, exclude_batch)
-    if not paths:
+    (refresh reads committed data only), minus live delete markers
+    (:func:`delete_vectors_from_lifecycle` — so a retrain never
+    resurrects a deleted id). Explicit live-path reads: a stale dir
+    below the fold horizon is never opened, not merely filtered."""
+    ordered = _ordered_vector_paths(root, exclude_batch)
+    if not ordered:
         raise FileNotFoundError(f"no landed vectors under {root}")
-    return _vectors_reader(spark, root).parquet(*paths)
+    reader = _vectors_reader(spark, root)
+    marks = _live_vector_markers(spark, root)
+    if marks is None:
+        return reader.parquet(*[p for p, _ in ordered])
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        load_index_meta,
+    )
+
+    id_col = load_index_meta(_index_dir(root))["id_col"]
+    frames = _apply_vector_markers(
+        [(b, reader.parquet(p)) for p, b in ordered], marks, id_col
+    )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _subtract_moments(live: DataFrame, snap: Optional[DataFrame]) -> DataFrame:
@@ -520,8 +713,10 @@ def process_ann_lifecycle_batch(
         compact_ann_index(spark, _index_dir(root), upto_batch=batch_id)
         # bound the raw-vector plane on the same cadence; strictly
         # below the in-flight batch (its landing commits with the
-        # checkpoint, not before)
-        fold_landed_vectors(spark, root, upto_batch=batch_id - 1)
+        # checkpoint, not before). Geometrically gated: the O(corpus)
+        # base rewrites only when the pending deltas grow it by a
+        # constant factor (see fold_landed_vectors_if_due)
+        fold_landed_vectors_if_due(spark, root, upto_batch=batch_id - 1)
 
 
 def streaming_ann_lifecycle(

@@ -897,6 +897,10 @@ def propagate_doc_deletes_for_pipeline(
 
     - ``ann_index``       → `operators/ann_index.delete_from_ann_index`
       (needs ``emb_docs`` or ``docs`` carrying the ids; tombstones)
+    - ``ann_lifecycle``   → BOTH the index tombstone AND a raw-vector
+      delete marker (`ann_lifecycle.delete_vectors_from_lifecycle`) —
+      a drift refresh retrains from the landed floats, so the marker
+      is what makes the delete durable across retrains
     - ``term_stats``      → `term_stats.delete_docs_from_term_stats`
     - ``key_screen``      → forget markers (``forget`` policy only —
       under ``takedown`` screens deliberately keep their keys)
@@ -927,6 +931,26 @@ def propagate_doc_deletes_for_pipeline(
                 src.select(F.col(id_col)), d, batch_id=batch_id
             )
             action = "tombstoned"
+        elif kind == "ann_lifecycle":
+            # a self-refreshing lifecycle needs BOTH halves: tombstone
+            # the served codes AND mark the landed raw vectors — the
+            # index tombstone alone is not durable, because the next
+            # drift refresh retrains/re-encodes from the landed floats
+            # and would resurrect the deleted ids
+            from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+                delete_from_ann_index,
+            )
+            from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+                delete_vectors_from_lifecycle,
+            )
+
+            src = emb_docs if emb_docs is not None else docs
+            ids_df = src.select(F.col(id_col))
+            delete_from_ann_index(
+                ids_df, os.path.join(d, "index"), batch_id=batch_id
+            )
+            delete_vectors_from_lifecycle(ids_df, batch_id, d, id_col=id_col)
+            action = "tombstoned + vectors-marked"
         elif kind == "term_stats":
             from spark_streaming_sql_s3_connector_spark.streaming.term_stats import (
                 delete_docs_from_term_stats,

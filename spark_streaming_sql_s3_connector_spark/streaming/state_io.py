@@ -132,13 +132,24 @@ def write_pointer(state_dir: str, version: int) -> None:
 # --- listings -------------------------------------------------------------
 
 
+def _listdir_tolerant(fs, p: str) -> list[str]:
+    """A listing root that turns out to be a plain FILE (an operator's
+    stray artifact) reads as empty, matching the pre-r12 isdir guard —
+    a stray file must not wedge every compactor (same discipline as
+    read_pointer's garbage tolerance)."""
+    try:
+        return fs.listdir(p)
+    except NotADirectoryError:
+        return []
+
+
 def list_batch_ids(root: str, prefix: str = "batch=") -> list[int]:
     """Sorted integer ids of the ``<prefix><id>`` dirs directly under
     ``root`` (unparsable names tolerated and skipped; missing root reads
     as empty) — THE shared delta-dir listing parser."""
     fs, p = resolve(root)
     out = []
-    for e in fs.listdir(p):
+    for e in _listdir_tolerant(fs, p):
         if e.startswith(prefix):
             try:
                 out.append(int(e.split("=", 1)[1]))
@@ -154,9 +165,10 @@ def list_versions(base_root: str) -> list[int]:
 
 
 def list_names(path: str) -> list[str]:
-    """Raw base names under ``path``; [] when missing."""
+    """Raw base names under ``path``; [] when missing (or a stray
+    plain file — see ``_listdir_tolerant``)."""
     fs, p = resolve(path)
-    return fs.listdir(p)
+    return _listdir_tolerant(fs, p)
 
 
 def list_names_info(path: str) -> list[tuple[str, bool]]:
@@ -164,7 +176,10 @@ def list_names_info(path: str) -> list[tuple[str, bool]]:
     store round trip where ``list_names`` + per-entry :func:`is_dir`
     would pay N+1 (the vacuum walk's shape)."""
     fs, p = resolve(path)
-    return fs.listdir_info(p)
+    try:
+        return fs.listdir_info(p)
+    except NotADirectoryError:
+        return []
 
 
 def exists(path: str) -> bool:

@@ -92,12 +92,15 @@ def classify_plane(spark: SparkSession, d: str) -> Optional[str]:
     'embedding_moments' | 'rollup' | 'unknown_deltas'), or None when
     ``d`` is not a plane root (a container to descend into)."""
     names = set(state_io.list_names(d))
-    if {"index", "vectors", "moments", "drift_state"} <= names:
+    if {"index", "vectors", "drift_state"} <= names:
         # a self-refreshing ANN lifecycle root (streaming/ann_lifecycle):
         # must match BEFORE descending, so its index / vectors / moments
         # planes are maintained together with the lifecycle's own replay
         # horizons (the vectors fold in particular is not discoverable
-        # from the child dirs alone)
+        # from the child dirs alone). `moments` is deliberately NOT in
+        # the signature — it appears only at the first streamed trigger,
+        # and a bootstrapped-but-unstreamed root must classify the same
+        # way (its index would otherwise be maintained standalone).
         return "ann_lifecycle"
     if "quantizers.json" in names:
         return "ann_index"

@@ -242,18 +242,21 @@ def test_vectors_plane_stays_bounded_over_long_run(spark, tmp_path):
     vdir = _vectors_dir(root)
     names = os.listdir(vdir)
     delta_dirs = [n for n in names if n.startswith("batch=")]
-    # folds fired at b=5,10,15,20 with horizon b-1: one base + the
-    # in-flight window only
+    # the geometric gate folds at b=5 (nothing folded yet) and at b=15
+    # (pending 100 rows >= 0.5 x 120-row base); the b=10 and b=20
+    # cadences SKIP (pending too small to justify rewriting the base) —
+    # dir count stays bounded by the growth window, base rewrites are
+    # amortized O(log corpus) per row
     assert "batch=bootstrap" not in names
-    assert len(delta_dirs) <= 5
-    assert state_io.read_pointer(vdir) == 19
+    assert len(delta_dirs) <= 6
+    assert state_io.read_pointer(vdir) == 14
     assert len(os.listdir(os.path.join(vdir, "base"))) == 1  # superseded GC'd
     got = {
         r["vec_id"] for r in read_landed_vectors(spark, root).collect()
     }
     assert got == expected
     # idempotence: nothing pending below the horizon → fold is a no-op
-    assert fold_landed_vectors(spark, root, upto_batch=19) is None
+    assert fold_landed_vectors(spark, root, upto_batch=14) is None
 
 
 def test_refresh_recovers_after_fold(spark, tmp_path):
@@ -353,3 +356,161 @@ def test_vacuum_maintains_lifecycle_root(spark, tmp_path):
     # serving still works off the maintained root
     got = ann_index_topk(spark, _index_dir(root), _old_rows()[0][1], k=5, n_probe=3)
     assert got.count() > 0
+
+
+def test_lifecycle_classifies_before_first_trigger(spark, tmp_path):
+    """A bootstrapped-but-unstreamed root (no moments/ yet — that dir
+    appears at the first trigger) must classify 'ann_lifecycle', not
+    fall apart into a standalone ann_index (r12 review finding)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import (
+        classify_plane,
+        walk_planes,
+    )
+
+    root = str(tmp_path / "life")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=60)), "embedding", "vec_id", root, **GEOM
+    )
+    assert "moments" not in os.listdir(root)
+    assert classify_plane(spark, root) == "ann_lifecycle"
+    assert dict(walk_planes(spark, str(tmp_path))) == {root: "ann_lifecycle"}
+
+
+def test_delete_survives_refresh(spark, tmp_path):
+    """The durable-delete law: deleting docs from a lifecycle kills
+    their raw vectors too, so a later drift REFRESH (which retrains and
+    re-encodes from the landed floats) does not resurrect them — while
+    a re-landed id after the marker serves again (delete-then-reinsert,
+    the screens' rule)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        delete_vectors_from_lifecycle,
+        fold_landed_vectors,
+        refresh_lifecycle_if_drifted,
+    )
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        delete_from_ann_index,
+    )
+
+    root = str(tmp_path / "life")
+    boot = _old_rows()
+    bootstrap_ann_lifecycle(_df(spark, boot), "embedding", "vec_id", root, **GEOM)
+    # stream drifted batches so a refresh will fire
+    for b in range(1, 4):
+        process_ann_lifecycle_batch(
+            _df(spark, _new_rows(n=50, start=1000 + b * 200, seed=b)),
+            b, root, threshold=0.5, check_every=0,
+        )
+    # delete two drifted ids (both halves, as the router does)
+    victims = [1201, 1202]
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    delete_from_ann_index(vdf, _index_dir(root), batch_id=4)
+    delete_vectors_from_lifecycle(vdf, 4, root)
+    landed = {r["vec_id"] for r in read_landed_vectors(spark, root).collect()}
+    assert not (set(victims) & landed)  # markers filter reads immediately
+    # the refresh retrains from the landed vectors — victims must stay out
+    shift = refresh_lifecycle_if_drifted(spark, root, threshold=0.5)
+    assert shift is not None
+    got = {
+        r.neighbor_id
+        for r in ann_index_topk(
+            spark, _index_dir(root), _new_rows()[0][1], k=300, n_probe=6
+        ).collect()
+    }
+    assert not (set(victims) & got), "refresh resurrected deleted ids"
+    # re-landed id after the marker serves again
+    re_row = [(victims[0], [8.0 + 0.01 * i for i in range(DIM)])]
+    process_ann_lifecycle_batch(
+        _df(spark, re_row), 5, root, threshold=0.5, check_every=0
+    )
+    landed2 = {r["vec_id"] for r in read_landed_vectors(spark, root).collect()}
+    assert victims[0] in landed2 and victims[1] not in landed2
+    # fold applies markers physically and GCs them
+    v = fold_landed_vectors(spark, root, upto_batch=5)
+    assert v == 5
+    assert os.listdir(os.path.join(root, "vectors")).count("_deleted") == 0 or \
+        os.listdir(os.path.join(root, "vectors", "_deleted")) == []
+    landed3 = {r["vec_id"] for r in read_landed_vectors(spark, root).collect()}
+    assert landed3 == landed2
+
+
+def test_pipeline_delete_router_handles_lifecycle(spark, tmp_path):
+    """propagate_doc_deletes_for_pipeline on a root containing a
+    lifecycle routes BOTH halves (r12 review finding: the lifecycle
+    classification made the router skip the index tombstone)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        propagate_doc_deletes_for_pipeline,
+    )
+
+    root = str(tmp_path / "state" / "life")
+    boot = _old_rows(n=80)
+    bootstrap_ann_lifecycle(_df(spark, boot), "embedding", "vec_id", root, **GEOM)
+    process_ann_lifecycle_batch(
+        _df(spark, _old_rows(n=20, start=5000, seed=9)), 1, root,
+        threshold=0.5, check_every=0,
+    )
+    victim = 5003
+    docs = spark.createDataFrame([(victim, "x")], "vec_id long, text string")
+    report = propagate_doc_deletes_for_pipeline(
+        docs, 2, str(tmp_path / "state"), id_col="vec_id"
+    )
+    assert [(r["plane"], r["action"]) for r in report] == [
+        ("ann_lifecycle", "tombstoned + vectors-marked")
+    ]
+    # tombstone half: the id no longer serves
+    got = {
+        r.neighbor_id
+        for r in ann_index_topk(
+            spark, _index_dir(root), _old_rows()[0][1], k=300, n_probe=6
+        ).collect()
+    }
+    assert victim not in got
+    # marker half: the raw vector is out of the retrain corpus
+    landed = {r["vec_id"] for r in read_landed_vectors(spark, root).collect()}
+    assert victim not in landed
+
+
+def test_cadence_fold_is_geometrically_gated(spark, tmp_path):
+    """r12 review finding: an unconditional cadence fold rewrites the
+    O(corpus) raw-float base per compact window. fold_landed_vectors_if_due
+    folds only when pending rows reach growth_fraction of the base (or
+    the dir-count bound), so the base version advances geometrically,
+    not per cadence."""
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _vectors_dir,
+        fold_landed_vectors_if_due,
+    )
+
+    root = str(tmp_path / "life")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=400)), "embedding", "vec_id", root, **GEOM
+    )
+    vdir = _vectors_dir(root)
+    # first gated call: nothing folded yet → folds the bootstrap
+    assert fold_landed_vectors_if_due(spark, root) == -1
+    # land two small deltas (10 rows each vs a 400-row base): the gate
+    # must SKIP (pending ≪ growth_fraction × base)
+    for b in (1, 2):
+        process_ann_lifecycle_batch(
+            _df(spark, _old_rows(n=10, start=9000 + b * 100, seed=b)),
+            b, root, threshold=0.5, check_every=0,
+        )
+    assert fold_landed_vectors_if_due(spark, root, upto_batch=2) is None
+    assert state_io.read_pointer(vdir) == -1  # base untouched
+    # a large delta (300 rows ≥ 0.5 × 420) trips the gate
+    process_ann_lifecycle_batch(
+        _df(spark, _old_rows(n=300, start=20000, seed=7)),
+        3, root, threshold=0.5, check_every=0,
+    )
+    assert fold_landed_vectors_if_due(spark, root, upto_batch=3) == 3
+    assert state_io.read_pointer(vdir) == 3
+    # the dir-count bound forces a fold regardless of row growth
+    for b in (4, 5):
+        process_ann_lifecycle_batch(
+            _df(spark, _old_rows(n=5, start=30000 + b * 10, seed=b)),
+            b, root, threshold=0.5, check_every=0,
+        )
+    assert fold_landed_vectors_if_due(spark, root, upto_batch=5, max_deltas=2) == 5
+    # rows are never lost across gated folds
+    n = read_landed_vectors(spark, root).count()
+    assert n == 400 + 10 + 10 + 300 + 5 + 5

@@ -103,7 +103,7 @@ def test_is_dir_and_exists(root):
     d = root + "/plane"
     f = d + "/_latest"
     assert not state_io.exists(d)
-    state_io.write_pointer(d, 1) if False else state_io.write_text_atomic(f, "1")
+    state_io.write_text_atomic(f, "1")
     assert state_io.exists(f)
     assert state_io.is_dir(d)
     assert not state_io.is_dir(f)
@@ -111,6 +111,15 @@ def test_is_dir_and_exists(root):
 
 def test_remove_file_missing_is_noop(root):
     state_io.remove_file(root + "/plane/_latest")  # must not raise
+
+
+def test_listing_tolerates_stray_file_at_root(root):
+    # a plain FILE where a listing root is expected (operator stray
+    # artifact) reads as empty — the pre-r12 isdir-guard behavior
+    state_io.write_text_atomic(root + "/plane/_deltas", "oops")
+    assert state_io.list_batch_ids(root + "/plane/_deltas") == []
+    assert state_io.list_names(root + "/plane/_deltas") == []
+    assert state_io.list_names_info(root + "/plane/_deltas") == []
 
 
 def test_file_uri_routes_to_posix(tmp_path):
