@@ -196,3 +196,64 @@ def test_blocked_fuzzy_pairs_rejects_bad_params(spark):
         blocked_fuzzy_pairs(df, df, "text", "doc_id", max_dist=-1)
     with pytest.raises(ValueError):
         blocked_fuzzy_pairs(df, df, "text", "doc_id", cap_len=4, prefix_len=8)
+
+
+def test_blocked_fuzzy_pairs_pigeonhole_path_is_lossless(spark):
+    """Long rows (>= the last segment start) take the pigeonhole
+    candidate tier; the output must equal the brute-force blocked
+    cross-pair reference exactly — including adversarial cases where
+    the edits are spread one-per-segment (any 5 of the 6 segments
+    touched, the survivor segment shifted by inserts/deletes)."""
+    import random
+
+    from spark_streaming_sql_s3_connector_spark.operators.joins import (
+        blocked_fuzzy_pairs,
+    )
+
+    rng = random.Random(13)
+    base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    rows_a, rows_b = [], []
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for i in range(40):
+        s = list(base)
+        # mutate outside the 8-char prefix so blocking keeps the pair
+        for _ in range(rng.randrange(0, 7)):
+            op = rng.randrange(3)
+            p = rng.randrange(8, len(s))
+            if op == 0:
+                s[p] = rng.choice(alpha)
+            elif op == 1 and len(s) > 60:
+                del s[p]
+            else:
+                s.insert(p, rng.choice(alpha))
+        (rows_a if i % 2 == 0 else rows_b).append((i, "".join(s)))
+    # a short-b row (under the last segment start after capping) and a
+    # spread-edit pair: 5 substitutions, one per segment 1..5 — only
+    # segment 0 survives untouched
+    rows_b.append((101, base[:40]))
+    spread = list(base[:64])
+    for p in (12, 24, 35, 47, 58):
+        spread[p] = "z" if spread[p] != "z" else "q"
+    rows_b.append((103, "".join(spread)))
+    rows_a.append((100, base))  # pristine row: exactly 5 subs from 103
+
+    a = spark.createDataFrame(rows_a, ["doc_id", "text"])
+    b = spark.createDataFrame(rows_b, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in blocked_fuzzy_pairs(
+            a, b, "text", "doc_id", max_dist=5, prefix_len=8, cap_len=64
+        ).collect()
+    }
+    want = {}
+    for ia, ta in rows_a:
+        for ib, tb in rows_b:
+            na, nb = " ".join(ta.lower().split()), " ".join(tb.lower().split())
+            if len(na) < 8 or len(nb) < 8 or na[:8] != nb[:8]:
+                continue
+            d = _py_lev(na[:64], nb[:64])
+            if d <= 5:
+                want[(ia, ib)] = d
+    assert got == want
+    # the spread-edit pair is present (exactly distance 5 from the base row)
+    assert got.get((100, 103)) == 5
