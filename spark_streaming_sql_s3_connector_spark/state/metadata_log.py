@@ -230,8 +230,23 @@ class JsonMetadataLog:
     def _write_dirty_shards(self) -> None:
         # O(entries-in-dirty-shards), NOT O(total tracked files): the seen
         # index is stored pre-partitioned by shard
+        horizon = self._purge_ts()
         for s in self._dirty_shards:
             seen = self._seen_shards[s]
+            if horizon > 0:
+                # age the shard while it is being serialized anyway
+                # (r13, reference log-clean analog
+                # RocksDBS3SourceLog.scala:416-460): entries below the
+                # purge horizon are exactly the set `is_new_file`
+                # already re-admits, so dropping them changes NO
+                # admission verdict — it just stops the snapshot
+                # growing with total-files-ever-admitted instead of the
+                # active window. Cold shards age at their next churn;
+                # a shard that never churns stopped growing by
+                # definition, so the bound still holds.
+                expired = [p for p, ts in seen.items() if ts < horizon]
+                for p in expired:
+                    del seen[p]
             self._fs.write_atomic(
                 self._shard_path(s),
                 json.dumps({"v": VERSION, "seen": seen}),

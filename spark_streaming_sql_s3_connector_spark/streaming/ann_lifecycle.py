@@ -597,6 +597,7 @@ def refresh_lifecycle_if_drifted(
     version: Optional[int] = None,
     sample_rows: int = 100_000,
     exclude_batch: Optional[int] = None,
+    force: bool = False,
 ) -> Optional[float]:
     """The lifecycle's drift actuator: when the WINDOWED shift crosses
     ``threshold``, rebuild the index wholesale from the landed vectors
@@ -608,7 +609,12 @@ def refresh_lifecycle_if_drifted(
     moments. Returns the observed shift when the refresh fired, else
     None (nothing touched). ``version`` defaults to the current drift
     state's version + 1 so a standalone call never collides with the
-    bootstrap v=0 sentinel."""
+    bootstrap v=0 sentinel.
+
+    ``force`` skips the shift gate and retrains unconditionally (the
+    manual-retrain lever, and what the refresh bench key times so its
+    wall tracks corpus size, not whether synthetic drift fired);
+    returns the observed shift, or -1.0 when no window exists yet."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         build_ann_index,
         load_index_meta,
@@ -620,7 +626,7 @@ def refresh_lifecycle_if_drifted(
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
     shift = _windowed_drift_shift(spark, root)
-    if shift is None or shift <= threshold:
+    if not force and (shift is None or shift <= threshold):
         return None
     meta = load_index_meta(_index_dir(root))
     # fold the committed landings FIRST: the rebuild then reads one
@@ -658,7 +664,7 @@ def refresh_lifecycle_if_drifted(
     )
     v = version if version is not None else (cur_v or 0) + 1
     _write_drift_state(merged, live, root, v)
-    return shift
+    return shift if shift is not None else -1.0
 
 
 def process_ann_lifecycle_batch(

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,98 @@ from spark_streaming_sql_s3_connector_spark.streaming import (
     line_dedup,
     state_io,
 )
+
+
+def _timings_dir(pipeline_dir: str) -> str:
+    return os.path.join(pipeline_dir, "_timings")
+
+
+def _span(clock: Optional["_StageClock"], stage: str):
+    import contextlib
+
+    return clock(stage) if clock is not None else contextlib.nullcontext()
+
+
+_TIMINGS_KEEP = 16  # bounded observability window — state stays O(1)
+
+
+class _StageClock:
+    """Wall-clock stage accumulator for one trigger. ``with clock("x")``
+    adds the elapsed seconds to stage ``x``; re-entering the same stage
+    accumulates (replay overwrites the whole file, so convergent)."""
+
+    def __init__(self) -> None:
+        self.stages: dict[str, float] = {}
+        self._t0 = time.monotonic()
+
+    def __call__(self, stage: str):
+        clock = self
+
+        class _Span:
+            def __enter__(self):
+                self._s = time.monotonic()
+
+            def __exit__(self, *exc):
+                clock.stages[stage] = round(
+                    clock.stages.get(stage, 0.0) + time.monotonic() - self._s, 4
+                )
+                return False
+
+        return _Span()
+
+    def total(self) -> float:
+        return round(time.monotonic() - self._t0, 4)
+
+
+def _write_trigger_timings(
+    pipeline_dir: str, batch_id: int, clock: _StageClock
+) -> None:
+    """Persist one trigger's per-stage wall seconds under
+    ``_timings/batch=<id>`` (atomic, replay-overwrites) and prune
+    beyond the last ``_TIMINGS_KEEP`` batches — the plane is bounded
+    observability, not durable state, so it ages like the reference's
+    rolling metrics window rather than growing with trigger count."""
+    root = _timings_dir(pipeline_dir)
+    state_io.makedirs(root)
+    payload = dict(clock.stages)
+    payload["total"] = clock.total()
+    payload["batch_id"] = batch_id
+    state_io.write_text_atomic(
+        os.path.join(root, f"batch={batch_id}"),
+        json.dumps(payload, sort_keys=True),
+    )
+    stale = [
+        b
+        for b in state_io.list_batch_ids(root)
+        if b <= batch_id - _TIMINGS_KEEP
+    ]
+    for b in stale:
+        state_io.remove_file(os.path.join(root, f"batch={b}"))
+
+
+def read_trigger_timings(
+    pipeline_dir: str, batch_id: Optional[int] = None
+) -> Optional[dict]:
+    """Per-stage wall seconds of one incremental trigger (the newest
+    retained one when ``batch_id`` is None), or None if the pipeline
+    has not recorded any. Keys: ``meta`` | ``monitor`` (when on) |
+    ``line_screen`` | ``exact_screen`` | ``bitmap_flush`` |
+    ``finalize_gate`` | ``finalize_pack`` | ``vacuum`` (when the
+    cadence fired) | ``total`` | ``batch_id`` —
+    the attribution surface for trigger-latency regressions, so a slow
+    steady-state trigger names its stage without re-profiling."""
+    root = _timings_dir(pipeline_dir)
+    if batch_id is None:
+        ids = state_io.list_batch_ids(root)
+        if not ids:
+            return None
+        batch_id = max(ids)
+    try:
+        return json.loads(
+            state_io.read_text(os.path.join(root, f"batch={batch_id}"))
+        )
+    except FileNotFoundError:
+        return None
 
 
 def _line_index(pipeline_dir: str) -> str:
@@ -85,6 +178,7 @@ def process_curation_batch(
     lang_col: str = "lang",
     expected_total_items: int = 1_000_000,
     monitor: bool = True,
+    clock: Optional[_StageClock] = None,
 ) -> None:
     """One micro-batch of the composed pipeline. Every write is keyed by
     ``batch=<id>`` and overwritten on replay — the same convergence
@@ -101,9 +195,10 @@ def process_curation_batch(
     distribution shift BEFORE finalization."""
     spark = batch.sparkSession
     # (doc_id, lang) side table for the finalization gate
-    meta = batch.select(F.col(id_col), F.col(lang_col))
-    _write_plane_schema_once(os.path.join(pipeline_dir, "_meta"), meta.schema)
-    meta.write.mode("overwrite").parquet(_meta_dir(pipeline_dir, batch_id))
+    with _span(clock, "meta"):
+        meta = batch.select(F.col(id_col), F.col(lang_col))
+        _write_plane_schema_once(os.path.join(pipeline_dir, "_meta"), meta.schema)
+        meta.write.mode("overwrite").parquet(_meta_dir(pipeline_dir, batch_id))
     if monitor:
         from spark_streaming_sql_s3_connector_spark.streaming.drift import (
             count_batch,
@@ -112,37 +207,48 @@ def process_curation_batch(
             profile_batch,
         )
 
-        profile_batch(
-            batch.select(
-                F.col(id_col),
-                F.col(lang_col),
-                F.length(F.col(text_col)).alias("_text_chars"),
-            ),
+        with _span(clock, "monitor"):
+            profile_batch(
+                batch.select(
+                    F.col(id_col),
+                    F.col(lang_col),
+                    F.length(F.col(text_col)).alias("_text_chars"),
+                ),
+                batch_id,
+                _profile_dir(pipeline_dir),
+            )
+            count_batch(batch, batch_id, _lang_counts_dir(pipeline_dir), lang_col)
+    # the two screens queue their bloom ORs and flush them as ONE
+    # partials job at the end of the trigger (r13: the per-trigger wall
+    # is job dispatch, not rows — see exact_dedup.flush_bitmap_updates)
+    deferred: list = []
+    with _span(clock, "line_screen"):
+        line_dedup.process_batch(
+            batch.select(F.col(id_col), F.col(text_col)),
             batch_id,
-            _profile_dir(pipeline_dir),
+            _line_index(pipeline_dir),
+            text_col=text_col,
+            id_col=id_col,
+            expected_total_items=expected_total_items,
+            defer_bitmaps=deferred,
         )
-        count_batch(batch, batch_id, _lang_counts_dir(pipeline_dir), lang_col)
-    line_dedup.process_batch(
-        batch.select(F.col(id_col), F.col(text_col)),
-        batch_id,
-        _line_index(pipeline_dir),
-        text_col=text_col,
-        id_col=id_col,
-        expected_total_items=expected_total_items,
-    )
-    # chain: this batch's line-deduped docs (committed state) feed the
-    # exact-dedup stage within the same trigger
-    deduped = spark.read.parquet(
-        line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
-    )
-    exact_dedup.process_batch(
-        deduped,
-        batch_id,
-        _exact_index(pipeline_dir),
-        text_col="deduped_text",
-        id_col=id_col,
-        expected_total_items=expected_total_items,
-    )
+    with _span(clock, "exact_screen"):
+        # chain: this batch's line-deduped docs (committed state) feed
+        # the exact-dedup stage within the same trigger
+        deduped = spark.read.parquet(
+            line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+        )
+        exact_dedup.process_batch(
+            deduped,
+            batch_id,
+            _exact_index(pipeline_dir),
+            text_col="deduped_text",
+            id_col=id_col,
+            expected_total_items=expected_total_items,
+            defer_bitmaps=deferred,
+        )
+    with _span(clock, "bitmap_flush"):
+        exact_dedup.flush_bitmap_updates(spark, deferred)
 
 
 def streaming_curation(
@@ -604,6 +710,7 @@ def finalize_curation_batch(
     frac: float = 0.4,
     capacity: int = 128,
     num_shards: int = 8,
+    clock: Optional[_StageClock] = None,
 ) -> None:
     """Incrementally finalize ONE committed micro-batch (call after
     `process_curation_batch` in the same trigger): freeze the quality
@@ -617,26 +724,29 @@ def finalize_curation_batch(
         pack_batch_incremental,
     )
 
-    scored = _score(_batch_survivors(spark, pipeline_dir, batch_id, id_col))
-    thresholds = read_frozen_thresholds(pipeline_dir)
-    if thresholds is None:
-        thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
-    gated = _gate_frozen(scored, thresholds).persist()
+    with _span(clock, "finalize_gate"):
+        scored = _score(_batch_survivors(spark, pipeline_dir, batch_id, id_col))
+        thresholds = read_frozen_thresholds(pipeline_dir)
+        if thresholds is None:
+            thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
+        gated = _gate_frozen(scored, thresholds).persist()
     try:
-        out = gated.select(id_col, "lang", "qscore")
-        _write_plane_schema_once(
-            os.path.join(_pack_state_dir(pipeline_dir), "gated"), out.schema
-        )
-        out.write.mode("overwrite").parquet(_gated_dir(pipeline_dir, batch_id))
-        pack_batch_incremental(
-            gated,
-            batch_id,
-            _pack_state_dir(pipeline_dir),
-            id_col,
-            capacity,
-            text_col="deduped_text",
-            num_shards=num_shards,
-        )
+        with _span(clock, "finalize_gate"):
+            out = gated.select(id_col, "lang", "qscore")
+            _write_plane_schema_once(
+                os.path.join(_pack_state_dir(pipeline_dir), "gated"), out.schema
+            )
+            out.write.mode("overwrite").parquet(_gated_dir(pipeline_dir, batch_id))
+        with _span(clock, "finalize_pack"):
+            pack_batch_incremental(
+                gated,
+                batch_id,
+                _pack_state_dir(pipeline_dir),
+                id_col,
+                capacity,
+                text_col="deduped_text",
+                num_shards=num_shards,
+            )
     finally:
         gated.unpersist()
 
@@ -718,7 +828,12 @@ def process_curation_batch_incremental(
     guard). This is the reference's A23 maintenance piggyback
     (RocksDBS3SourceLog.scala:109-153) applied to every analytics
     plane: a long-running pipeline self-bounds its state versions with
-    no manual compaction calls."""
+    no manual compaction calls.
+
+    Every trigger also records its per-stage wall seconds under
+    ``_timings/batch=<id>`` (bounded window) — read them with
+    :func:`read_trigger_timings` to attribute steady-state latency."""
+    clock = _StageClock()
     process_curation_batch(
         batch,
         batch_id,
@@ -728,6 +843,7 @@ def process_curation_batch_incremental(
         lang_col=lang_col,
         expected_total_items=expected_total_items,
         monitor=monitor,
+        clock=clock,
     )
     finalize_curation_batch(
         batch.sparkSession,
@@ -737,18 +853,21 @@ def process_curation_batch_incremental(
         frac=frac,
         capacity=capacity,
         num_shards=num_shards,
+        clock=clock,
     )
     if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
         from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
 
-        vacuum(batch.sparkSession, pipeline_dir, upto_batch=batch_id - 1)
-        # same cadence for the two append-only output planes this
-        # composition owns (vacuum doesn't know them — they live inside
-        # the packing plane / behind the _meta underscore): fold all
-        # COMMITTED deltas (< batch_id, strictly-below semantics)
-        compact_curation_outputs(
-            batch.sparkSession, pipeline_dir, upto_batch=batch_id
-        )
+        with clock("vacuum"):
+            vacuum(batch.sparkSession, pipeline_dir, upto_batch=batch_id - 1)
+            # same cadence for the two append-only output planes this
+            # composition owns (vacuum doesn't know them — they live
+            # inside the packing plane / behind the _meta underscore):
+            # fold all COMMITTED deltas (< batch_id, strictly-below)
+            compact_curation_outputs(
+                batch.sparkSession, pipeline_dir, upto_batch=batch_id
+            )
+    _write_trigger_timings(pipeline_dir, batch_id, clock)
 
 
 def streaming_curation_incremental(

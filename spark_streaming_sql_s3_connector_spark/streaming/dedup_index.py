@@ -164,9 +164,11 @@ def process_batch(
         )
         # append bands AFTER matches: a replay recomputes both dirs
         # idempotently; order only matters for GC-free reads
-        new_bands.write.mode("overwrite").partitionBy("_shard").parquet(
-            _bands_dir(index_dir, batch_id)
-        )
+        # clustered delta write — one file per shard, not tasks×shards
+        # slivers (see exact_dedup.process_batch)
+        new_bands.repartition("_shard").write.mode("overwrite").partitionBy(
+            "_shard"
+        ).parquet(_bands_dir(index_dir, batch_id))
     finally:
         new_bands.unpersist()
 

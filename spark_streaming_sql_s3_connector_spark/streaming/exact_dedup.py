@@ -333,10 +333,15 @@ def _shard_partials(df: DataFrame, sm_bits: int, sk: int) -> list:
     raw collected rows so tests can pin the traffic bound directly."""
     from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
 
+    # any partition count keeps the one-partial-per-shard bound (hash
+    # partitioning sends a shard's rows to exactly one partition);
+    # capping at the session's parallelism just avoids paying 64 tiny
+    # tasks on a small local run while a big cluster still gets all 64
+    n_parts = min(_N_SHARDS, max(1, df.sparkSession.sparkContext.defaultParallelism))
     hashed = (
         df.where(F.col("key").isNotNull())
         .select(*_hash_pair("key", _BLOOM_SEED), F.col("_shard"))
-        .repartition(_N_SHARDS, "_shard")
+        .repartition(n_parts, "_shard")
     )
     n_bytes = (sm_bits + 7) // 8
 
@@ -431,16 +436,19 @@ def _batch_probe_column(
     sk: int,
     expected_total_items: int,
     fpp: float,
+    shard_list: Optional[list] = None,
 ):
     """The bloom-screen Column for one batch's candidate rows, or None
     when no bitmap exists (all rows then take the exact join). Sharded
     layout preferred — ONLY the shards this batch's keys hash into are
     read/broadcast; a pre-r7 monolithic bitmap still probes until the
-    first update migrates it to shards."""
+    first update migrates it to shards. Callers that already know the
+    batch's touched shards pass ``shard_list`` and skip the collect."""
     if _any_shard_bitmap(index_dir):
-        shard_list = [
-            r["_shard"] for r in keyed.select("_shard").distinct().collect()
-        ]
+        if shard_list is None:
+            shard_list = [
+                r["_shard"] for r in keyed.select("_shard").distinct().collect()
+            ]
         blooms = _load_shard_blooms(index_dir, sm_bits, sk, shard_list)
         if not blooms:
             return None
@@ -466,7 +474,21 @@ def _update_shard_bitmaps(
     no-false-negative guarantee. All rebuilds happen in ONE scan pruned
     to the affected shards. A pre-r7 monolithic ``bitmap.bin`` triggers
     a one-time full rebuild into the sharded layout, then is deleted."""
-    batch_bits = _shard_bits(keyed, sm_bits, sk)
+    _apply_shard_bits(spark, index_dir, _shard_bits(keyed, sm_bits, sk), sm_bits, sk)
+
+
+def _apply_shard_bits(
+    spark: SparkSession,
+    index_dir: str,
+    batch_bits: dict[int, np.ndarray],
+    sm_bits: int,
+    sk: int,
+) -> None:
+    """Merge pre-computed per-shard batch bitmaps into ``index_dir``'s
+    on-disk shards — the IO/rebuild half of `_update_shard_bitmaps`,
+    split out so a fused caller (ONE partials job covering several
+    screens' key sets) can apply each screen's bits without re-running
+    a per-screen Spark job."""
     if not batch_bits:
         return
     _write_bloom_geometry(index_dir, sm_bits, sk)
@@ -506,6 +528,125 @@ def _update_shard_bitmaps(
         state_io.remove_file(_legacy_bitmap_path(index_dir))
 
 
+class DeferredBitmapUpdate:
+    """One screen's pending bloom-bitmap OR, queued by ``process_batch``
+    when the caller wants to fuse several screens' partials collects
+    into ONE Spark job (`flush_bitmap_updates`). Holds the persisted
+    (key, _shard) frame — the flush unpersists it."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        keyed: DataFrame,
+        sm_bits: int,
+        sk: int,
+        parents: Optional[list] = None,
+    ):
+        self.index_dir = index_dir
+        self.keyed = keyed
+        self.sm_bits = sm_bits
+        self.sk = sk
+        # the PERSISTED frames `keyed` selects from — unpersisting the
+        # select itself is a no-op, the cache lives on the parent
+        self.parents = parents or []
+
+
+def flush_bitmap_updates(spark: SparkSession, deferred: list) -> None:
+    """Apply every queued `DeferredBitmapUpdate` with ONE distributed
+    partials job: the screens' (key, _shard) frames union with a plane
+    tag, executors build per-(plane, shard) partial bitmaps co-located
+    by repartition, and the driver ORs + writes each plane's shards via
+    `_apply_shard_bits` (which keeps the rebuild-safe merge semantics).
+    Per-plane geometry rides in a broadcast dict, so screens sized
+    differently still fuse. Collect traffic stays shards-touched ×
+    per-shard bytes per plane — identical to running the updates
+    separately; only the job count drops."""
+    from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
+
+    deferred = [d for d in deferred if d is not None]
+    if not deferred:
+        return
+    try:
+        if len(deferred) == 1:
+            d = deferred[0]
+            _apply_shard_bits(
+                spark, d.index_dir, _shard_bits(d.keyed, d.sm_bits, d.sk),
+                d.sm_bits, d.sk,
+            )
+            return
+        tagged = None
+        for i, d in enumerate(deferred):
+            t = (
+                d.keyed.where(F.col("key").isNotNull())
+                .select(
+                    F.lit(i).alias("_plane"),
+                    *_hash_pair("key", _BLOOM_SEED),
+                    F.col("_shard"),
+                )
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+        geoms = {i: (d.sm_bits, d.sk) for i, d in enumerate(deferred)}
+        n_parts = min(
+            _N_SHARDS, max(1, spark.sparkContext.defaultParallelism)
+        )
+        hashed = tagged.repartition(n_parts, "_plane", "_shard")
+
+        def bitmapper(batches):
+            acc: dict[tuple[int, int], np.ndarray] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pl = pdf["_plane"].to_numpy()
+                h1 = pdf["_h1"].to_numpy(np.int64)
+                h2 = pdf["_h2"].to_numpy(np.int64)
+                sh = pdf["_shard"].to_numpy()
+                for p in np.unique(pl):
+                    sm_bits, sk = geoms[int(p)]
+                    mask = np.int64(sm_bits - 1)
+                    n_bytes = (sm_bits + 7) // 8
+                    pm = pl == p
+                    for s in np.unique(sh[pm]):
+                        m = pm & (sh == s)
+                        bits = acc.setdefault(
+                            (int(p), int(s)), np.zeros(n_bytes, dtype=np.uint8)
+                        )
+                        a = h1[m] & mask
+                        b = h2[m] & mask
+                        for i in range(sk):
+                            idx = (a + np.int64(i) * b) & mask
+                            np.bitwise_or.at(
+                                bits,
+                                idx >> np.int64(3),
+                                (np.uint8(1) << (idx & np.int64(7)).astype(np.uint8)),
+                            )
+            for (p, s), bits in acc.items():
+                yield pd.DataFrame(
+                    {"_p": [p], "_s": [s], "bits": [bits.tobytes()]}
+                )
+
+        per_plane: dict[int, dict[int, np.ndarray]] = {}
+        for row in hashed.mapInPandas(
+            bitmapper, "_p int, _s int, bits binary"
+        ).collect():
+            arr = np.frombuffer(row.bits, dtype=np.uint8)
+            shard_map = per_plane.setdefault(row._p, {})
+            if row._s in shard_map:
+                shard_map[row._s] = shard_map[row._s] | arr
+            else:
+                shard_map[row._s] = arr.copy()
+        for i, d in enumerate(deferred):
+            _apply_shard_bits(
+                spark, d.index_dir, per_plane.get(i, {}), d.sm_bits, d.sk
+            )
+    finally:
+        for d in deferred:
+            for p in d.parents:
+                try:
+                    p.unpersist()
+                except Exception:
+                    pass
+
+
 def _keyed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
     key = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
     return batch.select(
@@ -523,9 +664,18 @@ def process_batch(
     id_col: str = "doc_id",
     expected_total_items: int = 1_000_000,
     fpp: float = 0.01,
+    defer_bitmaps: Optional[list] = None,
 ) -> None:
     """One micro-batch of the incremental exact dedup (see module doc).
-    Overwrites ``batch=<id>``-keyed outputs — replay converges."""
+    Overwrites ``batch=<id>``-keyed outputs — replay converges.
+
+    ``defer_bitmaps``: when a list is passed, the bloom-bitmap OR is
+    NOT run here — a `DeferredBitmapUpdate` is appended instead, and
+    the caller fuses every queued screen's partials into one job via
+    :func:`flush_bitmap_updates` (the keepers frame stays persisted
+    until that flush). Correctness is unchanged: the bitmap is advisory
+    (no-false-negative probe falls back to the exact join), and within
+    one trigger the flush still lands before the trigger commits."""
     spark = batch.sparkSession
     sm_bits, sk = _shard_params(expected_total_items, fpp)
 
@@ -555,8 +705,18 @@ def process_batch(
             hist = frames[0]
             for fr in frames[1:]:
                 hist = hist.unionByName(fr)
+            # ONE shard-list collect per screen (was two: the probe's
+            # internal distinct + a cand distinct): the batch's full
+            # shard set prunes history just as correctly — a history
+            # row whose shard no batch key hashes into can never match
+            # a candidate key — at worst reading a few more _shard
+            # partitions than the bloom-positive subset would
+            shards = [
+                r["_shard"] for r in keepers.select("_shard").distinct().collect()
+            ]
             probe = _batch_probe_column(
-                index_dir, keepers, sm_bits, sk, expected_total_items, fpp
+                index_dir, keepers, sm_bits, sk, expected_total_items, fpp,
+                shard_list=shards,
             )
             if probe is not None:
                 flagged = keepers.withColumn("_maybe", probe).persist()
@@ -566,7 +726,6 @@ def process_batch(
                 flagged = None
                 negatives = keepers.limit(0)
                 cand = keepers
-            shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
             hist = hist.where(F.col("_shard").isin(shards))
             # persisted: `matched` feeds BOTH the dups and the new-rows
             # writes — without the cache each write re-runs the pruned
@@ -597,18 +756,40 @@ def process_batch(
         # never equi-joins, so they can never produce a false duplicate
         # verdict later. Write AFTER dups (same ordering argument as
         # dedup_index: replay rewrites both idempotently).
-        new_rows.write.mode("overwrite").partitionBy("_shard").parquet(
-            _new_dir(index_dir, batch_id)
-        )
+        # cluster by shard BEFORE the partitioned write: without it every
+        # upstream task writes a sliver into every shard dir (~tasks ×
+        # shards tiny files per delta — measured ~1,100/delta at sf0.1),
+        # and each later trigger's history scan pays that many footer
+        # reads; clustered, a delta is one file per shard (the same
+        # discipline the base fold already applies)
+        new_rows.repartition("_shard").write.mode("overwrite").partitionBy(
+            "_shard"
+        ).parquet(_new_dir(index_dir, batch_id))
 
         # bitmap update: OR in ALL batch keys (supersets of the new ones
         # are harmless and make the update idempotent under replay);
         # touches only the shards this batch's keys hash into
-        _update_shard_bitmaps(
-            spark, index_dir, keepers.select("key", "_shard"), sm_bits, sk
-        )
+        if defer_bitmaps is None:
+            _update_shard_bitmaps(
+                spark, index_dir, keepers.select("key", "_shard"), sm_bits, sk
+            )
+        else:
+            defer_bitmaps.append(
+                DeferredBitmapUpdate(
+                    index_dir,
+                    keepers.select("key", "_shard"),
+                    sm_bits,
+                    sk,
+                    parents=[keepers],
+                )
+            )
     finally:
-        keepers.unpersist()
+        # deferred mode keeps `keepers` cached for the fused flush (the
+        # deferred frame is a select off it); flush_bitmap_updates
+        # unpersists the select, and unpersisting the parent here would
+        # force the flush to recompute the batch agg
+        if defer_bitmaps is None:
+            keepers.unpersist()
         if flagged is not None:
             flagged.unpersist()
         if cached_matched is not None:

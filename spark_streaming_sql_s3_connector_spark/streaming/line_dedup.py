@@ -43,12 +43,14 @@ pays.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
     _N_SHARDS,
+    DeferredBitmapUpdate,
     _batch_probe_column,
     _index_frames,
     _new_dir,
@@ -88,9 +90,12 @@ def process_batch(
     id_col: str = "doc_id",
     expected_total_items: int = 1_000_000,
     fpp: float = 0.01,
+    defer_bitmaps: Optional[list] = None,
 ) -> None:
     """One micro-batch of the incremental keep-first line dedup.
-    Overwrites its ``batch=<id>`` outputs — replay converges."""
+    Overwrites its ``batch=<id>`` outputs — replay converges.
+    ``defer_bitmaps`` queues the bloom OR for a fused
+    `exact_dedup.flush_bitmap_updates` (see that docstring)."""
     spark = batch.sparkSession
     sm_bits, sk = _shard_params(expected_total_items, fpp)
 
@@ -115,8 +120,15 @@ def process_batch(
             hist = frames[0]
             for fr in frames[1:]:
                 hist = hist.unionByName(fr)
+            # one shard-list collect per screen (see exact_dedup): the
+            # batch's full shard set prunes history identically — keys
+            # outside these shards cannot match any candidate
+            shards = [
+                r["_shard"] for r in firsts.select("_shard").distinct().collect()
+            ]
             probe = _batch_probe_column(
-                index_dir, firsts, sm_bits, sk, expected_total_items, fpp
+                index_dir, firsts, sm_bits, sk, expected_total_items, fpp,
+                shard_list=shards,
             )
             if probe is not None:
                 flagged = firsts.withColumn("_maybe", probe).persist()
@@ -125,7 +137,6 @@ def process_batch(
             else:
                 negatives = firsts.limit(0)
                 cand = firsts
-            shards = [r["_shard"] for r in cand.select("_shard").distinct().collect()]
             hist = hist.where(F.col("_shard").isin(shards))
             # persisted: `matched` sits under BOTH the rebuilt-docs and
             # the index-delta writes — without the cache each write
@@ -179,16 +190,31 @@ def process_batch(
         out.write.mode("overwrite").parquet(_docs_dir(index_dir, batch_id))
         # index delta: keep (key, keeper id, shard) — _index_frames reads
         # the same (_id, key, _shard) schema exact_dedup uses
-        new_firsts.select("_id", "key", "_shard").write.mode(
+        # clustered delta write — one file per shard, not tasks×shards
+        # slivers (see exact_dedup.process_batch)
+        new_firsts.select("_id", "key", "_shard").repartition("_shard").write.mode(
             "overwrite"
         ).partitionBy("_shard").parquet(_new_dir(index_dir, batch_id))
 
-        _update_shard_bitmaps(
-            spark, index_dir, firsts.select("key", "_shard"), sm_bits, sk
-        )
+        if defer_bitmaps is None:
+            _update_shard_bitmaps(
+                spark, index_dir, firsts.select("key", "_shard"), sm_bits, sk
+            )
+        else:
+            defer_bitmaps.append(
+                DeferredBitmapUpdate(
+                    index_dir,
+                    firsts.select("key", "_shard"),
+                    sm_bits,
+                    sk,
+                    parents=[firsts],
+                )
+            )
     finally:
         lines.unpersist()
-        firsts.unpersist()
+        # deferred mode keeps `firsts` cached for the fused flush
+        if defer_bitmaps is None:
+            firsts.unpersist()
         if flagged is not None:
             flagged.unpersist()
         if cached_matched is not None:

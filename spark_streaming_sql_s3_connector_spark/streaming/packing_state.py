@@ -148,10 +148,14 @@ def pack_batch_incremental(
     contract every incremental dedup stage here carries — otherwise
     the incremental==batch law has no order to agree on."""
     spark = batch.sparkSession
+    # persisted: `local` feeds BOTH the manifest-delta and the cursor
+    # writes — without the cache the second write re-runs the pack's
+    # window shuffle (the same two-writes-one-frame rule as the dedup
+    # screens' matched frame)
     local = pack_concat(
         batch, id_col, capacity,
         text_col=text_col, token_col=token_col, num_shards=num_shards,
-    )
+    ).persist()
     cursors = _cursor_base(spark, pack_dir, before_batch=batch_id)
     shifted = (
         local.join(F.broadcast(cursors), "shard", "left")
@@ -175,19 +179,23 @@ def pack_batch_incremental(
             .alias("seq_last"),
         )
     )
-    # persist the manifest schema BEFORE the first delta lands so a
-    # zero-survivor batch (whose dir holds only _SUCCESS) stays readable
-    _write_manifest_schema_once(pack_dir, shifted.schema)
-    shifted.write.mode("overwrite").parquet(
-        _delta_dir(os.path.join(pack_dir, _PACK), batch_id)
-    )
-    (
-        local.groupBy("shard")
-        .agg(F.sum("n_tokens").alias("toks"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_delta_dir(os.path.join(pack_dir, _CURSORS), batch_id))
-    )
+    try:
+        # persist the manifest schema BEFORE the first delta lands so a
+        # zero-survivor batch (whose dir holds only _SUCCESS) stays
+        # readable
+        _write_manifest_schema_once(pack_dir, shifted.schema)
+        shifted.write.mode("overwrite").parquet(
+            _delta_dir(os.path.join(pack_dir, _PACK), batch_id)
+        )
+        (
+            local.groupBy("shard")
+            .agg(F.sum("n_tokens").alias("toks"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_delta_dir(os.path.join(pack_dir, _CURSORS), batch_id))
+        )
+    finally:
+        local.unpersist()
 
 
 def read_packed_manifest(spark: SparkSession, pack_dir: str) -> DataFrame:

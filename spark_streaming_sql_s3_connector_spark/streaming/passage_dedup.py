@@ -200,7 +200,9 @@ def process_batch(
             )
         )
         out.write.mode("overwrite").parquet(_docs_dir(index_dir, batch_id))
-        new_firsts.select("_id", "key", "_shard").write.mode(
+        # clustered delta write — one file per shard, not tasks×shards
+        # slivers (see exact_dedup.process_batch)
+        new_firsts.select("_id", "key", "_shard").repartition("_shard").write.mode(
             "overwrite"
         ).partitionBy("_shard").parquet(_new_dir(index_dir, batch_id))
 

@@ -158,3 +158,57 @@ def test_stress_canary_100k_files(tmp_path):
     assert log2.get_file(f"s3://bucket/part-{n_batches-1:03d}-0000.parquet") == 1000 + n_batches - 1
     elapsed = time.time() - t0
     assert elapsed < 30, f"10^5-file canary took {elapsed:.1f}s (budget 30s)"
+
+
+def test_compaction_ages_pre_horizon_seen_entries(tmp_path):
+    """r13: rewriting a dirty shard drops entries whose ts is below the
+    purge horizon — the snapshot tracks the ACTIVE window, not every
+    file ever admitted. Aged entries are exactly the is_new_file==True
+    set, so admission verdicts are unchanged, and an aged file that
+    re-arrives is admitted and re-tracked."""
+    import json as _json
+
+    from spark_streaming_sql_s3_connector_spark.state.metadata_log import (
+        JsonMetadataLog,
+        N_SEEN_SHARDS,
+    )
+    from spark_streaming_sql_s3_connector_spark.models import FileEntry
+
+    horizon = {"ts": 0}
+    log = JsonMetadataLog(str(tmp_path / "log"), lambda: horizon["ts"])
+    old = [
+        FileEntry(path=f"s3://b/old-{i}.parquet", timestamp=1_000 + i, batch_id=0)
+        for i in range(20)
+    ]
+    assert log.add(0, old, timestamp=1_000)
+    log.close()  # snapshot all dirty shards at horizon 0: nothing aged
+
+    # move the horizon past the old files; new batch churns some shards
+    horizon["ts"] = 500_000
+    fresh = [
+        FileEntry(path=f"s3://b/new-{i}.parquet", timestamp=600_000 + i, batch_id=1)
+        for i in range(20)
+    ]
+    assert log.add(1, fresh, timestamp=600_000)
+    log.close()  # rewrites dirty shards -> ages pre-horizon entries there
+
+    shards_dir = tmp_path / "log" / "seen-shards"
+    on_disk: dict[str, int] = {}
+    for f in shards_dir.iterdir():
+        on_disk.update(_json.loads(f.read_text())["seen"])
+    # every fresh path tracked; aged old paths gone from every shard a
+    # fresh path churned (old entries in never-churned shards may linger
+    # -- the bound is cost-follows-churn by design)
+    assert all(e.path in on_disk for e in fresh)
+    churned = {log._shard_of(e.path) for e in fresh}
+    for e in old:
+        if log._shard_of(e.path) in churned:
+            assert e.path not in on_disk
+    # verdicts unchanged: pre-horizon files re-admit, fresh ones do not
+    assert log.is_new_file(old[0].path, horizon["ts"])
+    assert not log.is_new_file(fresh[0].path, horizon["ts"])
+
+    # a restart reads the aged snapshot and the behavior holds
+    log2 = JsonMetadataLog(str(tmp_path / "log"), lambda: horizon["ts"])
+    assert log2.is_new_file(old[0].path, horizon["ts"])
+    assert not log2.is_new_file(fresh[0].path, horizon["ts"])

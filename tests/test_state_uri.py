@@ -122,3 +122,110 @@ def test_vacuum_walks_file_uri_root(spark, uri_root, tmp_path):
     local = str(tmp_path / "state" / "planes" / "counts")
     assert open(os.path.join(local, "_latest")).read().strip() == "1"
     assert os.listdir(os.path.join(local, "_deltas")) == []
+
+
+def test_composed_pipeline_lifecycle_over_file_uri(spark, uri_root, tmp_path):
+    """r13 (r12 verdict Next #4): the COMPOSED surfaces — a full
+    curation root (screens + gate + pack + piggybacked vacuum +
+    timings) holding an ANN-lifecycle root, `walk_planes` discovery
+    driving `propagate_doc_deletes_for_pipeline` under BOTH policies,
+    a root `vacuum()`, and a restart read — all with the state root as
+    a URI, so every pointer/listing/sidecar/GC call routes through
+    `state_io`'s scheme layer (the r12 review fix showed the
+    composition, not the single plane, is where routing bugs hide).
+    ``file://`` because Spark's own parquet data plane must reach the
+    scheme too — the in-process pyarrow mock covers the file layer in
+    test_state_io, but only a Spark-reachable scheme can run this
+    composition honestly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        bootstrap_ann_lifecycle,
+        process_ann_lifecycle_batch,
+        read_landed_vectors,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        process_curation_batch_incremental,
+        propagate_doc_deletes_for_pipeline,
+        read_curated_pack,
+        read_trigger_timings,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
+
+    root = uri_root + "/pipeline"
+    rng = random.Random(19)
+    rows = [
+        (
+            i,
+            "en" if i % 2 == 0 else "de",
+            f"alpha beta line {i % 5}\ngamma delta doc {i} unique tail {i*i}",
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch_incremental(
+            docs.where(
+                (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+            ),
+            b,
+            root,
+            expected_total_items=10_000,
+            vacuum_every=2,
+        )
+    packed_before = {r["doc_id"] for r in read_curated_pack(spark, root).collect()}
+    assert packed_before
+    assert read_trigger_timings(root, 2)["batch_id"] == 2  # timings over URI
+
+    # an ANN-lifecycle root INSIDE the pipeline root (walk_planes must
+    # classify it on the URI walk)
+    emb_rows = [(i, [rng.gauss(i % 3, 0.4) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(emb_rows, ["doc_id", "embedding"])
+    life = root + "/ann_life"
+    bootstrap_ann_lifecycle(
+        emb.where(F.col("doc_id") < 20), "embedding", "doc_id", life,
+        n_centroids=4, m_subspaces=4, pq_centroids=16, seed=3,
+    )
+    process_ann_lifecycle_batch(
+        emb.where(F.col("doc_id") >= 20), 0, life, check_every=100
+    )
+
+    dead = docs.where(F.col("doc_id") % 10 == 3)
+    dead_ids = {r.doc_id for r in dead.select("doc_id").collect()}
+    report = propagate_doc_deletes_for_pipeline(
+        dead, 7, root, emb_docs=emb.join(dead.select("doc_id"), "doc_id")
+    )
+    by_plane = {r["plane"]: r["action"] for r in report}
+    assert by_plane.get("ann_lifecycle") == "tombstoned + vectors-marked"
+    assert "kept" in by_plane.get("key_screen", "")  # takedown keeps keys
+    report2 = propagate_doc_deletes_for_pipeline(
+        dead, 8, root, emb_docs=emb.join(dead.select("doc_id"), "doc_id"),
+        policy="forget",
+    )
+    assert any(r["action"] == "forgotten" for r in report2)
+
+    # root vacuum over the URI (classifies + compacts every plane,
+    # including the lifecycle signature), then restart-style reads
+    vacuum(spark, root, upto_batch=2)
+    assert {
+        r["doc_id"] for r in read_curated_pack(spark, root).collect()
+    } == packed_before
+    landed = {r["doc_id"] for r in read_landed_vectors(spark, life).collect()}
+    assert not landed & dead_ids  # vector markers held across vacuum
+    served = {
+        r.neighbor_id
+        for r in ann_index_topk(
+            spark, life + "/index", emb_rows[3][1], k=10, n_probe=4
+        ).collect()
+    }
+    assert not served & dead_ids
+    # the state root on disk is where the URI said it is
+    local = str(tmp_path / "state" / "pipeline")
+    assert os.path.isdir(os.path.join(local, "pack_state"))
+    assert os.path.isdir(os.path.join(local, "ann_life"))

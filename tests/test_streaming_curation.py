@@ -592,3 +592,54 @@ def test_empty_bootstrap_defers_threshold_freeze(spark, tmp_path):
     want = _rows(finalize_curation_frozen(spark, pipeline_dir))
     assert got == want
     assert len(got) > 0
+
+
+def test_trigger_timings_recorded_and_bounded(spark, tmp_path):
+    """r13 instrumentation: every incremental trigger persists per-stage
+    wall seconds under _timings/batch=<id> (read_trigger_timings), the
+    stage keys cover screens + finalize + flush, spans sum to <= total,
+    replay overwrites convergently, and the window stays bounded."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        _TIMINGS_KEEP,
+        _timings_dir,
+        process_curation_batch_incremental,
+        read_trigger_timings,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pipeline_dir = str(tmp_path / "pipeline")
+    cuts = [0, 10, 20, 30]
+    for b in range(3):
+        process_curation_batch_incremental(
+            df.where((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])),
+            b,
+            pipeline_dir,
+            expected_total_items=10_000,
+        )
+    t = read_trigger_timings(pipeline_dir)  # newest = batch 2
+    assert t is not None and t["batch_id"] == 2
+    stage_keys = {
+        "meta", "monitor", "line_screen", "exact_screen", "bitmap_flush",
+        "finalize_gate", "finalize_pack",
+    }
+    assert stage_keys <= set(t)
+    spans = sum(v for k, v in t.items() if k in stage_keys)
+    assert 0 < spans <= t["total"]
+    # per-batch reads work; replay overwrites (batch_id stable, file count flat)
+    assert read_trigger_timings(pipeline_dir, 0)["batch_id"] == 0
+    n_before = len(state_io.list_batch_ids(_timings_dir(pipeline_dir)))
+    process_curation_batch_incremental(
+        df.where((F.col("doc_id") >= cuts[2]) & (F.col("doc_id") < cuts[3])),
+        2,
+        pipeline_dir,
+        expected_total_items=10_000,
+    )
+    assert len(state_io.list_batch_ids(_timings_dir(pipeline_dir))) == n_before
+    # the retention window drops ids <= newest - _TIMINGS_KEEP
+    process_curation_batch_incremental(
+        df.limit(0), _TIMINGS_KEEP, pipeline_dir, expected_total_items=10_000
+    )
+    ids = state_io.list_batch_ids(_timings_dir(pipeline_dir))
+    assert 0 not in ids and _TIMINGS_KEEP in ids

@@ -358,3 +358,44 @@ def test_compaction_upto_batch_keeps_replay_verdicts(spark, tmp_path):
         ).collect()
     )
     assert uniq == want
+
+
+def test_fused_bitmap_flush_matches_sequential_updates(spark, tmp_path):
+    """r13: deferring both screens' bloom ORs into ONE
+    flush_bitmap_updates job writes byte-identical shard bitmaps to
+    running each screen's update separately — the fusion changes job
+    count only, never bits (the no-false-negative probe rests on it)."""
+    from spark_streaming_sql_s3_connector_spark.streaming import (
+        exact_dedup,
+        line_dedup,
+        state_io,
+    )
+
+    rows = [(i, f"line a {i % 4}\nline b {i}\ntail {i*i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(base, defer):
+        li, ei = f"{base}/line", f"{base}/exact"
+        deferred = [] if defer else None
+        line_dedup.process_batch(
+            docs, 0, li, expected_total_items=10_000, defer_bitmaps=deferred
+        )
+        deduped = spark.read.parquet(line_dedup._docs_dir(li, 0))
+        exact_dedup.process_batch(
+            deduped, 0, ei, text_col="deduped_text",
+            expected_total_items=10_000, defer_bitmaps=deferred,
+        )
+        if defer:
+            exact_dedup.flush_bitmap_updates(spark, deferred)
+        out = {}
+        for idx in (li, ei):
+            for s in range(exact_dedup._N_SHARDS):
+                p = exact_dedup._shard_bitmap_path(idx, s)
+                if state_io.exists(p):
+                    out[(idx.rsplit("/", 1)[1], s)] = state_io.read_bytes(p)
+        return out
+
+    seq = run(str(tmp_path / "seq"), defer=False)
+    fused = run(str(tmp_path / "fused"), defer=True)
+    assert seq and set(seq) == set(fused)
+    assert all(seq[k] == fused[k] for k in seq)

@@ -108,10 +108,15 @@ QUERIES = [
     # shape (flat rows expected for both; wall/32 is the per-query cost)
     "bm25_postings_serve_only",
     "hybrid_serve_batch",
-    # r12: one replayed incremental-curation trigger against prewarmed
-    # state — the steady-state per-trigger wall (job-count dominated;
-    # near-flat expected)
-    "curation_trigger_serve_only",
+    # r13 (was curation_trigger_serve_only): one replayed
+    # incremental-curation trigger against prewarmed state with no
+    # in-wall correctness probe — the steady-state per-trigger wall
+    # (job-count dominated; near-flat expected)
+    "curation_trigger_bare",
+    # r13: forced lifecycle retrain against the prewarmed folded
+    # vectors plane — refresh wall must track corpus size (linear-ish),
+    # not trigger count
+    "ann_refresh_bare",
 ]
 
 # The heavy dedup/ANN/packing family also runs at sf1 (10× sf0.1): the
@@ -176,8 +181,10 @@ HEAVY = [
     # r11: same flat claim for the postings floor and the query batch
     "bm25_postings_serve_only",
     "hybrid_serve_batch",
-    # r12: the trigger wall's sf1 point (flat claim)
-    "curation_trigger_serve_only",
+    # r12/r13: the trigger wall's sf1 point (flat claim)
+    "curation_trigger_bare",
+    # r13: the refresh wall's sf1 point (linear-in-corpus claim)
+    "ann_refresh_bare",
 ]
 
 SF05 = os.path.join(REPO, ".scale", "sf0.5")
@@ -271,9 +278,12 @@ def main():
         # r11: same prewarm discipline — measure serve, not state build
         "bm25_postings_serve_only",
         "hybrid_serve_batch",
-        # r12: the first call pays the 3-batch lifecycle prewarm; the
-        # timed call replays ONE trigger against that state
-        "curation_trigger_serve_only",
+        # r12/r13: the first call pays the 3-batch lifecycle prewarm;
+        # the timed call replays ONE trigger against that state
+        "curation_trigger_bare",
+        # r13: first call pays the streamed ANN-lifecycle prewarm; the
+        # timed call is the forced retrain alone
+        "ann_refresh_bare",
     }
     for name in QUERIES:
         fn = qs[name]
