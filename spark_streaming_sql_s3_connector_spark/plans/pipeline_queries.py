@@ -6282,7 +6282,11 @@ def _curation_trigger_serve_only(spark, sf):
     Rows-only with a LOAD-BEARING ``trigger_ok`` bit: the gated plane's
     just-(re)written batch rows must equal the recomputed frozen gate
     of the batch's survivors — id-for-id, via a full-outer join — every
-    time the trigger replays."""
+    time the trigger replays.
+
+    r13: SWEEP duty only — the probe is correctness work, so bench and
+    SCALING time the probe-free twin `curation_trigger_bare` instead
+    (bench.py exclusion block has the rationale)."""
     from spark_streaming_sql_s3_connector_spark.streaming.curation import (
         _batch_survivors,
         _gate_frozen,

@@ -557,8 +557,8 @@ def flush_bitmap_updates(spark: SparkSession, deferred: list) -> None:
     tag, executors build per-(plane, shard) partial bitmaps co-located
     by repartition, and the driver ORs + writes each plane's shards via
     `_apply_shard_bits` (which keeps the rebuild-safe merge semantics).
-    Per-plane geometry rides in a broadcast dict, so screens sized
-    differently still fuse. Collect traffic stays shards-touched ×
+    Per-plane geometry rides in the task closure (a dict of a few
+    ints), so screens sized differently still fuse. Collect traffic stays shards-touched ×
     per-shard bytes per plane — identical to running the updates
     separately; only the job count drops."""
     from spark_streaming_sql_s3_connector_spark.operators.bloom import _hash_pair
