@@ -643,3 +643,38 @@ def test_trigger_timings_recorded_and_bounded(spark, tmp_path):
     )
     ids = state_io.list_batch_ids(_timings_dir(pipeline_dir))
     assert 0 not in ids and _TIMINGS_KEEP in ids
+
+
+def test_trigger_scoped_aqe_off_restores_conf(spark, tmp_path):
+    """r13: the trigger switches AQE off for its fixed-shape plans and
+    restores the prior effective value afterwards — including when the
+    trigger throws — and results are identical either way."""
+    import pytest as _pytest
+
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        process_curation_batch_incremental,
+        read_curated_pack,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    for b, (lo, hi) in enumerate([(0, 15), (15, 30)]):
+        cut = df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        process_curation_batch_incremental(
+            cut, b, p1, expected_total_items=10_000
+        )
+        process_curation_batch_incremental(
+            cut, b, p2, expected_total_items=10_000, disable_aqe=False
+        )
+    assert spark.conf.get(key) == before
+    assert _rows(read_curated_pack(spark, p1)) == _rows(read_curated_pack(spark, p2))
+    # restore-on-error: a broken batch must not leak the scoped conf
+    bad = spark.createDataFrame([(1,)], "wrong_col long")
+    with _pytest.raises(Exception):
+        process_curation_batch_incremental(
+            bad, 2, p1, expected_total_items=10_000
+        )
+    assert spark.conf.get(key) == before
