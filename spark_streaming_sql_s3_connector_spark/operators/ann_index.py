@@ -284,6 +284,12 @@ def build_ann_index(
         encoded.select(
             F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
         )
+        # cluster by bucket before the partitioned write: one file per
+        # bucket, not tasks x buckets slivers — a n_probe-pruned serve
+        # then opens n_probe files, not n_probe x upstream-tasks (the
+        # r13 delta-sliver lesson; big buckets stay splittable by
+        # parquet row groups)
+        .repartition("ivf_bucket")
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(_batch_path(index_dir, _BASE_BATCH))
@@ -345,6 +351,8 @@ def append_to_ann_index(
         encoded.select(
             F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_bucket")
         )
+        # clustered append delta — see build_ann_index
+        .repartition("ivf_bucket")
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(_batch_path(index_dir, label))
@@ -518,6 +526,8 @@ def compact_ann_index(
         )
     (
         fold.select("id", "pq_code", "ivf_bucket")
+        # clustered fold — see build_ann_index
+        .repartition("ivf_bucket")
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(_batch_path(index_dir, new_base))

@@ -2364,7 +2364,7 @@ def _ann_index_dir_for(sf: str) -> str:
         ident = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         ident = os.path.abspath(src)
-    fp = hashlib.md5(f"{ident}:v1:c16-m16-k256".encode()).hexdigest()[:16]
+    fp = hashlib.md5(f"{ident}:v2:c16-m16-k256".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_ann_index", fp)
 
 
@@ -6373,7 +6373,7 @@ def _ann_lifecycle_dir_for(sf: str) -> str:
         ident = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         ident = os.path.abspath(src)
-    fp = hashlib.md5(f"{ident}:ann-life-v1".encode()).hexdigest()[:16]
+    fp = hashlib.md5(f"{ident}:ann-life-v2".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_ann_life", fp)
 
 
