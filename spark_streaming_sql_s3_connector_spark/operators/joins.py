@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +78,7 @@ def blocked_fuzzy_pairs(
     prefix_len: int = 8,
     cap_len: int = 64,
     max_block_pairs: int = 100_000,
+    pigeonhole_min_pairs: Optional[int] = None,
 ) -> DataFrame:
     """Record linkage by edit distance with prefix blocking — the
     classic fuzzy-join recipe (match near-identical titles/names/URLs
@@ -174,8 +175,20 @@ def blocked_fuzzy_pairs(
     # pigeonhole tier's explode+distinct overhead would dominate; only
     # HOT blocks (where the quadratic in-block volume is the actual
     # scale risk) pay the candidate machinery. Both tiers are lossless,
-    # so routing never changes the output.
-    pigeonhole_min_pairs = 1024
+    # so routing never changes the output. The default was MEASURED
+    # (r14, documents corpus, max_dist=5, interleaved 3-rep medians on
+    # an idle machine): at sf0.1 walls are nearly flat in the
+    # threshold — 1.58 / 1.35 / 1.28 / 1.27 s for 1k / 8k / 32k /
+    # never-pigeonhole (the machinery's fixed cost is ~0.3 s there) —
+    # but at sf0.5 the ordering INVERTS hard: 2.83 / 4.10 / 4.54 /
+    # 4.36 s. As data grows, typical in-block pair volume grows
+    # quadratically, so the volume mass sits in blocks a high
+    # threshold would route to the quadratic walk; 1024 keeps the
+    # 0.1→0.5 hop at 1.79x (vs 3.4x direct) at a ~0.3 s small-corpus
+    # premium — the right trade for an operator whose risk is the
+    # 100x direction.
+    if pigeonhole_min_pairs is None:
+        pigeonhole_min_pairs = 1024
     vol = F.col("_na") * F.col("_nb")
     ok_cold = blocks.where(vol <= pigeonhole_min_pairs).select("_blk")
     ok_hot = blocks.where(vol > pigeonhole_min_pairs).select("_blk")
@@ -195,12 +208,19 @@ def blocked_fuzzy_pairs(
         .where(keep)
     )
 
-    # segment frames stay NARROW (ids + segment key only — measured
-    # faster than carrying the capped strings through the ×66 window
-    # explode); candidates dedupe once, then the strings join back by id
+    # segment frames stay NARROW (ids + segment key + capped length —
+    # measured faster than carrying the capped strings through the ×66
+    # window explode); candidates dedupe once, then the strings join
+    # back by id. The length column feeds the LOSSLESS length-band
+    # prefilter on the candidate join (r14): two strings whose lengths
+    # differ by more than max_dist need more than max_dist edits, so
+    # banded levenshtein would return -1 anyway — filtering at the
+    # candidate join prunes them before the distinct and the two
+    # string back-joins instead of after the distance computation.
     seg_b = b_long.select(
         "_blk",
         "id_b",
+        F.length("_s_b").alias("_lb"),
         F.posexplode(
             F.array(
                 *[F.substring("_s_b", starts[i], seg_lens[i]) for i in range(n_seg)]
@@ -216,28 +236,58 @@ def blocked_fuzzy_pairs(
         for d in range(-max_dist, max_dist + 1)
         if starts[i] + d >= 1
     ]
-    seg_a = a_hot.select(
-        "_blk",
-        "id_a",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("_si"),
-                        F.substring("_s_a", starts[i] + d, seg_lens[i]).alias("_seg"),
-                    )
-                    for i, d in wins
-                ]
-            )
-        ).alias("_w"),
-    ).select(
-        "_blk",
-        "id_a",
-        F.col("_w._si").alias("_si"),
-        F.col("_w._seg").alias("_seg"),
+    seg_a = (
+        a_hot.select(
+            "_blk",
+            "id_a",
+            F.length("_s_a").alias("_la"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_si"),
+                            F.lit(d).alias("_d"),
+                            F.substring("_s_a", starts[i] + d, seg_lens[i]).alias(
+                                "_seg"
+                            ),
+                        )
+                        for i, d in wins
+                    ]
+                )
+            ).alias("_w"),
+        )
+        .select(
+            "_blk",
+            "id_a",
+            "_la",
+            F.col("_w._si").alias("_si"),
+            F.col("_w._d").alias("_d"),
+            F.col("_w._seg").alias("_seg"),
+        )
+        # windows past the a-string's end produce '' — no (non-empty)
+        # b segment can equal them, so dropping the rows is lossless
+        # and shrinks the explode output before the shuffle
+        .where(F.col("_seg") != "")
     )
+    # multi-match-aware shift filter (PassJoin's position lemma, r14):
+    # an untouched b-segment matched at shift d needs ≥|d| ins/dels
+    # BEFORE it (the net shift) and ≥|Δ−d| AFTER it (the remaining
+    # length difference, Δ = len_a − len_b), so |d| + |Δ−d| > max_dist
+    # rules this witness out. The TRUE alignment of the pigeonhole's
+    # untouched segment always satisfies the bound, so pruning the
+    # others is lossless — and it subsumes the plain length band
+    # (|Δ| ≤ max_dist follows by triangle inequality).
+    delta = seg_a["_la"] - seg_b["_lb"]
     cand = (
-        seg_a.join(seg_b, ["_blk", "_si", "_seg"]).select("id_a", "id_b").distinct()
+        seg_a.join(
+            seg_b,
+            (seg_a["_blk"] == seg_b["_blk"])
+            & (seg_a["_si"] == seg_b["_si"])
+            & (seg_a["_seg"] == seg_b["_seg"])
+            & (F.abs(seg_a["_d"]) + F.abs(delta - seg_a["_d"]) <= max_dist),
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
     pigeonholed = (
         cand.join(a_hot.select("id_a", "_s_a"), "id_a")
