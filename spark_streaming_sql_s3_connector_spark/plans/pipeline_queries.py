@@ -6426,18 +6426,29 @@ def _ann_refresh_bare(spark, sf):
     at the lifecycle cadence in production). Rows-only, bounded
     output: the served top-10 after the retrain (deterministic: same
     corpus, same quantizer seed) + a load-bearing ``refresh_ok`` bit
-    (the forced actuator must report it ran)."""
+    (the forced actuator must report it ran) and a load-bearing
+    ``timings_ok`` bit (r14: the standalone refresh must persist its
+    fold/rebuild/pointer_flip stage attribution under
+    ``_timings/refresh`` with spans that fit inside the total)."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         ann_index_topk,
     )
     from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
         _index_dir as _life_index_dir,
+        read_lifecycle_timings,
         refresh_lifecycle_if_drifted,
     )
 
     root = _ensure_ann_lifecycle(spark, sf)
     shift = refresh_lifecycle_if_drifted(spark, root, force=True)
     refresh_ok = shift is not None
+    t = read_lifecycle_timings(root, "refresh")
+    timings_ok = (
+        t is not None
+        and {"drift_check", "fold", "rebuild", "total"} <= set(t)
+        and sum(v for k, v in t.items() if k not in ("total", "batch_id"))
+        <= t["total"] + 0.05
+    )
     q = (
         load_table(spark, sf, "embeddings")
         .where(F.col("vec_id") == 1)
@@ -6450,6 +6461,7 @@ def _ann_refresh_bare(spark, sf):
             "neighbor_id",
             F.round("adc_score", 6).alias("adc_score"),
             F.lit(bool(refresh_ok)).alias("refresh_ok"),
+            F.lit(bool(timings_ok)).alias("timings_ok"),
         )
         .orderBy(F.col("adc_score").desc(), "neighbor_id")
     )

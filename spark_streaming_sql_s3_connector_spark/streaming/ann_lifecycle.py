@@ -85,7 +85,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_streaming_sql_s3_connector_spark.streaming import state_io
+from spark_streaming_sql_s3_connector_spark.streaming import stage_timings, state_io
+from spark_streaming_sql_s3_connector_spark.streaming.stage_timings import (
+    StageClock,
+    span as _span,
+)
 from spark_streaming_sql_s3_connector_spark.streaming.rollup import (
     _read_pointer,
     _write_pointer,
@@ -99,6 +103,24 @@ _BASELINE = "baseline"
 _WINDOW = "window"
 
 _MOMENT_COLS = ("dim", "n", "s", "ss")
+
+
+def _timings_dir(root: str) -> str:
+    return os.path.join(root, "_timings")
+
+
+def read_lifecycle_timings(root: str, label=None) -> Optional[dict]:
+    """Per-stage wall seconds of one lifecycle trigger (newest retained
+    batch when ``label`` is None) or of the last standalone forced
+    refresh (``label="refresh"``), or None if never recorded. Trigger
+    keys: ``landing_write`` | ``drift_check`` (the windowed-shift
+    decision; on a cadence batch includes a fired refresh's stages
+    below) | ``fold`` | ``rebuild`` | ``pointer_flip`` (when a refresh
+    fired) | ``moment_delta`` | ``append`` | ``compact`` (when the
+    cadence fired) | ``total`` | ``batch_id`` — the same attribution
+    surface the curation trigger carries (streaming/stage_timings.py),
+    so a slow refresh names its stage without re-profiling."""
+    return stage_timings.read_stage_timings(_timings_dir(root), label)
 
 
 def _index_dir(root: str) -> str:
@@ -598,6 +620,7 @@ def refresh_lifecycle_if_drifted(
     sample_rows: int = 100_000,
     exclude_batch: Optional[int] = None,
     force: bool = False,
+    clock: Optional[StageClock] = None,
 ) -> Optional[float]:
     """The lifecycle's drift actuator: when the WINDOWED shift crosses
     ``threshold``, rebuild the index wholesale from the landed vectors
@@ -614,7 +637,16 @@ def refresh_lifecycle_if_drifted(
     ``force`` skips the shift gate and retrains unconditionally (the
     manual-retrain lever, and what the refresh bench key times so its
     wall tracks corpus size, not whether synthetic drift fired);
-    returns the observed shift, or -1.0 when no window exists yet."""
+    returns the observed shift, or -1.0 when no window exists yet.
+
+    Stage attribution (r14, the curation trigger's `_StageClock`
+    pattern — it found that trigger's sliver-file disease in one
+    round): ``drift_check`` / ``fold`` / ``rebuild`` / ``pointer_flip``
+    wall seconds accumulate into ``clock`` when the caller passes one
+    (the trigger loop does, so a cadence refresh attributes inside the
+    batch's ``_timings/batch=<id>`` record); a standalone call that
+    actually fires persists its own stages under ``_timings/refresh``
+    (see :func:`read_lifecycle_timings`)."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         build_ann_index,
         load_index_meta,
@@ -625,45 +657,72 @@ def refresh_lifecycle_if_drifted(
 
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
-    shift = _windowed_drift_shift(spark, root)
+    standalone = clock is None
+    if standalone:
+        clock = StageClock()
+    with _span(clock, "drift_check"):
+        shift = _windowed_drift_shift(spark, root)
     if not force and (shift is None or shift <= threshold):
         return None
+    # A forced retrain on a bootstrapped-but-never-streamed lifecycle
+    # has no drift window (no baseline and/or no landed moments yet):
+    # treat it as a plain rebuild — fold + rebuild only, no moments
+    # merge, drift state untouched — so the manual-retrain lever never
+    # leaves the index and drift state out of sync mid-call.
+    no_window = False
+    if force and shift is None:
+        _, _baseline_probe, _ = _read_drift_state(spark, root)
+        try:
+            read_embedding_moments(spark, _moments_dir(root))
+        except FileNotFoundError:
+            no_window = True
+        if _baseline_probe is None:
+            no_window = True
     meta = load_index_meta(_index_dir(root))
     # fold the committed landings FIRST: the rebuild then reads one
     # base dir instead of a per-trigger dir population, and the plane's
     # listing stays bounded without a separate maintenance schedule. A
     # crash between fold and rebuild is benign: the drift state is
     # untouched, so the next check re-fires over the folded base.
-    fold_landed_vectors(
-        spark,
-        root,
-        upto_batch=(exclude_batch - 1) if exclude_batch is not None else None,
-    )
-    corpus = read_landed_vectors(spark, root, exclude_batch=exclude_batch)
-    build_ann_index(
-        corpus, meta["vec_col"], meta["id_col"], _index_dir(root),
-        n_centroids=meta["n_centroids"], m_subspaces=meta["m_subspaces"],
-        pq_centroids=meta["pq_centroids"], seed=meta["seed"],
-        sample_rows=sample_rows,
-    )
-    live = read_embedding_moments(spark, _moments_dir(root))
-    cur_v, baseline, snap = _read_drift_state(spark, root)
-    window = _subtract_moments(live, snap)
-    # new training set = old training set + WINDOW ⇒ its moments are
-    # the exact decimal sum of the two partials (mergeable by
-    # construction); summing the full cumulative live frame instead
-    # would re-count every pre-refresh batch on each later refresh
-    merged = (
-        baseline.unionByName(window)
-        .groupBy("dim")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("s").alias("s"),
-            F.sum("ss").alias("ss"),
+    with _span(clock, "fold"):
+        fold_landed_vectors(
+            spark,
+            root,
+            upto_batch=(exclude_batch - 1) if exclude_batch is not None else None,
         )
-    )
-    v = version if version is not None else (cur_v or 0) + 1
-    _write_drift_state(merged, live, root, v)
+    with _span(clock, "rebuild"):
+        corpus = read_landed_vectors(spark, root, exclude_batch=exclude_batch)
+        build_ann_index(
+            corpus, meta["vec_col"], meta["id_col"], _index_dir(root),
+            n_centroids=meta["n_centroids"], m_subspaces=meta["m_subspaces"],
+            pq_centroids=meta["pq_centroids"], seed=meta["seed"],
+            sample_rows=sample_rows,
+        )
+    if no_window:
+        if standalone:
+            stage_timings.write_stage_timings(_timings_dir(root), "refresh", clock)
+        return -1.0
+    with _span(clock, "pointer_flip"):
+        live = read_embedding_moments(spark, _moments_dir(root))
+        cur_v, baseline, snap = _read_drift_state(spark, root)
+        window = _subtract_moments(live, snap)
+        # new training set = old training set + WINDOW ⇒ its moments are
+        # the exact decimal sum of the two partials (mergeable by
+        # construction); summing the full cumulative live frame instead
+        # would re-count every pre-refresh batch on each later refresh
+        merged = (
+            baseline.unionByName(window)
+            .groupBy("dim")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("ss").alias("ss"),
+            )
+        )
+        v = version if version is not None else (cur_v or 0) + 1
+        _write_drift_state(merged, live, root, v)
+    if standalone:
+        stage_timings.write_stage_timings(_timings_dir(root), "refresh", clock)
     return shift if shift is not None else -1.0
 
 
@@ -686,7 +745,12 @@ def process_ann_lifecycle_batch(
     window, so a drift burst confined to one batch still raises the
     next cadenced alarm instead of being silently absorbed). Moments
     and the append both read back the just-landed ``batch=<id>``
-    parquet, so the trigger's source lineage is evaluated ONCE."""
+    parquet, so the trigger's source lineage is evaluated ONCE.
+
+    Per-stage wall seconds persist under ``_timings/batch=<id>`` with
+    the same bounded window as the curation trigger (r14 — see
+    :func:`read_lifecycle_timings`); a cadence refresh that fires
+    attributes its fold/rebuild/pointer_flip inside this record."""
     from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
         append_to_ann_index,
         compact_ann_index,
@@ -697,32 +761,38 @@ def process_ann_lifecycle_batch(
     )
 
     spark = batch.sparkSession
+    clock = StageClock()
     meta = load_index_meta(_index_dir(root))
-    land_dir = os.path.join(_vectors_dir(root), f"batch={batch_id}")
-    landing = batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"]))
-    _write_vectors_schema_once(root, landing.schema)
-    landing.write.mode("overwrite").parquet(land_dir)
-    landed = spark.read.schema(
-        batch.select(meta["id_col"], meta["vec_col"]).schema
-    ).parquet(land_dir)
+    with _span(clock, "landing_write"):
+        land_dir = os.path.join(_vectors_dir(root), f"batch={batch_id}")
+        landing = batch.select(F.col(meta["id_col"]), F.col(meta["vec_col"]))
+        _write_vectors_schema_once(root, landing.schema)
+        landing.write.mode("overwrite").parquet(land_dir)
+        landed = spark.read.schema(
+            batch.select(meta["id_col"], meta["vec_col"]).schema
+        ).parquet(land_dir)
     if check_every and batch_id > 0 and batch_id % check_every == 0:
         refresh_lifecycle_if_drifted(
             spark, root, threshold=threshold, version=batch_id,
-            sample_rows=sample_rows, exclude_batch=batch_id,
+            sample_rows=sample_rows, exclude_batch=batch_id, clock=clock,
         )
         meta = load_index_meta(_index_dir(root))  # quantizers may be new
-    embedding_moment_batch(
-        landed, batch_id, _moments_dir(root), meta["vec_col"]
-    )
-    append_to_ann_index(landed, _index_dir(root), batch_id=batch_id, meta=meta)
+    with _span(clock, "moment_delta"):
+        embedding_moment_batch(
+            landed, batch_id, _moments_dir(root), meta["vec_col"]
+        )
+    with _span(clock, "append"):
+        append_to_ann_index(landed, _index_dir(root), batch_id=batch_id, meta=meta)
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        compact_ann_index(spark, _index_dir(root), upto_batch=batch_id)
-        # bound the raw-vector plane on the same cadence; strictly
-        # below the in-flight batch (its landing commits with the
-        # checkpoint, not before). Geometrically gated: the O(corpus)
-        # base rewrites only when the pending deltas grow it by a
-        # constant factor (see fold_landed_vectors_if_due)
-        fold_landed_vectors_if_due(spark, root, upto_batch=batch_id - 1)
+        with _span(clock, "compact"):
+            compact_ann_index(spark, _index_dir(root), upto_batch=batch_id)
+            # bound the raw-vector plane on the same cadence; strictly
+            # below the in-flight batch (its landing commits with the
+            # checkpoint, not before). Geometrically gated: the O(corpus)
+            # base rewrites only when the pending deltas grow it by a
+            # constant factor (see fold_landed_vectors_if_due)
+            fold_landed_vectors_if_due(spark, root, upto_batch=batch_id - 1)
+    stage_timings.write_stage_timings(_timings_dir(root), batch_id, clock)
 
 
 def streaming_ann_lifecycle(

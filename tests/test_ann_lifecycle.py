@@ -514,3 +514,104 @@ def test_cadence_fold_is_geometrically_gated(spark, tmp_path):
     # rows are never lost across gated folds
     n = read_landed_vectors(spark, root).count()
     assert n == 400 + 10 + 10 + 300 + 5 + 5
+
+
+def test_forced_refresh_on_unstreamed_root_is_plain_rebuild(spark, tmp_path):
+    """r14 (advisor): force=True on a bootstrapped-but-never-streamed
+    root has no drift window (no moments/ yet). The manual-retrain
+    lever must degrade to a plain rebuild — index rewritten, drift
+    state UNTOUCHED, return -1.0 — instead of crashing after the
+    rebuild and leaving index and drift state out of sync."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _read_drift_state,
+        refresh_lifecycle_if_drifted,
+    )
+
+    root = str(tmp_path / "life")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=80)), "embedding", "vec_id", root, **GEOM
+    )
+    v_before, baseline_before, snap_before = _read_drift_state(spark, root)
+    assert refresh_lifecycle_if_drifted(spark, root, force=True) == -1.0
+    # drift state untouched: same version, same baseline, still no snap
+    v_after, baseline_after, snap_after = _read_drift_state(spark, root)
+    assert v_after == v_before
+    assert snap_after is None and snap_before is None
+    b0 = {r.dim: (r.n, r.s, r.ss) for r in baseline_before.collect()}
+    b1 = {r.dim: (r.n, r.s, r.ss) for r in baseline_after.collect()}
+    assert b1 == b0
+    # the rebuilt index still serves
+    q = _old_rows(n=1)[0][1]
+    hits = ann_index_topk(spark, _index_dir(root), q, k=5).collect()
+    assert len(hits) == 5
+    # and a later streamed trigger + forced refresh takes the normal
+    # path (window now exists, shift is a real float, state advances)
+    process_ann_lifecycle_batch(
+        _df(spark, _old_rows(n=40, start=5000, seed=13)),
+        1, root, threshold=10.0, check_every=0,
+    )
+    shift = refresh_lifecycle_if_drifted(spark, root, force=True)
+    assert shift is not None and shift >= 0.0
+    v2, _, snap2 = _read_drift_state(spark, root)
+    assert v2 == v_before + 1 and snap2 is not None
+
+
+def test_lifecycle_stage_timings_persist_and_age(spark, tmp_path):
+    """r14: every lifecycle trigger persists per-stage wall seconds
+    under `_timings/batch=<id>` (same bounded-window discipline as the
+    curation trigger); a cadence refresh attributes fold/rebuild inside
+    the trigger's record; a standalone forced refresh writes
+    `_timings/refresh`. Spans fit inside the recorded total."""
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        read_lifecycle_timings,
+        refresh_lifecycle_if_drifted,
+    )
+
+    root = str(tmp_path / "life")
+    bootstrap_ann_lifecycle(
+        _df(spark, _old_rows(n=120)), "embedding", "vec_id", root, **GEOM
+    )
+    for b in (1, 2):
+        process_ann_lifecycle_batch(
+            _df(spark, _old_rows(n=30, start=1000 * b, seed=b)),
+            b, root, threshold=100.0, check_every=2,
+        )
+    t1 = read_lifecycle_timings(root, 1)
+    assert t1 is not None and t1["batch_id"] == 1
+    assert {"landing_write", "moment_delta", "append", "total"} <= set(t1)
+    assert "rebuild" not in t1  # no cadence refresh on batch 1
+    spans = sum(v for k, v in t1.items() if k not in ("total", "batch_id"))
+    assert spans <= t1["total"] + 0.05
+    # batch 2 ran the cadenced drift check (threshold too high to fire:
+    # check recorded, no rebuild)
+    t2 = read_lifecycle_timings(root)  # newest
+    assert t2["batch_id"] == 2 and "drift_check" in t2 and "rebuild" not in t2
+    # a forced standalone refresh persists its own attribution
+    assert refresh_lifecycle_if_drifted(spark, root, force=True) is not None
+    tr = read_lifecycle_timings(root, "refresh")
+    assert tr is not None
+    assert {"drift_check", "fold", "rebuild", "pointer_flip", "total"} <= set(tr)
+    # a cadence batch where the refresh FIRES records the nested stages
+    process_ann_lifecycle_batch(
+        _df(spark, _new_rows(n=60, start=9000)), 3, root,
+        threshold=100.0, check_every=2,
+    )
+    process_ann_lifecycle_batch(
+        _df(spark, _new_rows(n=60, start=9500, seed=23)), 4, root,
+        threshold=0.0, check_every=2,
+    )
+    t4 = read_lifecycle_timings(root, 4)
+    assert {"drift_check", "fold", "rebuild", "pointer_flip"} <= set(t4)
+    # retention: the plane ages beyond the keep window
+    from spark_streaming_sql_s3_connector_spark.streaming import stage_timings
+    from spark_streaming_sql_s3_connector_spark.streaming import state_io
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        _timings_dir,
+    )
+
+    process_ann_lifecycle_batch(
+        _df(spark, _old_rows(n=5, start=50000)),
+        4 + stage_timings.KEEP, root, threshold=100.0, check_every=0,
+    )
+    ids = state_io.list_batch_ids(_timings_dir(root))
+    assert 4 not in ids and (4 + stage_timings.KEEP) in ids
