@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,7 +52,11 @@ from spark_streaming_sql_s3_connector_spark.operators.sampling import (
 from spark_streaming_sql_s3_connector_spark.streaming import (
     exact_dedup,
     line_dedup,
+    stage_timings,
     state_io,
+)
+from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+    run_concurrently,
 )
 
 
@@ -75,50 +78,36 @@ class _scoped_conf:
     probes, bounded shard windows — nothing AQE can re-plan), so AQE's
     per-query-stage materialization jobs are pure dispatch overhead on
     the per-trigger latency path (measured 9.6 → 7.8 s at sf0.01).
-    Restoring the effective value may pin a previously-default setting
-    explicitly — semantically identical."""
+    A key the session never set explicitly is UNSET on exit (not pinned
+    to its old effective value) so a later cluster-default change still
+    takes effect on shared sessions."""
 
     def __init__(self, spark: SparkSession, key: str, value: str):
         self._spark, self._key, self._value = spark, key, value
 
     def __enter__(self):
         self._old = self._spark.conf.get(self._key)
+        # get(key, None) bypasses the conf registry's default: non-None
+        # means the session (or submit-time --conf) set it explicitly
+        self._explicit = self._spark.conf.get(self._key, None) is not None
         self._spark.conf.set(self._key, self._value)
 
     def __exit__(self, *exc):
-        self._spark.conf.set(self._key, self._old)
+        if self._explicit:
+            self._spark.conf.set(self._key, self._old)
+        else:
+            try:
+                self._spark.conf.unset(self._key)
+            except Exception:
+                self._spark.conf.set(self._key, self._old)
         return False
 
 
-_TIMINGS_KEEP = 16  # bounded observability window — state stays O(1)
-
-
-class _StageClock:
-    """Wall-clock stage accumulator for one trigger. ``with clock("x")``
-    adds the elapsed seconds to stage ``x``; re-entering the same stage
-    accumulates (replay overwrites the whole file, so convergent)."""
-
-    def __init__(self) -> None:
-        self.stages: dict[str, float] = {}
-        self._t0 = time.monotonic()
-
-    def __call__(self, stage: str):
-        clock = self
-
-        class _Span:
-            def __enter__(self):
-                self._s = time.monotonic()
-
-            def __exit__(self, *exc):
-                clock.stages[stage] = round(
-                    clock.stages.get(stage, 0.0) + time.monotonic() - self._s, 4
-                )
-                return False
-
-        return _Span()
-
-    def total(self) -> float:
-        return round(time.monotonic() - self._t0, 4)
+# r14: the clock/plane machinery moved to streaming/stage_timings.py so
+# the ANN lifecycle shares the exact discipline; these aliases keep the
+# r13 surface (tests, bench) stable
+_TIMINGS_KEEP = stage_timings.KEEP
+_StageClock = stage_timings.StageClock
 
 
 def _write_trigger_timings(
@@ -129,22 +118,7 @@ def _write_trigger_timings(
     beyond the last ``_TIMINGS_KEEP`` batches — the plane is bounded
     observability, not durable state, so it ages like the reference's
     rolling metrics window rather than growing with trigger count."""
-    root = _timings_dir(pipeline_dir)
-    state_io.makedirs(root)
-    payload = dict(clock.stages)
-    payload["total"] = clock.total()
-    payload["batch_id"] = batch_id
-    state_io.write_text_atomic(
-        os.path.join(root, f"batch={batch_id}"),
-        json.dumps(payload, sort_keys=True),
-    )
-    stale = [
-        b
-        for b in state_io.list_batch_ids(root)
-        if b <= batch_id - _TIMINGS_KEEP
-    ]
-    for b in stale:
-        state_io.remove_file(os.path.join(root, f"batch={b}"))
+    stage_timings.write_stage_timings(_timings_dir(pipeline_dir), batch_id, clock)
 
 
 def read_trigger_timings(
@@ -157,19 +131,12 @@ def read_trigger_timings(
     ``finalize_gate`` | ``finalize_pack`` | ``vacuum`` (when the
     cadence fired) | ``total`` | ``batch_id`` —
     the attribution surface for trigger-latency regressions, so a slow
-    steady-state trigger names its stage without re-profiling."""
-    root = _timings_dir(pipeline_dir)
-    if batch_id is None:
-        ids = state_io.list_batch_ids(root)
-        if not ids:
-            return None
-        batch_id = max(ids)
-    try:
-        return json.loads(
-            state_io.read_text(os.path.join(root, f"batch={batch_id}"))
-        )
-    except FileNotFoundError:
-        return None
+    steady-state trigger names its stage without re-profiling. r14:
+    independent stages overlap (``bitmap_flush`` runs concurrently
+    with the finalize pair; screens submit their paired plane writes
+    in parallel), so each span bounds its own stage but the spans'
+    SUM may exceed ``total``."""
+    return stage_timings.read_stage_timings(_timings_dir(pipeline_dir), batch_id)
 
 
 def _line_index(pipeline_dir: str) -> str:
@@ -202,10 +169,19 @@ def process_curation_batch(
     expected_total_items: int = 1_000_000,
     monitor: bool = True,
     clock: Optional[_StageClock] = None,
+    defer_bitmaps: Optional[list] = None,
 ) -> None:
     """One micro-batch of the composed pipeline. Every write is keyed by
     ``batch=<id>`` and overwritten on replay — the same convergence
     argument as each component stage.
+
+    ``defer_bitmaps``: when the caller passes a list, the screens'
+    queued bloom ORs are NOT flushed here — ownership (the fused
+    `exact_dedup.flush_bitmap_updates` job AND the never-flushed
+    cleanup of the queued entries' persisted parents) moves to the
+    caller, which can overlap the flush with downstream work (the
+    bitmaps are advisory and only the NEXT trigger's probe reads
+    them). Default None keeps the self-contained behavior.
 
     ``monitor`` (default on) additionally maintains the pipeline's
     observability plane from the SAME micro-batch, at delta-log cost
@@ -244,34 +220,62 @@ def process_curation_batch(
     # the two screens queue their bloom ORs and flush them as ONE
     # partials job at the end of the trigger (r13: the per-trigger wall
     # is job dispatch, not rows — see exact_dedup.flush_bitmap_updates)
-    deferred: list = []
-    with _span(clock, "line_screen"):
-        line_dedup.process_batch(
-            batch.select(F.col(id_col), F.col(text_col)),
-            batch_id,
-            _line_index(pipeline_dir),
-            text_col=text_col,
-            id_col=id_col,
-            expected_total_items=expected_total_items,
-            defer_bitmaps=deferred,
-        )
-    with _span(clock, "exact_screen"):
-        # chain: this batch's line-deduped docs (committed state) feed
-        # the exact-dedup stage within the same trigger
-        deduped = spark.read.parquet(
-            line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
-        )
-        exact_dedup.process_batch(
-            deduped,
-            batch_id,
-            _exact_index(pipeline_dir),
-            text_col="deduped_text",
-            id_col=id_col,
-            expected_total_items=expected_total_items,
-            defer_bitmaps=deferred,
-        )
-    with _span(clock, "bitmap_flush"):
-        exact_dedup.flush_bitmap_updates(spark, deferred)
+    caller_owns_flush = defer_bitmaps is not None
+    deferred: list = defer_bitmaps if caller_owns_flush else []
+    flushed = False
+    try:
+        with _span(clock, "line_screen"):
+            line_dedup.process_batch(
+                batch.select(F.col(id_col), F.col(text_col)),
+                batch_id,
+                _line_index(pipeline_dir),
+                text_col=text_col,
+                id_col=id_col,
+                expected_total_items=expected_total_items,
+                defer_bitmaps=deferred,
+            )
+        with _span(clock, "exact_screen"):
+            # chain: this batch's line-deduped docs (committed state) feed
+            # the exact-dedup stage within the same trigger
+            deduped = spark.read.parquet(
+                line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+            )
+            exact_dedup.process_batch(
+                deduped,
+                batch_id,
+                _exact_index(pipeline_dir),
+                text_col="deduped_text",
+                id_col=id_col,
+                expected_total_items=expected_total_items,
+                defer_bitmaps=deferred,
+            )
+        if caller_owns_flush:
+            flushed = True  # ownership (flush + cleanup) is the caller's
+        else:
+            with _span(clock, "bitmap_flush"):
+                exact_dedup.flush_bitmap_updates(spark, deferred)
+                flushed = True
+    finally:
+        # a throw between a screen and the fused flush would otherwise
+        # leak the screens' persisted keeper frames — each checkpoint
+        # retry caching another copy; the flush's own finally handles
+        # the happy path, this handles the never-flushed one
+        if not flushed:
+            _unpersist_deferred_parents(deferred)
+
+
+def _unpersist_deferred_parents(deferred: list) -> None:
+    """Drop the persisted parents of queued-but-never-flushed
+    `DeferredBitmapUpdate` entries (the flush's finally does this on
+    the normal path)."""
+    for d in deferred:
+        if d is None:
+            continue
+        for p in getattr(d, "parents", []):
+            try:
+                p.unpersist()
+            except Exception:
+                pass
 
 
 def streaming_curation(
@@ -754,21 +758,32 @@ def finalize_curation_batch(
             thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
         gated = _gate_frozen(scored, thresholds).persist()
     try:
+        # the gated-plane write and the pack extension both consume the
+        # CACHED gated frame and touch disjoint planes with no ordering
+        # contract (overwrite-by-batch, replay-convergent, readers run
+        # between triggers) — submit them concurrently so their fixed
+        # per-job costs overlap (r14, streaming/concurrency). The span
+        # split becomes: finalize_gate = scoring + both writes' overlap
+        # window, finalize_pack = the pack tail beyond it.
         with _span(clock, "finalize_gate"):
             out = gated.select(id_col, "lang", "qscore")
             _write_plane_schema_once(
                 os.path.join(_pack_state_dir(pipeline_dir), "gated"), out.schema
             )
-            out.write.mode("overwrite").parquet(_gated_dir(pipeline_dir, batch_id))
         with _span(clock, "finalize_pack"):
-            pack_batch_incremental(
-                gated,
-                batch_id,
-                _pack_state_dir(pipeline_dir),
-                id_col,
-                capacity,
-                text_col="deduped_text",
-                num_shards=num_shards,
+            run_concurrently(
+                lambda: out.write.mode("overwrite").parquet(
+                    _gated_dir(pipeline_dir, batch_id)
+                ),
+                lambda: pack_batch_incremental(
+                    gated,
+                    batch_id,
+                    _pack_state_dir(pipeline_dir),
+                    id_col,
+                    capacity,
+                    text_col="deduped_text",
+                    num_shards=num_shards,
+                ),
             )
     finally:
         gated.unpersist()
@@ -886,27 +901,52 @@ def _process_curation_batch_incremental_inner(
     expected_total_items, monitor, frac, capacity, num_shards,
     vacuum_every, clock,
 ) -> None:
-    process_curation_batch(
-        batch,
-        batch_id,
-        pipeline_dir,
-        text_col=text_col,
-        id_col=id_col,
-        lang_col=lang_col,
-        expected_total_items=expected_total_items,
-        monitor=monitor,
-        clock=clock,
-    )
-    finalize_curation_batch(
-        batch.sparkSession,
-        batch_id,
-        pipeline_dir,
-        id_col=id_col,
-        frac=frac,
-        capacity=capacity,
-        num_shards=num_shards,
-        clock=clock,
-    )
+    deferred: list = []
+    flushed = False
+    try:
+        process_curation_batch(
+            batch,
+            batch_id,
+            pipeline_dir,
+            text_col=text_col,
+            id_col=id_col,
+            lang_col=lang_col,
+            expected_total_items=expected_total_items,
+            monitor=monitor,
+            clock=clock,
+            defer_bitmaps=deferred,
+        )
+
+        # the fused bitmap flush and the finalize touch disjoint planes
+        # with no ordering contract (the bitmaps are ADVISORY — only
+        # the NEXT trigger's probe reads them; finalize reads the
+        # screens' committed parquet, not the caches the flush owns) —
+        # overlap them so the flush's fixed job cost hides under the
+        # finalize wall (r14, streaming/concurrency). Stage spans
+        # therefore run on concurrent wall windows: each span still
+        # bounds its own stage, but their SUM may exceed `total`.
+        def _flush():
+            nonlocal flushed
+            with _span(clock, "bitmap_flush"):
+                exact_dedup.flush_bitmap_updates(batch.sparkSession, deferred)
+                flushed = True
+
+        run_concurrently(
+            _flush,
+            lambda: finalize_curation_batch(
+                batch.sparkSession,
+                batch_id,
+                pipeline_dir,
+                id_col=id_col,
+                frac=frac,
+                capacity=capacity,
+                num_shards=num_shards,
+                clock=clock,
+            ),
+        )
+    finally:
+        if not flushed:
+            _unpersist_deferred_parents(deferred)
     if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
         from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
 

@@ -67,6 +67,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.streaming import state_io
+from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+    run_concurrently,
+)
 
 from spark_streaming_sql_s3_connector_spark.operators.bloom import (
     BloomFilter,
@@ -624,20 +627,32 @@ def flush_bitmap_updates(spark: SparkSession, deferred: list) -> None:
                     {"_p": [p], "_s": [s], "bits": [bits.tobytes()]}
                 )
 
-        per_plane: dict[int, dict[int, np.ndarray]] = {}
-        for row in hashed.mapInPandas(
+        # drain the collect plane-by-plane: sort rows by plane tag,
+        # apply a plane's shard bits the moment its run ends, then drop
+        # them — peak driver footprint is the collected rows plus ONE
+        # plane's accumulated map, not every plane's at once (planes
+        # with no touched shards need no apply: empty map is a no-op)
+        rows = hashed.mapInPandas(
             bitmapper, "_p int, _s int, bits binary"
-        ).collect():
+        ).collect()
+        rows.sort(key=lambda r: r._p)
+        shard_map: dict[int, np.ndarray] = {}
+        cur_p: Optional[int] = None
+        for j in range(len(rows)):
+            row, rows[j] = rows[j], None
+            if cur_p is not None and row._p != cur_p:
+                d = deferred[cur_p]
+                _apply_shard_bits(spark, d.index_dir, shard_map, d.sm_bits, d.sk)
+                shard_map = {}
+            cur_p = row._p
             arr = np.frombuffer(row.bits, dtype=np.uint8)
-            shard_map = per_plane.setdefault(row._p, {})
             if row._s in shard_map:
                 shard_map[row._s] = shard_map[row._s] | arr
             else:
                 shard_map[row._s] = arr.copy()
-        for i, d in enumerate(deferred):
-            _apply_shard_bits(
-                spark, d.index_dir, per_plane.get(i, {}), d.sm_bits, d.sk
-            )
+        if cur_p is not None:
+            d = deferred[cur_p]
+            _apply_shard_bits(spark, d.index_dir, shard_map, d.sm_bits, d.sk)
     finally:
         for d in deferred:
             for p in d.parents:
@@ -751,20 +766,29 @@ def process_batch(
         new_rows = new_rows.unionByName(
             null_rows.select("_id", "key", "_shard")
         )
-        dups.write.mode("overwrite").parquet(_dups_dir(index_dir, batch_id))
         # NULL-key rows stay in _new as passthrough outputs — a NULL key
         # never equi-joins, so they can never produce a false duplicate
-        # verdict later. Write AFTER dups (same ordering argument as
-        # dedup_index: replay rewrites both idempotently).
+        # verdict later. The dups and _new writes are independent
+        # consumers of the cached matched/flagged frames and replay
+        # rewrites both idempotently (write order was never observable:
+        # readers run between triggers, the checkpoint commit is the
+        # atomicity boundary), so submit them concurrently — their
+        # fixed per-job costs overlap (r14, streaming/concurrency).
         # cluster by shard BEFORE the partitioned write: without it every
         # upstream task writes a sliver into every shard dir (~tasks ×
         # shards tiny files per delta — measured ~1,100/delta at sf0.1),
         # and each later trigger's history scan pays that many footer
         # reads; clustered, a delta is one file per shard (the same
         # discipline the base fold already applies)
-        new_rows.repartition("_shard").write.mode("overwrite").partitionBy(
-            "_shard"
-        ).parquet(_new_dir(index_dir, batch_id))
+        run_concurrently(
+            lambda: dups.write.mode("overwrite").parquet(
+                _dups_dir(index_dir, batch_id)
+            ),
+            lambda: new_rows.repartition("_shard")
+            .write.mode("overwrite")
+            .partitionBy("_shard")
+            .parquet(_new_dir(index_dir, batch_id)),
+        )
 
         # bitmap update: OR in ALL batch keys (supersets of the new ones
         # are harmless and make the update idempotent under replay);

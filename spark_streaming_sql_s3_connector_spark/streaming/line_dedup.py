@@ -48,6 +48,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+    run_concurrently,
+)
 from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
     _N_SHARDS,
     DeferredBitmapUpdate,
@@ -187,14 +190,26 @@ def process_batch(
                 ),
             )
         )
-        out.write.mode("overwrite").parquet(_docs_dir(index_dir, batch_id))
+        # the rebuilt-docs write and the index-delta write are
+        # independent consumers of the cached firsts/matched frames
+        # with no ordering contract (both overwrite batch=<id>,
+        # replay-convergent; readers run between triggers), so submit
+        # them concurrently — the trigger wall is job dispatch, and the
+        # two jobs' fixed costs overlap (r14; see streaming/concurrency)
         # index delta: keep (key, keeper id, shard) — _index_frames reads
-        # the same (_id, key, _shard) schema exact_dedup uses
+        # the same (_id, key, _shard) schema exact_dedup uses;
         # clustered delta write — one file per shard, not tasks×shards
         # slivers (see exact_dedup.process_batch)
-        new_firsts.select("_id", "key", "_shard").repartition("_shard").write.mode(
-            "overwrite"
-        ).partitionBy("_shard").parquet(_new_dir(index_dir, batch_id))
+        run_concurrently(
+            lambda: out.write.mode("overwrite").parquet(
+                _docs_dir(index_dir, batch_id)
+            ),
+            lambda: new_firsts.select("_id", "key", "_shard")
+            .repartition("_shard")
+            .write.mode("overwrite")
+            .partitionBy("_shard")
+            .parquet(_new_dir(index_dir, batch_id)),
+        )
 
         if defer_bitmaps is None:
             _update_shard_bitmaps(

@@ -625,8 +625,12 @@ def test_trigger_timings_recorded_and_bounded(spark, tmp_path):
         "finalize_gate", "finalize_pack",
     }
     assert stage_keys <= set(t)
-    spans = sum(v for k, v in t.items() if k in stage_keys)
-    assert 0 < spans <= t["total"]
+    # r14: the trigger overlaps independent stages (bitmap flush ∥
+    # finalize; paired plane writes inside screens), so spans run on
+    # concurrent wall windows — each span bounds its own stage and fits
+    # in the total, but their SUM may legitimately exceed it
+    assert all(0 <= t[k] <= t["total"] for k in stage_keys)
+    assert sum(t[k] for k in stage_keys) > 0
     # per-batch reads work; replay overwrites (batch_id stable, file count flat)
     assert read_trigger_timings(pipeline_dir, 0)["batch_id"] == 0
     n_before = len(state_io.list_batch_ids(_timings_dir(pipeline_dir)))
@@ -678,3 +682,30 @@ def test_trigger_scoped_aqe_off_restores_conf(spark, tmp_path):
             bad, 2, p1, expected_total_items=10_000
         )
     assert spark.conf.get(key) == before
+
+
+def test_scoped_conf_unsets_when_key_was_default(spark):
+    """r14 (advisor): `_scoped_conf` on a key the session never set
+    explicitly must leave it UNSET on exit (not pinned to the old
+    effective value) so a later cluster-default change still takes
+    effect on shared sessions; an explicitly-set key restores its
+    explicit value."""
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        _scoped_conf,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    assert spark.conf.get(key, None) is None, "test needs an unset key"
+    effective = spark.conf.get(key)
+    with _scoped_conf(spark, key, "1234567"):
+        assert spark.conf.get(key) == "1234567"
+    assert spark.conf.get(key, None) is None  # still default, not pinned
+    assert spark.conf.get(key) == effective
+    # explicitly-set keys keep the explicit restore path
+    spark.conf.set(key, "7654321")
+    try:
+        with _scoped_conf(spark, key, "1234567"):
+            assert spark.conf.get(key) == "1234567"
+        assert spark.conf.get(key, None) == "7654321"
+    finally:
+        spark.conf.unset(key)
