@@ -229,3 +229,176 @@ def test_composed_pipeline_lifecycle_over_file_uri(spark, uri_root, tmp_path):
     local = str(tmp_path / "state" / "pipeline")
     assert os.path.isdir(os.path.join(local, "pack_state"))
     assert os.path.isdir(os.path.join(local, "ann_life"))
+
+
+def test_hybrid_schemes_metadata_on_mock_data_on_file(spark, tmp_path):
+    """r14 (r13 verdict Next #5): the realistic deployment SPLITS the
+    planes — ingest/admission metadata (the reference's
+    RocksDB-on-S3 analog, S3ConnectorSource.scala:53-59) on the object
+    store, Spark-readable warehouse paths elsewhere. Drive the
+    JVM-read orchestrator with its metadataPath on a REGISTERED mock
+    scheme (admission resolves through `state_io.resolve`, so scheme
+    overrides reach it) while the source parquet and the composed
+    curation+lifecycle roots stay `file://`, then assert EVERY
+    admission-metadata op hit the mock filesystem (instrumented call
+    counts) with zero POSIX fallbacks."""
+    import random
+
+    from pyarrow.fs import _MockFileSystem
+
+    from spark_streaming_sql_s3_connector_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+    from spark_streaming_sql_s3_connector_spark.state.log_fs import (
+        ArrowLogFileSystem,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.ann_lifecycle import (
+        bootstrap_ann_lifecycle,
+        process_ann_lifecycle_batch,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.curation import (
+        process_curation_batch_incremental,
+        read_curated_pack,
+        read_trigger_timings,
+    )
+    from spark_streaming_sql_s3_connector_spark.streaming.orchestrator import (
+        MicroBatchOrchestrator,
+    )
+
+    class _CountingFS:
+        """Delegating proxy over the mock LogFileSystem: every metadata
+        call the admission plane makes lands here, by identity."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.counts: dict[str, int] = {}
+
+        def __getattr__(self, name):
+            attr = getattr(self._inner, name)
+            if not callable(attr):
+                return attr
+            counts = self.counts
+
+            def wrapper(*a, **k):
+                counts[name] = counts.get(name, 0) + 1
+                return attr(*a, **k)
+
+            return wrapper
+
+    meta_fs = _CountingFS(ArrowLogFileSystem(_MockFileSystem()))
+    state_io.register_scheme("hybridmeta", meta_fs)
+    try:
+        # source data on POSIX/file://; queue local; metadata mock://
+        rng = random.Random(23)
+        rows = [
+            (
+                i,
+                "en" if i % 2 == 0 else "de",
+                f"alpha beta line {i % 5}\ngamma delta doc {i} tail {i*i}",
+            )
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        src_dir = str(tmp_path / "src")
+        batches = [(0, 10), (10, 20), (20, 30)]
+        for b, (lo, hi) in enumerate(batches):
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b{b}")
+        files = [
+            f"{src_dir}/b{b}/{f}"
+            for b in range(3)
+            for f in sorted(os.listdir(f"{src_dir}/b{b}"))
+            if f.endswith(".parquet")
+        ]
+        qdir = str(tmp_path / "queue")
+        q = LocalFileQueueClient(f"local://{qdir}")
+        orch = MicroBatchOrchestrator(
+            spark,
+            {
+                "spark.s3conn.fileFormat": "parquet",
+                "spark.s3conn.queueUrl": f"local://{qdir}",
+                "spark.s3conn.queueType": "local",
+                "spark.s3conn.queueFetchWaitTimeoutSeconds": "1",
+                "spark.s3conn.maxFilesPerTrigger": "1",
+            },
+            "hybridmeta://admission-meta",
+            queue_client=q,
+        )
+        assert orch.controller.meta_fs is meta_fs  # routed, not POSIX
+
+        pipeline = "file://" + str(tmp_path / "warehouse" / "pipeline")
+        seen_batches = []
+
+        def _process(df, batch_id):
+            process_curation_batch_incremental(
+                df, batch_id, pipeline, expected_total_items=10_000
+            )
+            seen_batches.append((batch_id, df.count()))
+
+        try:
+            for f in files:
+                q.send_file_event(f, 1_700_000_000_000)
+            orch.run_available("doc_id long, lang string, text string", _process)
+        finally:
+            orch.close()
+        assert [n for _, n in seen_batches] == [10, 10, 10]
+
+        # the composed lifecycle inside the warehouse root, data on file://
+        emb_rows = [
+            (i, [rng.gauss(i % 3, 0.4) for _ in range(8)]) for i in range(30)
+        ]
+        emb = spark.createDataFrame(emb_rows, ["doc_id", "embedding"])
+        life = pipeline + "/ann_life"
+        bootstrap_ann_lifecycle(
+            emb.where(F.col("doc_id") < 20), "embedding", "doc_id", life,
+            n_centroids=4, m_subspaces=4, pq_centroids=16, seed=3,
+        )
+        process_ann_lifecycle_batch(
+            emb.where(F.col("doc_id") >= 20), 0, life, check_every=100
+        )
+        assert len(
+            ann_index_topk(
+                spark, life + "/index", emb_rows[1][1], k=5, n_probe=4
+            ).collect()
+        ) == 5
+        packed = {r["doc_id"] for r in read_curated_pack(spark, pipeline).collect()}
+        assert packed and read_trigger_timings(pipeline, 2)["batch_id"] == 2
+
+        # every admission-metadata op class flowed through the mock FS
+        for op in ("mkdirs", "write_atomic", "read_text", "exists"):
+            assert meta_fs.counts.get(op, 0) > 0, (op, meta_fs.counts)
+        # zero POSIX fallback: nothing on local disk resembles the
+        # metadata root, and a fresh controller on the same URI resumes
+        # from the mock-held state (offsets survived in-memory FS)
+        for d in (tmp_path, tmp_path / "warehouse"):
+            assert "hybridmeta:" not in ",".join(os.listdir(d))
+        assert not os.path.exists("hybridmeta:")
+        orch2 = MicroBatchOrchestrator(
+            spark,
+            {
+                "spark.s3conn.fileFormat": "parquet",
+                "spark.s3conn.queueUrl": f"local://{qdir}",
+                "spark.s3conn.queueType": "local",
+                "spark.s3conn.queueFetchWaitTimeoutSeconds": "1",
+                "spark.s3conn.maxFilesPerTrigger": "1",
+            },
+            "hybridmeta://admission-meta",
+            queue_client=LocalFileQueueClient(f"local://{qdir}"),
+        )
+        try:
+            assert orch2.controller.current_offset == 2
+            # redelivered events are dup-dropped against the mock-held log
+            for f in files:
+                q.send_file_event(f, 1_700_000_000_000)
+            n_extra = orch2.run_available(
+                "doc_id long, lang string, text string",
+                lambda df, bid: None,
+            )
+            assert n_extra == 0
+        finally:
+            orch2.close()
+    finally:
+        state_io.unregister_scheme("hybridmeta")
