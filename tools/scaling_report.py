@@ -215,6 +215,162 @@ def _ensure_sf1():
         scale_dir("/root/testdata/sf0.1", SF1, 10)
 
 
+def sustained_ingest(spark) -> None:
+    """r14 (r13 verdict Next #6): the reference's perf harness is a
+    LONG-RUNNING stream with files arriving between triggers
+    (DataConsumer.scala:78 — 15 s cadence over 5,000-file waves), but
+    every bench ingest key times ONE trigger. Drive 6 waves × 25 files
+    through the JVM-read orchestrator (the stated 100 TB shape) and the
+    stock file stream, print per-trigger walls, steady-state files/sec,
+    and the implied admission overhead per trigger (orchestrator
+    trigger wall minus a bare JVM read of the same wave's files)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_streaming_sql_s3_connector_spark.queueing.local import (
+        LocalFileQueueClient,
+    )
+
+    n_waves, wave = 6, 25
+    work = tempfile.mkdtemp(prefix="s3conn-sustained-")
+    try:
+        data_dir = os.path.join(work, "files")
+        os.makedirs(data_dir)
+        paths = []
+        for i in range(n_waves * wave + 1):
+            base = i * 200
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(range(base, base + 200), type=pa.int64()),
+                        "v": pa.array(
+                            [((base + j) % 97) / 7.0 for j in range(200)],
+                            type=pa.float64(),
+                        ),
+                    }
+                ),
+                os.path.join(data_dir, f"part-{i:05d}.parquet"),
+            )
+            paths.append(os.path.join(data_dir, f"part-{i:05d}.parquet"))
+        warm_file, paths = paths[0], paths[1:]
+        schema = "id BIGINT, v DOUBLE"
+        waves = [paths[k * wave : (k + 1) * wave] for k in range(n_waves)]
+
+        # bare JVM read of one wave (the floor the orchestrator adds
+        # admission/bookkeeping on top of); median of one read per wave
+        bare = []
+        for wv in waves:
+            t0 = time.time()
+            spark.read.schema(schema).parquet(*wv).agg(
+                F.count("*"), F.sum("id")
+            ).collect()
+            bare.append(time.time() - t0)
+        bare_med = sorted(bare)[len(bare) // 2]
+
+        from spark_streaming_sql_s3_connector_spark.streaming.orchestrator import (
+            MicroBatchOrchestrator,
+        )
+
+        qdir = os.path.join(work, "queue")
+        q = LocalFileQueueClient(f"local://{qdir}")
+        orch = MicroBatchOrchestrator(
+            spark,
+            {
+                "spark.s3conn.fileFormat": "parquet",
+                "spark.s3conn.queueUrl": f"local://{qdir}",
+                "spark.s3conn.queueType": "local",
+                "spark.s3conn.queueFetchWaitTimeoutSeconds": "1",
+                "spark.s3conn.maxFilesPerTrigger": "5000",
+            },
+            os.path.join(work, "meta"),
+            queue_client=q,
+        )
+        tot = {"n": 0}
+
+        def _process(df, _bid):
+            tot["n"] += df.agg(F.count("*")).collect()[0][0]
+
+        conn_walls = []
+        try:
+            orch.run_available(schema, _process)  # queue empty
+            q.send_file_event(warm_file, int(time.time() * 1000))
+            orch.run_available(schema, _process)  # first-trigger machinery
+            for wv in waves:
+                now = int(time.time() * 1000)
+                for f in wv:
+                    q.send_file_event(f, now)
+                t0 = time.time()
+                orch.run_available(schema, _process)
+                conn_walls.append(time.time() - t0)
+        finally:
+            orch.close()
+        conn_med = sorted(conn_walls)[len(conn_walls) // 2]
+
+        # stock file stream over the same waves
+        watch = os.path.join(work, "watched")
+        os.makedirs(watch)
+        stream = spark.readStream.schema(schema).parquet(watch)
+        query = (
+            stream.agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+            .writeStream.format("memory")
+            .queryName("sustained_fss")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        stock_walls = []
+        try:
+            query.processAllAvailable()
+            shutil.copy(warm_file, os.path.join(watch, "warm.parquet"))
+            query.processAllAvailable()
+            for wv in waves:
+                for f in wv:
+                    os.rename(f, os.path.join(watch, os.path.basename(f)))
+                t0 = time.time()
+                query.processAllAvailable()
+                stock_walls.append(time.time() - t0)
+        finally:
+            query.stop()
+        stock_med = sorted(stock_walls)[len(stock_walls) // 2]
+
+        n_files = n_waves * wave
+        print()
+        print("## Sustained multi-trigger ingest (r14)")
+        print()
+        print(
+            f"{n_waves} waves x {wave} files through a LIVE stream (warmed,"
+            " per-wave walls in seconds; steady-state = files / sum of"
+            " trigger walls):"
+        )
+        print()
+        print("| pipeline | per-trigger walls | median | files/sec |")
+        print("|---|---|---|---|")
+        print(
+            f"| connector (JVM orchestrator) | "
+            f"{', '.join(f'{w:.2f}' for w in conn_walls)} | {conn_med:.2f} |"
+            f" {n_files / sum(conn_walls):.0f} |"
+        )
+        print(
+            f"| stock file stream | "
+            f"{', '.join(f'{w:.2f}' for w in stock_walls)} | {stock_med:.2f} |"
+            f" {n_files / sum(stock_walls):.0f} |"
+        )
+        print()
+        print(
+            f"Bare JVM read of one {wave}-file wave (no admission):"
+            f" {bare_med:.2f} s median -> implied admission+bookkeeping"
+            f" overhead per connector trigger: {conn_med - bare_med:.2f} s."
+        )
+        if tot["n"] != n_files * 200 + 200:
+            print(f"ROW MISMATCH: orchestrator saw {tot['n']}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -325,6 +481,7 @@ def main():
         " (sf0.5/sf1 synthesized locally by tools/make_sf_scale.py:"
         " 5×/10× facts, key-shifted replicas, constant dup-rate)."
     )
+    sustained_ingest(spark)
     spark.stop()
 
 
