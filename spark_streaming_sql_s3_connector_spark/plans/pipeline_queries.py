@@ -470,7 +470,13 @@ def _lsh_bucket_pairs_docs(spark, sf):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         jitter(F.col("embedding"), F.col("vec_id")).alias("embedding"),
     )
-    corpus = emb.unionByName(jittered)
+    # eager localCheckpoint, not persist: the corpus feeds the signature
+    # pass AND both sides of the exact-rerank vector join — un-materialized,
+    # the jitter ArrowEval + parquet scan re-run 3×. A localCheckpoint is
+    # keyed to THIS DataFrame instance (a fresh one per invocation), so
+    # unlike a leaked .persist() it can never serve a later invocation's
+    # plan from cache — the recompute-from-parquet contract holds.
+    corpus = emb.unionByName(jittered).localCheckpoint(eager=True)
     return (
         lsh_bucket_pairs(corpus, "embedding", "vec_id", 0.9, dim=64)
         .select("id_a", "id_b")
@@ -537,35 +543,53 @@ def _similarity_recall_profile(spark, sf):
         pq_topk,
     )
 
+    from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+        run_concurrently,
+    )
+
     emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") != 0)
     q = _query_vector(spark, sf)
     brute = brute_force_topk(emb, "embedding", "vec_id", q, k=10).select("neighbor_id")
-    brute_ids = {r.neighbor_id for r in brute.collect()}
-    lsh_ids = {
-        r.neighbor_id
-        for r in lsh_ann_topk(emb, "embedding", "vec_id", q, k=10).collect()
-    }
-    ivf_ids = {
-        r.neighbor_id
-        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=8).collect()
-    }
-    # r6: PQ-ADC joins the recall gate (m=16 subspaces of the d=64
-    # embeddings; measured 8-9/10 at sf0.001-0.01, floor set at 5)
-    pq_ids = {
-        r.neighbor_id
-        for r in pq_topk(
+    # the four retrievers are INDEPENDENT pipelines over the same (tiny)
+    # corpus whose results only meet in driver-side set intersections —
+    # submit their collects from driver threads so the three approximate
+    # paths' fixed job costs (training sample scans, signature passes)
+    # back-fill the brute scan's tail instead of queueing behind it
+    # (r14, guide §2.6 overlap-independent-jobs; results are unchanged:
+    # each path is seeded-deterministic and reads committed parquet)
+    brute_rows, lsh_rows, ivf_rows, pq_rows = run_concurrently(
+        lambda: brute.collect(),
+        lambda: lsh_ann_topk(emb, "embedding", "vec_id", q, k=10).collect(),
+        lambda: ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=8).collect(),
+        # r6: PQ-ADC joins the recall gate (m=16 subspaces of the d=64
+        # embeddings; measured 8-9/10 at sf0.001-0.01, floor set at 5)
+        lambda: pq_topk(
             emb, "embedding", "vec_id", q, k=10, m_subspaces=16, n_centroids=256
-        ).collect()
-    }
+        ).collect(),
+    )
+    brute_ids = {r.neighbor_id for r in brute_rows}
+    lsh_ids = {r.neighbor_id for r in lsh_rows}
+    ivf_ids = {r.neighbor_id for r in ivf_rows}
+    pq_ids = {r.neighbor_id for r in pq_rows}
     lsh_ok = len(lsh_ids & brute_ids) >= 3
     ivf_ok = len(ivf_ids & brute_ids) >= 5
     pq_ok = len(pq_ids & brute_ids) >= 5
-    return brute.select(
-        "neighbor_id",
-        F.lit(bool(lsh_ok)).alias("lsh_recall_ge_30"),
-        F.lit(bool(ivf_ok)).alias("ivf_recall_ge_50"),
-        F.lit(bool(pq_ok)).alias("pq_recall_ge_50"),
-    ).orderBy("neighbor_id")
+    # build the bounded (k=10) result from the rows already collected —
+    # re-deriving it from the brute plan would re-run the whole corpus
+    # scan + cosine rank a second time when the caller executes the
+    # returned frame (same local-result shape as the IVF-pairs slot)
+    return (
+        spark.createDataFrame(
+            [(int(r.neighbor_id),) for r in brute_rows], "neighbor_id bigint"
+        )
+        .select(
+            "neighbor_id",
+            F.lit(bool(lsh_ok)).alias("lsh_recall_ge_30"),
+            F.lit(bool(ivf_ok)).alias("ivf_recall_ge_50"),
+            F.lit(bool(pq_ok)).alias("pq_recall_ge_50"),
+        )
+        .orderBy("neighbor_id")
+    )
 
 
 _SIMILARITY_RECALL_SQL = """
@@ -2183,9 +2207,22 @@ def _ivf_near_dup_pairs_docs(spark, sf):
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1_000_000).alias("id_b")
     )
     try:
-        n_got = got.count()
-        n_planted = planted.count()
-        missed = planted.join(got, ["id_a", "id_b"], "left_anti").count()
+        # ONE action for all three scalars (r14): the pair count, the
+        # planted count and the anti-join miss count are 1-row aggregates
+        # over the SAME cached `got` frame — a cross join of the three
+        # 1-row subtrees computes them in a single job instead of three
+        # sequential dispatches (the wall here is job count, not rows)
+        row = (
+            got.agg(F.count(F.lit(1)).alias("n_got"))
+            .crossJoin(planted.agg(F.count(F.lit(1)).alias("n_planted")))
+            .crossJoin(
+                planted.join(got, ["id_a", "id_b"], "left_anti").agg(
+                    F.count(F.lit(1)).alias("missed")
+                )
+            )
+            .collect()[0]
+        )
+        n_got, n_planted, missed = int(row.n_got), int(row.n_planted), int(row.missed)
     finally:
         got.unpersist()
         corpus.unpersist()

@@ -77,39 +77,65 @@ def term_stats_batch(
     corpus scans (``bm25_search_postings``); the storage cost is the
     classic one (O(distinct (doc, term) pairs)) and stays off unless a
     serving path asks for it."""
+    from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+        run_concurrently,
+    )
+
     toks = tokenize(F.lower(F.col(text_col)))
+    # tokenize ONCE per batch (r14): the terms delta, the corpus-totals
+    # delta (and the postings delta when on) each re-ran the regexp
+    # tokenizer over the batch text — the trigger's dominant per-row
+    # cost — as independent scans. One narrow (id, tokens) frame is
+    # persisted and every delta derives from it; the text column never
+    # outlives the first pass.
+    tokenized = batch.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).persist()
     terms = (
-        batch.select(F.explode(F.array_distinct(toks)).alias("term"))
+        tokenized.select(F.explode(F.array_distinct("_toks")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    corpus = batch.agg(
+    corpus = tokenized.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("bigint").alias("sum_dl"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).cast("bigint").alias("sum_dl"),
     )
-    terms.write.mode("overwrite").parquet(
-        _delta_dir(os.path.join(sink_dir, _TERMS), batch_id)
-    )
-    corpus.write.mode("overwrite").parquet(
-        _delta_dir(os.path.join(sink_dir, _CORPUS), batch_id)
-    )
-    if with_postings:
-        postings = (
-            batch.select(
-                F.col(id_col).alias("id"),
-                F.size(toks).alias("dl"),
-                F.explode(toks).alias("term"),
+    try:
+        # the per-batch delta writes touch disjoint dirs, are each
+        # overwrite-by-batch (replay-convergent) and share only the
+        # cached tokenized parent — submit them concurrently so their
+        # fixed per-job costs overlap (guide §2.6; the same discipline
+        # as the curation screens' paired plane writes)
+        writes = [
+            lambda: terms.write.mode("overwrite").parquet(
+                _delta_dir(os.path.join(sink_dir, _TERMS), batch_id)
+            ),
+            lambda: corpus.write.mode("overwrite").parquet(
+                _delta_dir(os.path.join(sink_dir, _CORPUS), batch_id)
+            ),
+        ]
+        if with_postings:
+            postings = (
+                tokenized.select(
+                    "id",
+                    F.size("_toks").alias("dl"),
+                    F.explode("_toks").alias("term"),
+                )
+                .groupBy("term", "id", "dl")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                # insert order — what delete markers rank against
+                .withColumn("b", F.lit(int(batch_id)).cast("long"))
+                .repartition(_POSTINGS_FILES, "term")
+                .sortWithinPartitions("term")
             )
-            .groupBy("term", "id", "dl")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-            # insert order — what delete markers rank against
-            .withColumn("b", F.lit(int(batch_id)).cast("long"))
-            .repartition(_POSTINGS_FILES, "term")
-            .sortWithinPartitions("term")
-        )
-        postings.write.mode("overwrite").parquet(
-            _delta_dir(os.path.join(sink_dir, _POSTINGS), batch_id)
-        )
+            writes.append(
+                lambda: postings.write.mode("overwrite").parquet(
+                    _delta_dir(os.path.join(sink_dir, _POSTINGS), batch_id)
+                )
+            )
+        run_concurrently(*writes)
+    finally:
+        tokenized.unpersist()
 
 
 def delete_docs_from_term_stats(
