@@ -603,11 +603,23 @@ def ngram_jaccard_pairs(
         if use_arrow
         else word_shingles(F.col(text_col), shingle_k)
     )
-    sh = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(shingle_expr).alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("set_size"))
+    # compute the shingle array ONCE and carry each doc's set size
+    # through the explode: shingles are distinct per doc, so
+    # size(array) equals the per-id exploded row count the former
+    # sizes aggregate produced, and sizes are functionally dependent
+    # on ids — grouping by (id, size) is the same grouping. The old
+    # sizes-agg + two size joins re-ran the shingle UDF and the source
+    # scan two extra times and paid an extra shuffle.
+    sh = (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), shingle_expr.alias("_shs"))
+        .select(
+            "_id",
+            F.size("_shs").alias("set_size"),
+            F.explode_outer("_shs").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
     # bucket by shingle and explode id pairs: one shuffle instead of a
     # two-sided self-join; the df cap below doubles as the bucket-size
     # skew guard, so pass max_bucket_size=None
@@ -615,18 +627,19 @@ def ngram_jaccard_pairs(
         bucket_pairs(
             sh,
             ["shingle"],
-            F.struct(F.col("_id")),
+            F.struct(F.col("_id"), F.col("set_size")),
             max_bucket_size=max_shingle_df,
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b"))
     return (
-        overlap.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        overlap.withColumn(
             "jaccard_sim",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
         )
@@ -668,21 +681,35 @@ def cross_corpus_jaccard_pairs(
     )
 
     def _sh(df: DataFrame, side: str) -> DataFrame:
+        # same one-pass shape as ngram_jaccard_pairs: the shingle UDF
+        # runs once per side and each doc's set size (== size of its
+        # distinct-shingle array == the row count the former sizes
+        # aggregate produced) rides along, so the sizes agg + two size
+        # joins — and their extra UDF/scan evaluations — disappear
         return (
             _spread(df)
+            .select(F.col(id_col).alias("_id"), shingle_expr.alias("_shs"))
             .select(
-                F.col(id_col).alias("_id"),
-                F.explode_outer(shingle_expr).alias("shingle"),
+                "_id",
+                F.size("_shs").alias("set_size"),
+                F.explode_outer("_shs").alias("shingle"),
             )
             .where(F.col("shingle").isNotNull())
             .withColumn("_side", F.lit(side))
         )
 
     sh = _sh(df_new, "n").unionByName(_sh(df_base, "b"))
-    sizes = sh.groupBy("_side", "_id").agg(F.count("*").alias("set_size"))
     grouped = sh.groupBy("shingle").agg(
-        F.collect_list(F.when(F.col("_side") == "n", F.col("_id"))).alias("_ns"),
-        F.collect_list(F.when(F.col("_side") == "b", F.col("_id"))).alias("_bs"),
+        F.collect_list(
+            F.when(
+                F.col("_side") == "n", F.struct(F.col("_id"), F.col("set_size"))
+            )
+        ).alias("_ns"),
+        F.collect_list(
+            F.when(
+                F.col("_side") == "b", F.struct(F.col("_id"), F.col("set_size"))
+            )
+        ).alias("_bs"),
     )
     filtered = grouped.where((F.size("_ns") > 0) & (F.size("_bs") > 0))
     if max_shingle_df is not None:
@@ -697,20 +724,15 @@ def cross_corpus_jaccard_pairs(
             ),
         )
     )
-    overlap = (
-        filtered.select(F.explode_outer(cross).alias("_p"))
-        .groupBy(F.col("_p.n").alias("id_new"), F.col("_p.b").alias("id_base"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sn = sizes.where(F.col("_side") == "n").select(
-        F.col("_id").alias("id_new"), F.col("set_size").alias("size_n")
-    )
-    sb = sizes.where(F.col("_side") == "b").select(
-        F.col("_id").alias("id_base"), F.col("set_size").alias("size_b")
-    )
     return (
-        overlap.join(sn, "id_new")
-        .join(sb, "id_base")
+        filtered.select(F.explode_outer(cross).alias("_p"))
+        .groupBy(
+            F.col("_p.n._id").alias("id_new"),
+            F.col("_p.b._id").alias("id_base"),
+            F.col("_p.n.set_size").alias("size_n"),
+            F.col("_p.b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard_sim",
             F.col("inter") / (F.col("size_n") + F.col("size_b") - F.col("inter")),

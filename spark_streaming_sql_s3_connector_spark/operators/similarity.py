@@ -731,12 +731,35 @@ def ivf_pq_topk(
     (``ivf_assign`` + ``pq_encode``, write partitioned by bucket), a
     query touches n_probe file groups and reads 8-16 B per candidate
     vector — the scan shape that serves top-k out of 10^10 vectors."""
-    if centroids is None:
-        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
-    if codebooks is None:
-        codebooks = pq_train(
-            df, vec_col, m_subspaces=m_subspaces, n_centroids=pq_centroids, seed=seed
+    if centroids is None or codebooks is None:
+        # the coarse quantizer and the PQ codebooks are INDEPENDENT
+        # trainings (each its own bounded sample scan + driver fit,
+        # deterministic in `seed` alone) — submit the two sample jobs
+        # from driver threads so their fixed scan/collect costs overlap
+        # instead of queueing (guide §2.6); results are unchanged
+        from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+            run_concurrently,
         )
+
+        trained = run_concurrently(
+            lambda: (
+                centroids
+                if centroids is not None
+                else ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+            ),
+            lambda: (
+                codebooks
+                if codebooks is not None
+                else pq_train(
+                    df,
+                    vec_col,
+                    m_subspaces=m_subspaces,
+                    n_centroids=pq_centroids,
+                    seed=seed,
+                )
+            ),
+        )
+        centroids, codebooks = trained[0], trained[1]
     q = [float(x) for x in query_vec]
     dists = [
         (sum((a - b) * (a - b) for a, b in zip(q, c)), i)

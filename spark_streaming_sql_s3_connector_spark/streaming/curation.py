@@ -170,7 +170,8 @@ def process_curation_batch(
     monitor: bool = True,
     clock: Optional[_StageClock] = None,
     defer_bitmaps: Optional[list] = None,
-) -> None:
+    handoff_docs: bool = False,
+):
     """One micro-batch of the composed pipeline. Every write is keyed by
     ``batch=<id>`` and overwritten on replay — the same convergence
     argument as each component stage.
@@ -183,6 +184,24 @@ def process_curation_batch(
     bitmaps are advisory and only the NEXT trigger's probe reads
     them). Default None keeps the self-contained behavior.
 
+    ``handoff_docs`` (r14): when True, returns ``(docs_df, cleanup)``
+    where ``docs_df`` is the line screen's rebuilt-docs frame, still
+    PERSISTED — the caller can feed it to the per-batch finalize
+    instead of re-reading the committed ``_docs/batch=<id>`` parquet —
+    and ``cleanup()`` drops the screen's caches (the caller must call
+    it, also on error paths). Default False keeps the self-contained
+    behavior (returns None).
+
+    Trigger concurrency (r14, guide §2.6): the meta/monitor plane
+    writes run beside the line screen (independent consumers of the
+    same batch), and the line screen's two plane writes run beside the
+    exact screen — which consumes the line screen's rebuilt-docs frame
+    DIRECTLY (cached, byte-identical to the committed parquet it used
+    to re-read) instead of waiting for the write to land. Stage spans
+    therefore run on concurrent wall windows: line_screen covers the
+    screen's own jobs, exact_screen covers the overlap window with the
+    line-plane writes.
+
     ``monitor`` (default on) additionally maintains the pipeline's
     observability plane from the SAME micro-batch, at delta-log cost
     (one wide partial row + one |langs|-row count delta per trigger,
@@ -193,61 +212,76 @@ def process_curation_batch(
     while the stream runs to catch schema/null/range anomalies and
     distribution shift BEFORE finalization."""
     spark = batch.sparkSession
-    # (doc_id, lang) side table for the finalization gate
-    with _span(clock, "meta"):
-        meta = batch.select(F.col(id_col), F.col(lang_col))
-        _write_plane_schema_once(os.path.join(pipeline_dir, "_meta"), meta.schema)
-        meta.write.mode("overwrite").parquet(_meta_dir(pipeline_dir, batch_id))
-    if monitor:
-        from spark_streaming_sql_s3_connector_spark.streaming.drift import (
-            count_batch,
-        )
-        from spark_streaming_sql_s3_connector_spark.streaming.profile import (
-            profile_batch,
-        )
 
-        with _span(clock, "monitor"):
-            profile_batch(
-                batch.select(
-                    F.col(id_col),
-                    F.col(lang_col),
-                    F.length(F.col(text_col)).alias("_text_chars"),
-                ),
-                batch_id,
-                _profile_dir(pipeline_dir),
+    def _meta_and_monitor() -> None:
+        # (doc_id, lang) side table for the finalization gate
+        with _span(clock, "meta"):
+            meta = batch.select(F.col(id_col), F.col(lang_col))
+            _write_plane_schema_once(os.path.join(pipeline_dir, "_meta"), meta.schema)
+            meta.write.mode("overwrite").parquet(_meta_dir(pipeline_dir, batch_id))
+        if monitor:
+            from spark_streaming_sql_s3_connector_spark.streaming.drift import (
+                count_batch,
             )
-            count_batch(batch, batch_id, _lang_counts_dir(pipeline_dir), lang_col)
+            from spark_streaming_sql_s3_connector_spark.streaming.profile import (
+                profile_batch,
+            )
+
+            with _span(clock, "monitor"):
+                profile_batch(
+                    batch.select(
+                        F.col(id_col),
+                        F.col(lang_col),
+                        F.length(F.col(text_col)).alias("_text_chars"),
+                    ),
+                    batch_id,
+                    _profile_dir(pipeline_dir),
+                )
+                count_batch(batch, batch_id, _lang_counts_dir(pipeline_dir), lang_col)
+
     # the two screens queue their bloom ORs and flush them as ONE
     # partials job at the end of the trigger (r13: the per-trigger wall
     # is job dispatch, not rows — see exact_dedup.flush_bitmap_updates)
     caller_owns_flush = defer_bitmaps is not None
     deferred: list = defer_bitmaps if caller_owns_flush else []
     flushed = False
+    docs_df = None
+    line_cleanup = None
+    ok = False
     try:
-        with _span(clock, "line_screen"):
-            line_dedup.process_batch(
-                batch.select(F.col(id_col), F.col(text_col)),
-                batch_id,
-                _line_index(pipeline_dir),
-                text_col=text_col,
-                id_col=id_col,
-                expected_total_items=expected_total_items,
-                defer_bitmaps=deferred,
-            )
+        line_writes: list = []
+
+        def _line_screen() -> None:
+            nonlocal docs_df, line_cleanup
+            with _span(clock, "line_screen"):
+                docs_df, line_cleanup = line_dedup.process_batch(
+                    batch.select(F.col(id_col), F.col(text_col)),
+                    batch_id,
+                    _line_index(pipeline_dir),
+                    text_col=text_col,
+                    id_col=id_col,
+                    expected_total_items=expected_total_items,
+                    defer_bitmaps=deferred,
+                    defer_writes=line_writes,
+                )
+
+        # phase 1: meta (+ monitor) plane writes ∥ the line screen's jobs
+        run_concurrently(_meta_and_monitor, _line_screen)
+        # phase 2: line-screen plane writes ∥ the exact screen over the
+        # SAME cached rebuilt-docs rows (chain semantics unchanged: the
+        # frame is exactly what lands under _docs/batch=<id>)
         with _span(clock, "exact_screen"):
-            # chain: this batch's line-deduped docs (committed state) feed
-            # the exact-dedup stage within the same trigger
-            deduped = spark.read.parquet(
-                line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
-            )
-            exact_dedup.process_batch(
-                deduped,
-                batch_id,
-                _exact_index(pipeline_dir),
-                text_col="deduped_text",
-                id_col=id_col,
-                expected_total_items=expected_total_items,
-                defer_bitmaps=deferred,
+            run_concurrently(
+                *line_writes,
+                lambda: exact_dedup.process_batch(
+                    docs_df,
+                    batch_id,
+                    _exact_index(pipeline_dir),
+                    text_col="deduped_text",
+                    id_col=id_col,
+                    expected_total_items=expected_total_items,
+                    defer_bitmaps=deferred,
+                ),
             )
         if caller_owns_flush:
             flushed = True  # ownership (flush + cleanup) is the caller's
@@ -255,6 +289,11 @@ def process_curation_batch(
             with _span(clock, "bitmap_flush"):
                 exact_dedup.flush_bitmap_updates(spark, deferred)
                 flushed = True
+        ok = True
+        if handoff_docs:
+            return docs_df, line_cleanup
+        line_cleanup()
+        return None
     finally:
         # a throw between a screen and the fused flush would otherwise
         # leak the screens' persisted keeper frames — each checkpoint
@@ -262,6 +301,8 @@ def process_curation_batch(
         # the happy path, this handles the never-flushed one
         if not flushed:
             _unpersist_deferred_parents(deferred)
+        if not ok and line_cleanup is not None:
+            line_cleanup()
 
 
 def _unpersist_deferred_parents(deferred: list) -> None:
@@ -681,19 +722,30 @@ def compact_curation_outputs(
 
 
 def _batch_survivors(
-    spark: SparkSession, pipeline_dir: str, batch_id: int, id_col: str
+    spark: SparkSession,
+    pipeline_dir: str,
+    batch_id: int,
+    id_col: str,
+    docs_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """THIS batch's curation survivors: its line-deduped docs ∩ its
     first-seen exact-dedup ids ∩ its (id, lang) side rows — all three
     already on disk under batch=<id> from `process_curation_batch`, so
-    this is three batch-sized scans, zero history reads."""
+    this is three batch-sized scans, zero history reads. ``docs_df``
+    (r14) lets the in-trigger finalize pass the line screen's still-
+    cached rebuilt-docs frame (byte-identical to the committed parquet)
+    and skip the docs re-read; standalone callers leave it None."""
     from spark_streaming_sql_s3_connector_spark.streaming.exact_dedup import (
         _INDEX_SCHEMA,
         _new_dir,
     )
 
-    docs = spark.read.parquet(
-        line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+    docs = (
+        docs_df
+        if docs_df is not None
+        else spark.read.parquet(
+            line_dedup._docs_dir(_line_index(pipeline_dir), batch_id)
+        )
     )
     uniq = (
         spark.read.schema(_INDEX_SCHEMA)
@@ -738,6 +790,7 @@ def finalize_curation_batch(
     capacity: int = 128,
     num_shards: int = 8,
     clock: Optional[_StageClock] = None,
+    docs_df: Optional[DataFrame] = None,
 ) -> None:
     """Incrementally finalize ONE committed micro-batch (call after
     `process_curation_batch` in the same trigger): freeze the quality
@@ -746,13 +799,16 @@ def finalize_curation_batch(
     rows under ``pack_state/gated/batch=<id>``, and extend the packed
     manifest via `packing_state.pack_batch_incremental`. Per-trigger
     cost: three batch-sized scans + one batch window shuffle; the
-    already-packed manifest never moves."""
+    already-packed manifest never moves. ``docs_df`` optionally reuses
+    the trigger's cached rebuilt-docs frame (see `_batch_survivors`)."""
     from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
         pack_batch_incremental,
     )
 
     with _span(clock, "finalize_gate"):
-        scored = _score(_batch_survivors(spark, pipeline_dir, batch_id, id_col))
+        scored = _score(
+            _batch_survivors(spark, pipeline_dir, batch_id, id_col, docs_df=docs_df)
+        )
         thresholds = read_frozen_thresholds(pipeline_dir)
         if thresholds is None:
             thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
@@ -903,8 +959,10 @@ def _process_curation_batch_incremental_inner(
 ) -> None:
     deferred: list = []
     flushed = False
+    docs_df = None
+    line_cleanup = None
     try:
-        process_curation_batch(
+        docs_df, line_cleanup = process_curation_batch(
             batch,
             batch_id,
             pipeline_dir,
@@ -915,16 +973,19 @@ def _process_curation_batch_incremental_inner(
             monitor=monitor,
             clock=clock,
             defer_bitmaps=deferred,
+            handoff_docs=True,
         )
 
         # the fused bitmap flush and the finalize touch disjoint planes
         # with no ordering contract (the bitmaps are ADVISORY — only
-        # the NEXT trigger's probe reads them; finalize reads the
-        # screens' committed parquet, not the caches the flush owns) —
-        # overlap them so the flush's fixed job cost hides under the
-        # finalize wall (r14, streaming/concurrency). Stage spans
-        # therefore run on concurrent wall windows: each span still
-        # bounds its own stage, but their SUM may exceed `total`.
+        # the NEXT trigger's probe reads them; finalize consumes the
+        # screens' cached rebuilt-docs frame — byte-identical to the
+        # committed parquet — plus committed batch dirs, not the caches
+        # the flush owns) — overlap them so the flush's fixed job cost
+        # hides under the finalize wall (r14, streaming/concurrency).
+        # Stage spans therefore run on concurrent wall windows: each
+        # span still bounds its own stage, but their SUM may exceed
+        # `total`.
         def _flush():
             nonlocal flushed
             with _span(clock, "bitmap_flush"):
@@ -942,11 +1003,14 @@ def _process_curation_batch_incremental_inner(
                 capacity=capacity,
                 num_shards=num_shards,
                 clock=clock,
+                docs_df=docs_df,
             ),
         )
     finally:
         if not flushed:
             _unpersist_deferred_parents(deferred)
+        if line_cleanup is not None:
+            line_cleanup()
     if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
         from spark_streaming_sql_s3_connector_spark.streaming.vacuum import vacuum
 

@@ -694,24 +694,31 @@ def process_batch(
     spark = batch.sparkSession
     sm_bits, sk = _shard_params(expected_total_items, fpp)
 
+    from pyspark.sql import Window
+
     flagged = None  # assigned in the bloom branch; finally unpersists it
     cached_matched = None  # assigned in the history branch; finally unpersists
     keyed = _keyed(batch, text_col, id_col)
     null_rows = keyed.where(F.col("key").isNull())
     keyed = keyed.where(F.col("key").isNotNull())
 
-    # within-batch keeper per key (min id); the rest are internal dups
-    agg = keyed.groupBy("key", "_shard").agg(
-        F.min("_id").alias("_id"), F.count("*").alias("_n")
+    # within-batch keeper per key (min id) in ONE window shuffle of the
+    # narrow (_id, key, _shard) frame — the agg+join form shuffled keyed
+    # twice (group agg, then the keyed×agg equi-join) to derive the same
+    # two row sets (r14, guide §2.4). A key's duplicate population here
+    # is whole-document copies (bounded), so concentrating a key on one
+    # partition carries none of the hot-LINE skew that keeps the line
+    # screen on its min-struct agg. `marked` is cached because keepers
+    # feeds the probe/screen/delta and internal_dups feeds the dups
+    # write — both are cheap filters over the one shuffled frame.
+    marked = keyed.withColumn(
+        "_keeper", F.min("_id").over(Window.partitionBy("key"))
+    ).persist()
+    keepers = marked.where(F.col("_id") == F.col("_keeper")).select(
+        "_id", "key", "_shard"
     )
-    keepers = agg.select("_id", "key", "_shard").persist()
-    internal_dups = (
-        keyed.join(
-            agg.select(F.col("key").alias("k2"), F.col("_id").alias("keeper_id")),
-            keyed["key"] == F.col("k2"),
-        )
-        .where(F.col("_id") != F.col("keeper_id"))
-        .select("_id", "key", F.lit("within_batch").alias("dup_kind"))
+    internal_dups = marked.where(F.col("_id") != F.col("_keeper")).select(
+        "_id", "key", F.lit("within_batch").alias("dup_kind")
     )
 
     try:
@@ -804,16 +811,16 @@ def process_batch(
                     keepers.select("key", "_shard"),
                     sm_bits,
                     sk,
-                    parents=[keepers],
+                    parents=[marked],
                 )
             )
     finally:
-        # deferred mode keeps `keepers` cached for the fused flush (the
+        # deferred mode keeps `marked` cached for the fused flush (the
         # deferred frame is a select off it); flush_bitmap_updates
-        # unpersists the select, and unpersisting the parent here would
-        # force the flush to recompute the batch agg
+        # unpersists the parent, and unpersisting it here would force
+        # the flush to recompute the batch window
         if defer_bitmaps is None:
-            keepers.unpersist()
+            marked.unpersist()
         if flagged is not None:
             flagged.unpersist()
         if cached_matched is not None:

@@ -94,17 +94,32 @@ def process_batch(
     expected_total_items: int = 1_000_000,
     fpp: float = 0.01,
     defer_bitmaps: Optional[list] = None,
-) -> None:
+    defer_writes: Optional[list] = None,
+):
     """One micro-batch of the incremental keep-first line dedup.
     Overwrites its ``batch=<id>`` outputs — replay converges.
     ``defer_bitmaps`` queues the bloom OR for a fused
-    `exact_dedup.flush_bitmap_updates` (see that docstring)."""
+    `exact_dedup.flush_bitmap_updates` (see that docstring).
+
+    ``defer_writes`` (r14): when a list is passed, the two batch-dir
+    writes (rebuilt docs, index delta) are NOT run here — zero-arg
+    thunks are appended for the CALLER to execute, typically overlapped
+    with the next stage's jobs (the curation trigger runs them beside
+    the exact screen, which consumes the same rows). The rebuilt-docs
+    frame is returned PERSISTED together with a cleanup callable:
+    ``(docs_df, cleanup)``. The caller MUST run both thunks and then
+    ``cleanup()`` (also on error paths) — the screen's intermediate
+    caches stay alive until then so the deferred writes don't recompute
+    the whole screen. Returns None in the default self-contained mode.
+    Replay semantics are unchanged: both writes still land inside the
+    same trigger, before the checkpoint commit."""
     spark = batch.sparkSession
     sm_bits, sk = _shard_params(expected_total_items, fpp)
 
     lines = _lines(batch, text_col, id_col).persist()
     flagged = None
     cached_matched = None  # assigned in the history branch; finally unpersists
+    handed_off = False
     try:
         # within-batch first occurrence per key (partial agg, windowless)
         firsts = (
@@ -200,16 +215,21 @@ def process_batch(
         # the same (_id, key, _shard) schema exact_dedup uses;
         # clustered delta write — one file per shard, not tasks×shards
         # slivers (see exact_dedup.process_batch)
-        run_concurrently(
-            lambda: out.write.mode("overwrite").parquet(
-                _docs_dir(index_dir, batch_id)
-            ),
+        write_docs = lambda: out.write.mode("overwrite").parquet(  # noqa: E731
+            _docs_dir(index_dir, batch_id)
+        )
+        write_delta = (  # noqa: E731
             lambda: new_firsts.select("_id", "key", "_shard")
             .repartition("_shard")
             .write.mode("overwrite")
             .partitionBy("_shard")
-            .parquet(_new_dir(index_dir, batch_id)),
+            .parquet(_new_dir(index_dir, batch_id))
         )
+        if defer_writes is None:
+            run_concurrently(write_docs, write_delta)
+        else:
+            out = out.persist()
+            defer_writes.extend([write_docs, write_delta])
 
         if defer_bitmaps is None:
             _update_shard_bitmaps(
@@ -225,15 +245,35 @@ def process_batch(
                     parents=[firsts],
                 )
             )
+        if defer_writes is not None:
+            handed_off = True
+            _flagged, _matched = flagged, cached_matched
+
+            def _cleanup() -> None:
+                lines.unpersist()
+                if defer_bitmaps is None:
+                    firsts.unpersist()
+                if _flagged is not None:
+                    _flagged.unpersist()
+                if _matched is not None:
+                    _matched.unpersist()
+                out.unpersist()
+
+            return out, _cleanup
+        return None
     finally:
-        lines.unpersist()
-        # deferred mode keeps `firsts` cached for the fused flush
-        if defer_bitmaps is None:
-            firsts.unpersist()
-        if flagged is not None:
-            flagged.unpersist()
-        if cached_matched is not None:
-            cached_matched.unpersist()
+        # deferred-writes mode hands cache ownership to the caller's
+        # cleanup; on its own error paths (handed_off still False) the
+        # usual unpersists run here
+        if not handed_off:
+            lines.unpersist()
+            # deferred mode keeps `firsts` cached for the fused flush
+            if defer_bitmaps is None:
+                firsts.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
+            if cached_matched is not None:
+                cached_matched.unpersist()
 
 
 def read_deduped_docs(spark: SparkSession, index_dir: str) -> DataFrame:
