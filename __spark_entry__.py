@@ -17,6 +17,17 @@ import os
 import sys
 from collections.abc import Callable
 
+# One BLAS thread per process (r14, guide §1.2 per-task work): Spark
+# already runs one task per core, so a threaded OpenBLAS inside each
+# Python worker (and the driver-side quantizer fits) oversubscribes and
+# pays thread-pool handoff on every small gemm — measured 10-20x on the
+# (n×4)@(4×256) PQ-assignment matmuls (20 ms threaded vs 1 ms single).
+# setdefault: an operator explicitly tuned by the deployment keeps its
+# setting. Must run before numpy first loads; workers inherit the env
+# in local mode (clusters: spark.executorEnv.OPENBLAS_NUM_THREADS=1).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 from pyspark.sql import DataFrame, SparkSession
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -24,6 +24,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+# one BLAS thread per process — Spark runs one task per core already;
+# threaded OpenBLAS inside 32 concurrent workers oversubscribes and
+# costs 10-20x on the small per-batch gemms (see __spark_entry__.py,
+# which sets the same default for the driver gate; guide §1.2). Workers
+# inherit the env in local mode; on a cluster this is
+# spark.executorEnv.OPENBLAS_NUM_THREADS=1.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")

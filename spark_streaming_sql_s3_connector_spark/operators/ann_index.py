@@ -63,12 +63,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_sql_s3_connector_spark.operators.similarity import (
+    _fit_ivf_centroids,
+    _fit_pq_books,
     brute_force_topk,
+    collect_training_sample,
     ivf_assign,
-    ivf_centroids,
     pq_encode,
     pq_topk,
-    pq_train,
 )
 from spark_streaming_sql_s3_connector_spark.state.log_fs import filesystem_for
 
@@ -258,12 +259,17 @@ def build_ann_index(
     JSON (centroids + codebooks + column names) is written last via
     tmp+rename, so a crashed build never looks complete. Returns the
     meta dict."""
-    centroids = ivf_centroids(
-        df, vec_col, n_centroids=n_centroids, seed=seed, sample_rows=sample_rows
+    # ONE shared sample scan for both quantizer fits (r14, guide §2.4):
+    # the coarse centroids and the PQ codebooks train on the SAME
+    # bounded head-quota sample, and each fit applies its own seeded
+    # trim/normalization — byte-identical models to the former
+    # two-scan form, one fewer full collect job per build
+    X = collect_training_sample(df, vec_col, sample_rows=sample_rows)
+    centroids = _fit_ivf_centroids(
+        X, n_centroids=n_centroids, seed=seed, sample_rows=sample_rows
     )
-    codebooks = pq_train(
-        df,
-        vec_col,
+    codebooks = _fit_pq_books(
+        X,
         m_subspaces=m_subspaces,
         n_centroids=pq_centroids,
         seed=seed,

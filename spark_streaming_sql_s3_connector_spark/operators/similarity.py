@@ -180,21 +180,104 @@ def lsh_bucket_pairs(
     # UDF; _sigs is always n_tables long so outer ≡ inner
     sig_udf = _lsh_sigs_udf(planes_per_table)
     base = df.select(
-        F.col(id_col).alias("_id"), sig_udf(F.col(vec_col)).alias("_sigs")
-    ).select("_id", F.posexplode_outer("_sigs").alias("table_idx", "sig"))
-    # bucket-group + pairwise explode on IDS ONLY: one shuffle, signatures
-    # computed once, and the pairwise explode never copies the vectors
-    # (an m-row bucket materializes m²/2 payload pairs — at 64 doubles per
-    # vector that dominates; ids are 8 bytes). Vectors join back onto the
-    # deduped candidate set for the exact cosine rerank.
-    from spark_streaming_sql_s3_connector_spark.operators.dedup import bucket_pairs
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        sig_udf(F.col(vec_col)).alias("_sigs"),
+    ).select("_id", "_vec", F.posexplode_outer("_sigs").alias("table_idx", "sig"))
+    # the vector RIDES the signature explode (n_tables copies of one
+    # row's payload — a few MB at corpus scale-per-bucket) into a
+    # per-(table, sig)-bucket blocked-gram rerank: candidate id pairs
+    # are never materialized and vectors are never joined per pair
+    # (r14, guide §8; the former id-explode → dedup → two vector joins
+    # shuffled every candidate with ~1 KB of payload twice)
+    return _bucket_gram_pairs(
+        base, ["table_idx", "sig"], "_vec", "_id", threshold
+    ).select(F.col("id_a"), F.col("id_b"), F.col("cosine"))
 
-    cand = (
-        bucket_pairs(base, ["table_idx", "sig"], F.struct(F.col("_id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+
+def _bucket_gram_pairs(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    max_bucket_size: Optional[int] = None,
+    block: int = 4096,
+) -> DataFrame:
+    """Exact-cosine pairs of rows sharing a bucket, computed PER BUCKET
+    as a blocked gram matrix — the candidate-pair explosion never
+    materializes and the vectors are never joined onto pairs.
+
+    The former shape (bucket_pairs id-explode → dropDuplicates → join
+    both vectors back → per-pair einsum) shuffled every candidate pair
+    with BOTH its 64-double payloads: at the IVF geometry of the bench
+    key that is ~10⁶ pairs × ~1 KB ≈ 1 GB through two joins for 4,000
+    input vectors. This shape shuffles each vector once per bucket
+    membership (the explode the caller already pays, a few MB), gathers
+    each bucket into one task, and emits only surviving pairs — the
+    guide §8 discipline (decide with a local gemm, never move payloads
+    per candidate). Every pair's cosine uses the same arithmetic as
+    `exact_rerank_pairs` (raw dot / max(norm·norm, 1e-300), zero when a
+    norm is 0); a pair sharing several buckets is deduped by
+    groupBy(max) — the blocked dgemm is deterministic per bucket, so
+    the output is run-stable.
+
+    ``max_bucket_size`` keeps bucket_pairs' skew-guard semantics: a
+    bucket with more rows contributes NO pairs (checked before any
+    compute). ``block`` bounds per-task memory at block×m gram cells —
+    a capped bucket never exceeds block×max_bucket_size doubles."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    return exact_rerank_pairs(df, cand, vec_col, id_col, threshold)
+    empty = {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "cosine": np.empty(0, np.float64)}
+
+    def gram(pdf):
+        m = len(pdf)
+        if m < 2 or (max_bucket_size is not None and m > max_bucket_size):
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy(np.int64)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        order = np.argsort(ids)  # shuffle-order independence
+        ids, X = ids[order], X[order]
+        norms = np.linalg.norm(X, axis=1)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, block):
+            Xi, ni = X[i0 : i0 + block], norms[i0 : i0 + block]
+            for j0 in range(i0, m, block):
+                G = Xi @ X[j0 : j0 + block].T
+                denom = ni[:, None] * norms[None, j0 : j0 + block]
+                cos = np.where(denom > 0, G / np.maximum(denom, 1e-300), 0.0)
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # strict upper triangle, id_a < id_b
+                if keep.any():
+                    out_a.append(ids[gi[keep]])
+                    out_b.append(ids[gj[keep]])
+                    out_c.append(cos[ii[keep], jj[keep]])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = bucketed.groupBy(*key_cols).applyInPandas(gram, out_schema)
+    # a pair co-bucketed k times surfaces k near-identical cosines (the
+    # dgemm block geometry can differ per bucket) — max() makes the
+    # retained value deterministic; survivors are tiny next to candidates
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def exact_rerank_pairs(
@@ -309,20 +392,22 @@ def ivf_near_dup_pairs(
     degenerate cells (same skew guard as the LSH/shingle joins)."""
     if centroids is None:
         centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
-    from spark_streaming_sql_s3_connector_spark.operators.dedup import bucket_pairs
-
     assign = _ivf_multi_assign_udf(centroids, n_assign)
+    # the vector rides the multi-assign explode (n_assign copies) into a
+    # per-cell blocked-gram rerank — candidate id pairs never
+    # materialize and vectors are never joined per pair (r14, guide §8;
+    # the former id-explode → dedup → two vector joins shuffled ~10⁶
+    # candidate pairs × ~1 KB of payload for 4,000 vectors at the bench
+    # geometry)
     base = df.select(
-        F.col(id_col).alias("_id"), assign(F.col(vec_col)).alias("_bkts")
-    ).select("_id", F.explode("_bkts").alias("bucket"))
-    cand = (
-        bucket_pairs(
-            base, ["bucket"], F.struct(F.col("_id")), max_bucket_size=max_bucket_size
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return exact_rerank_pairs(df, cand, vec_col, id_col, threshold)
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        assign(F.col(vec_col)).alias("_bkts"),
+    ).select("_id", "_vec", F.explode("_bkts").alias("bucket"))
+    return _bucket_gram_pairs(
+        base, ["bucket"], "_vec", "_id", threshold,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("id_a"), F.col("id_b"), F.col("cosine"))
 
 
 def ivf_centroids(
@@ -349,14 +434,40 @@ def ivf_centroids(
     first n_train vectors outright); spreading the quota across all
     partitions already mixes file ranges far more than that, and a
     coarse quantizer only needs coverage, not exact uniformity."""
+    X = collect_training_sample(df, vec_col, sample_rows=sample_rows)
+    return _fit_ivf_centroids(
+        X, n_centroids=n_centroids, seed=seed, sample_rows=sample_rows,
+        max_iter=max_iter,
+    )
+
+
+def collect_training_sample(
+    df: DataFrame, vec_col: str, sample_rows: int = 100_000
+):
+    """ONE bounded single-scan sample collect shared by every driver-side
+    quantizer fit: each partition contributes its first
+    ``2*sample_rows/n_partitions`` vectors and stops consuming input;
+    the driver returns the RAW (untrimmed, unnormalized) matrix — each
+    fit applies its own seeded trim/normalization exactly as before, so
+    a caller that trains the coarse quantizer AND the PQ codebooks from
+    one shared sample (``build_ann_index``, ``ivf_pq_topk``) gets
+    byte-identical models to the former two-scan form while paying the
+    scan+collect job ONCE (guide §2.4 — remove a whole pass outright).
+
+    No prior ``count()`` job (a full extra pass just to size a
+    fraction), and ``defaultParallelism`` instead of probing ``.rdd``
+    (the DataFrame→RDD conversion runs an analysis job just to size the
+    quota — an estimate is all it needs). Head-of-partition bias is the
+    faiss convention (it trains on the first n_train vectors outright);
+    spreading the quota across partitions already mixes file ranges far
+    more than that, and quantizers need coverage, not exact uniformity.
+    ``toPandas`` = Arrow batch transfer; ``.collect()``'s Row objects
+    cost seconds of per-row conversion at 10^5 vectors."""
     import math as _math
 
     import numpy as np
 
     sample = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    # defaultParallelism, not sample.rdd.getNumPartitions(): the
-    # DataFrame→RDD conversion runs an analysis job (~0.5 s) just to
-    # size the quota, and an estimate is all the quota needs
     n_parts = max(1, sample.sparkSession.sparkContext.defaultParallelism)
     quota = max(256, _math.ceil(2 * sample_rows / n_parts))
 
@@ -369,19 +480,37 @@ def ivf_centroids(
             taken += len(pdf)
             yield pdf
 
-    collected = sample.mapInPandas(head_quota, schema=sample.schema).collect()
-    X = np.array([r._v for r in collected], dtype=np.float64)
+    pdf = sample.mapInPandas(head_quota, schema=sample.schema).toPandas()
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+
+
+def _fit_ivf_centroids(
+    X,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    max_iter: int = 12,
+) -> list[list[float]]:
+    """Driver-side coarse-quantizer fit over an already-collected sample
+    matrix — the numpy half of :func:`ivf_centroids`, split out so
+    shared-sample callers (``build_ann_index``) skip the scan."""
+    import numpy as np
+
     rng = np.random.RandomState(seed)
     if len(X) > sample_rows:
         X = X[rng.choice(len(X), sample_rows, replace=False)]
-    # kmeans++ init
+    # kmeans++ init. The min distance to the chosen set is maintained
+    # INCREMENTALLY (min of the running array and the newest center's
+    # distances — exact: min is associative, every per-center distance
+    # array is computed by the same expression), not recomputed over
+    # every center each step: the full recompute is O(k²·n·d) numpy
+    # calls, the dominant fit cost at k≳32 (guide §1.2).
     centers = [X[rng.randint(len(X))]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, min(n_centroids, len(X))):
-        d2 = np.min(
-            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         probs = d2 / d2.sum() if d2.sum() > 0 else None
         centers.append(X[rng.choice(len(X), p=probs)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
     C = np.array(centers)
     # Lloyd's: assignment via argmax(x·c - ½||c||²) gemm
     for _ in range(max_iter):
@@ -538,47 +667,148 @@ def pq_train(
     ranks 10^10 vectors reads 32× less and computes table lookups, not
     dot products. Training cost is O(sample × dim), driver-side numpy.
     """
-    import math as _math
+    X = collect_training_sample(df, vec_col, sample_rows=sample_rows)
+    return _fit_pq_books(
+        X, m_subspaces=m_subspaces, n_centroids=n_centroids, seed=seed,
+        sample_rows=sample_rows, max_iter=max_iter,
+    )
 
+
+def _fit_pq_books(
+    X,
+    m_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    max_iter: int = 12,
+) -> list[list[list[float]]]:
+    """Driver-side PQ fit over an already-collected sample matrix ``X``
+    (rows × dim, unnormalized): the numpy half of :func:`pq_train`,
+    split out so callers that already hold the sample (shared-sample
+    trainings, see ``build_ann_index``) skip the scan.
+
+    The kmeans++ seeding runs LOCKSTEP across subspaces: the sequential
+    form is m_subspaces × (k−1) tiny-array numpy calls whose interpreter
+    overhead dominates the whole fit (measured ~6 s at m=16, k=256,
+    n=2000 — vs ~0.2 s vectorized; guide §1.2 "per-task work"). Draws
+    are pre-extracted from the SAME seeded RandomState in the SAME order
+    the sequential loop consumed them, every per-element arithmetic op
+    is kept identical (broadcast-subtract/square/sum, running minimum,
+    cumsum + left-searchsorted draw), so the chosen center indices — and
+    therefore the returned codebooks — are bit-identical. The one
+    data-dependent branch (a zero total distance, only reachable when
+    every remaining point coincides with a chosen center) falls back to
+    the sequential loop for that degenerate input."""
     import numpy as np
 
-    sample = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    # defaultParallelism, not sample.rdd.getNumPartitions(): the
-    # DataFrame→RDD conversion runs an analysis job (~0.5 s) just to
-    # size the quota, and an estimate is all the quota needs
-    n_parts = max(1, sample.sparkSession.sparkContext.defaultParallelism)
-    quota = max(256, _math.ceil(2 * sample_rows / n_parts))
+    X_raw = X
+    rng = np.random.RandomState(seed)
+    if len(X) > sample_rows:
+        X = X[rng.choice(len(X), sample_rows, replace=False)]
+    X = _normalized_rows(X)
+    n, d = X.shape
+    if d % m_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    dsub = d // m_subspaces
+    k = min(n_centroids, n)
+    # pre-draw the rng stream in the sequential loop's exact consumption
+    # order: per subspace, one randint (first center) then k-1 uniform
+    # doubles (one per ++ step, assuming every step's total distance is
+    # positive — the non-degenerate case; verified below)
+    first_idx = []
+    step_draws = []
+    for _m in range(m_subspaces):
+        first_idx.append(rng.randint(n))
+        step_draws.append(rng.random_sample(k - 1) if k > 1 else np.empty(0))
+    # lockstep kmeans++: D2[m] is subspace m's running min squared
+    # distance; one (m_subspaces, n, dsub) broadcast per step replaces
+    # m_subspaces sequential steps of tiny-array calls
+    Xsub = np.ascontiguousarray(
+        X.reshape(n, m_subspaces, dsub).transpose(1, 0, 2)
+    )  # (m, n, dsub)
+    chosen = np.empty((m_subspaces, k), dtype=np.int64)
+    chosen[:, 0] = first_idx
+    first_centers = Xsub[np.arange(m_subspaces), chosen[:, 0]]  # (m, dsub)
+    D2 = ((Xsub - first_centers[:, None, :]) ** 2).sum(axis=2)  # (m, n)
+    degenerate = False
+    for s in range(1, k):
+        cs = np.cumsum(D2, axis=1)  # (m, n)
+        tot = cs[:, -1]
+        if not (tot > 0).all():
+            degenerate = True
+            break
+        vals = np.array([step_draws[m][s - 1] for m in range(m_subspaces)]) * tot
+        # first index with cumsum >= draw — identical to the sequential
+        # np.searchsorted(cumsum, draw) ('left') + clamp
+        idx = np.minimum((cs >= vals[:, None]).argmax(axis=1), n - 1)
+        chosen[:, s] = idx
+        nxt = Xsub[np.arange(m_subspaces), idx]  # (m, dsub)
+        D2 = np.minimum(D2, ((Xsub - nxt[:, None, :]) ** 2).sum(axis=2))
+    if degenerate:
+        return _fit_pq_books_sequential(
+            X_raw, m_subspaces=m_subspaces, n_centroids=n_centroids,
+            seed=seed, sample_rows=sample_rows, max_iter=max_iter,
+        )
+    books = []
+    for m in range(m_subspaces):
+        Xs = X[:, m * dsub : (m + 1) * dsub]
+        C = Xs[chosen[m]]
+        C = _pq_lloyd(Xs, C, max_iter)
+        books.append([list(map(float, c)) for c in C])
+    return books
 
-    def head_quota(batches):
-        taken = 0
-        for pdf in batches:
-            if taken + len(pdf) >= quota:
-                yield pdf.iloc[: quota - taken]
-                break
-            taken += len(pdf)
-            yield pdf
 
-    # toPandas = Arrow batch transfer; .collect()'s Row objects cost
-    # seconds of per-row conversion at 10^5 vectors
-    pdf = sample.mapInPandas(head_quota, schema=sample.schema).toPandas()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+def _pq_lloyd(Xs, C, max_iter: int):
+    """The (unchanged) Lloyd refinement loop of one PQ subspace."""
+    import numpy as np
+
+    for _ in range(max_iter):
+        assign = (Xs @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        # scatter means via bincount — per-centroid boolean masks are
+        # k passes over the sample per iteration, the training hotspot
+        counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+        sums = np.stack(
+            [
+                np.bincount(assign, weights=Xs[:, j], minlength=len(C))
+                for j in range(Xs.shape[1])
+            ],
+            axis=1,
+        )
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def _fit_pq_books_sequential(
+    X,
+    m_subspaces: int,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+    sample_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """The original per-subspace sequential fit — the degenerate-input
+    fallback of :func:`_fit_pq_books`. Takes the RAW (untrimmed,
+    unnormalized) sample and replays the historical rng consumption from
+    the start (trim draw included), so the zero-total branch yields the
+    exact codebooks the sequential implementation always produced."""
+    import numpy as np
+
     rng = np.random.RandomState(seed)
     if len(X) > sample_rows:
         X = X[rng.choice(len(X), sample_rows, replace=False)]
     X = _normalized_rows(X)
     d = X.shape[1]
-    if d % m_subspaces != 0:
-        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
     dsub = d // m_subspaces
     k = min(n_centroids, len(X))
     books = []
     for m in range(m_subspaces):
         Xs = X[:, m * dsub : (m + 1) * dsub]
         centers = [Xs[rng.randint(len(Xs))]]
-        # incremental min-distance kmeans++ (O(k·n·d) — recomputing every
-        # center's distances per step is O(k²·n·d), minutes at k=256)
-        # with a cumsum+searchsorted draw per step instead of
-        # rng.choice's per-call validation overhead
         d2 = ((Xs - centers[0]) ** 2).sum(axis=1)
         for _ in range(1, k):
             tot = d2.sum()
@@ -590,25 +820,7 @@ def pq_train(
             nxt = Xs[idx]
             centers.append(nxt)
             d2 = np.minimum(d2, ((Xs - nxt) ** 2).sum(axis=1))
-        C = np.array(centers)
-        for _ in range(max_iter):
-            assign = (Xs @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
-            # scatter means via bincount — per-centroid boolean masks are
-            # k passes over the sample per iteration, the training hotspot
-            counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
-            sums = np.stack(
-                [
-                    np.bincount(assign, weights=Xs[:, j], minlength=len(C))
-                    for j in range(Xs.shape[1])
-                ],
-                axis=1,
-            )
-            newC = C.copy()
-            nz = counts > 0
-            newC[nz] = sums[nz] / counts[nz, None]
-            if np.allclose(newC, C):
-                break
-            C = newC
+        C = _pq_lloyd(Xs, np.array(centers), max_iter)
         books.append([list(map(float, c)) for c in C])
     return books
 
@@ -732,34 +944,18 @@ def ivf_pq_topk(
     query touches n_probe file groups and reads 8-16 B per candidate
     vector — the scan shape that serves top-k out of 10^10 vectors."""
     if centroids is None or codebooks is None:
-        # the coarse quantizer and the PQ codebooks are INDEPENDENT
-        # trainings (each its own bounded sample scan + driver fit,
-        # deterministic in `seed` alone) — submit the two sample jobs
-        # from driver threads so their fixed scan/collect costs overlap
-        # instead of queueing (guide §2.6); results are unchanged
-        from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
-            run_concurrently,
-        )
-
-        trained = run_concurrently(
-            lambda: (
-                centroids
-                if centroids is not None
-                else ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
-            ),
-            lambda: (
-                codebooks
-                if codebooks is not None
-                else pq_train(
-                    df,
-                    vec_col,
-                    m_subspaces=m_subspaces,
-                    n_centroids=pq_centroids,
-                    seed=seed,
-                )
-            ),
-        )
-        centroids, codebooks = trained[0], trained[1]
+        # the coarse quantizer and the PQ codebooks train on ONE shared
+        # bounded sample scan (r14, guide §2.4 — this replaces the two
+        # overlapped scans: one job beats two concurrent ones); each
+        # fit applies its own seeded trim/normalization, so the models
+        # are byte-identical to the former independent trainings
+        X = collect_training_sample(df, vec_col)
+        if centroids is None:
+            centroids = _fit_ivf_centroids(X, n_centroids=n_centroids, seed=seed)
+        if codebooks is None:
+            codebooks = _fit_pq_books(
+                X, m_subspaces=m_subspaces, n_centroids=pq_centroids, seed=seed
+            )
     q = [float(x) for x in query_vec]
     dists = [
         (sum((a - b) * (a - b) for a, b in zip(q, c)), i)

@@ -117,10 +117,12 @@ def test_lsh_candidates_single_udf_eval(spark):
     )
     # exactly one signature-UDF node (a duplicated eval via
     # InferFiltersFromGenerate pushdown would show a second) plus the
-    # fused rerank MapInPandas (compute+filter in one pass — a
-    # .where(udf>=t) would split into Filter + re-projection)
+    # r14 per-bucket blocked-gram rerank (FlatMapGroupsInPandas — the
+    # candidate id-pair explode and its two per-pair vector joins are
+    # gone; guide §8) and NO join in the plan at all
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "Join" not in plan
 
 
 def test_streaming_source_prunes_nothing_extra(spark):
