@@ -146,15 +146,26 @@ def _write_drift_state(
     ONE pointer flip — a crash between the parquet writes leaves the
     old version intact and readable (there is no torn state where a new
     baseline pairs with a stale window)."""
+    from spark_streaming_sql_s3_connector_spark.streaming.concurrency import (
+        run_concurrently,
+    )
+
     sub_root = _drift_state_root(root)
     v_dir = os.path.join(sub_root, f"v={version}")
-    baseline.select(*_MOMENT_COLS).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(v_dir, _BASELINE)
-    )
+
+    def _write(df: DataFrame, name: str):
+        return lambda: df.select(*_MOMENT_COLS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(v_dir, name))
+
+    # the two d-row snapshot writes land in DIFFERENT subdirs of the
+    # not-yet-pointed v_dir and nothing reads them until the pointer
+    # flips below, so they submit concurrently (r14; the trigger's
+    # disjoint plane writes use the same pattern)
+    writes = [_write(baseline, _BASELINE)]
     if window is not None:
-        window.select(*_MOMENT_COLS).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(v_dir, _WINDOW)
-        )
+        writes.append(_write(window, _WINDOW))
+    run_concurrently(*writes)
     _write_pointer(sub_root, version)
     for v in state_io.list_versions(sub_root):
         if v != version:
@@ -572,11 +583,22 @@ def _subtract_moments(live: DataFrame, snap: Optional[DataFrame]) -> DataFrame:
     )
 
 
-def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
-    """Max standardized mean shift of the moments accumulated SINCE the
-    last (re)build vs the current quantizers' training-set moments —
-    three d-row reads plus exact decimal subtraction, zero corpus IO.
-    None when there is no baseline or no post-window mass yet."""
+def _windowed_drift_state(
+    spark: SparkSession, root: str
+) -> tuple[
+    Optional[float],
+    Optional[DataFrame],
+    Optional[DataFrame],
+    Optional[DataFrame],
+    Optional[int],
+]:
+    """(shift, live, baseline, window-snapshot, version) in one probe —
+    the shift plus every frame it read, so a caller that goes on to
+    commit a refresh reuses them instead of re-listing and re-inferring
+    the same d-row planes (r14: the pointer-flip stage re-read all
+    three). ``live`` is the RAW merged moments (pre-subtraction);
+    ``shift`` is None when there is no baseline, no landed moments, or
+    no post-window mass yet."""
     from spark_streaming_sql_s3_connector_spark.operators.drift import (
         embedding_drift_from_moments,
     )
@@ -584,21 +606,21 @@ def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
         read_embedding_moments,
     )
 
-    _, baseline, snap = _read_drift_state(spark, root)
-    if baseline is None:
-        return None
+    ver, baseline, snap = _read_drift_state(spark, root)
     try:
         live = read_embedding_moments(spark, _moments_dir(root))
     except FileNotFoundError:
-        return None
-    live = _subtract_moments(live, snap)
+        live = None
+    if baseline is None or live is None:
+        return None, live, baseline, snap, ver
+    window = _subtract_moments(live, snap)
     mo = baseline.select(
         "dim",
         F.col("n").alias("_n_o"),
         F.col("s").alias("_s_o"),
         F.col("ss").alias("_ss_o"),
     )
-    mn = live.select(
+    mn = window.select(
         "dim",
         F.col("n").alias("_n_n"),
         F.col("s").alias("_s_n"),
@@ -609,7 +631,16 @@ def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
         .agg(F.max("mean_shift").alias("m"))
         .collect()[0]
     )
-    return float(row.m) if row.m is not None else None
+    shift = float(row.m) if row.m is not None else None
+    return shift, live, baseline, snap, ver
+
+
+def _windowed_drift_shift(spark: SparkSession, root: str) -> Optional[float]:
+    """Max standardized mean shift of the moments accumulated SINCE the
+    last (re)build vs the current quantizers' training-set moments —
+    three d-row reads plus exact decimal subtraction, zero corpus IO.
+    None when there is no baseline or no post-window mass yet."""
+    return _windowed_drift_state(spark, root)[0]
 
 
 def refresh_lifecycle_if_drifted(
@@ -651,9 +682,6 @@ def refresh_lifecycle_if_drifted(
         build_ann_index,
         load_index_meta,
     )
-    from spark_streaming_sql_s3_connector_spark.streaming.drift import (
-        read_embedding_moments,
-    )
 
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
@@ -661,23 +689,16 @@ def refresh_lifecycle_if_drifted(
     if standalone:
         clock = StageClock()
     with _span(clock, "drift_check"):
-        shift = _windowed_drift_shift(spark, root)
+        shift, live, baseline, snap, cur_v = _windowed_drift_state(spark, root)
     if not force and (shift is None or shift <= threshold):
         return None
     # A forced retrain on a bootstrapped-but-never-streamed lifecycle
     # has no drift window (no baseline and/or no landed moments yet):
     # treat it as a plain rebuild — fold + rebuild only, no moments
     # merge, drift state untouched — so the manual-retrain lever never
-    # leaves the index and drift state out of sync mid-call.
-    no_window = False
-    if force and shift is None:
-        _, _baseline_probe, _ = _read_drift_state(spark, root)
-        try:
-            read_embedding_moments(spark, _moments_dir(root))
-        except FileNotFoundError:
-            no_window = True
-        if _baseline_probe is None:
-            no_window = True
+    # leaves the index and drift state out of sync mid-call. The probe
+    # already read both planes, so the check is a None test, not IO.
+    no_window = live is None or baseline is None
     meta = load_index_meta(_index_dir(root))
     # fold the committed landings FIRST: the rebuild then reads one
     # base dir instead of a per-trigger dir population, and the plane's
@@ -703,8 +724,10 @@ def refresh_lifecycle_if_drifted(
             stage_timings.write_stage_timings(_timings_dir(root), "refresh", clock)
         return -1.0
     with _span(clock, "pointer_flip"):
-        live = read_embedding_moments(spark, _moments_dir(root))
-        cur_v, baseline, snap = _read_drift_state(spark, root)
+        # live/baseline/snap/cur_v reused from the drift_check probe —
+        # the moments plane and drift state are untouched by fold and
+        # rebuild, so the frames (lazy over the same committed files)
+        # stay valid and the re-list/re-infer round trips disappear
         window = _subtract_moments(live, snap)
         # new training set = old training set + WINDOW ⇒ its moments are
         # the exact decimal sum of the two partials (mergeable by
