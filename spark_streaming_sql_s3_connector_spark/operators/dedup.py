@@ -818,24 +818,29 @@ def connected_components(
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    )
+    ).persist()
+    # gate on the RAW pair count: union-find neither needs the symmetric
+    # closure nor edge dedup (find/union are idempotent), so the driver
+    # path skips the closure's distinct shuffle entirely. 2x is the
+    # closure bound, so the driver-memory guard is conservative (raw
+    # pairs can only overestimate the distinct undirected edge count).
+    n_pairs = edges.count()  # also materializes the persist
+    if 2 * n_pairs <= driver_max_edges:
+        # one bounded collect (<= driver_max_edges/2 * 16 B), not
+        # toLocalIterator's per-partition round trips
+        mapping = _union_find_components(
+            (r["u"], r["v"]) for r in edges.collect()
+        )
+        edges.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            list(mapping.items()), schema="id long, component long"
+        )
     und = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
-    n_edges = und.count()  # also materializes the persist for the loop path
-    if n_edges <= driver_max_edges:
-        # one bounded collect (<= driver_max_edges * 16 B), not
-        # toLocalIterator's per-partition round trips
-        mapping = _union_find_components(
-            (r["u"], r["v"]) for r in und.collect()
-        )
-        und.unpersist()
-        spark = pairs.sparkSession
-        return spark.createDataFrame(
-            list(mapping.items()), schema="id long, component long"
-        )
     # seed = round one fused: with labels initialized to ids, the first
     # round's neighbor-min is just min(neighbor id) — computable straight
     # from the edge set, saving a full join+checkpoint round. Every node
@@ -890,6 +895,7 @@ def connected_components(
             converged = True
             break
     und.unpersist()
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
@@ -1046,22 +1052,26 @@ def near_dup_keep_best(
         F.col(id_col).alias("_nid"), F.col(score_col).alias("_score")
     )
     m = comp.join(scored, comp["id"] == F.col("_nid"))
+    # the argmax struct already carries the winning score as its negated
+    # sort key, so the keeper's score is -ns — no corpus re-join to
+    # recover it (r14; exact for numeric types: -(-x) round-trips)
     keepers = (
         m.groupBy("component")
         .agg(F.min(F.struct((-F.col("_score")).alias("ns"), F.col("id").alias("i"))).alias("_k"))
-        .select(F.col("component"), F.col("_k.i").alias("_kid"))
+        .select(
+            F.col("_k.i").alias(id_col),
+            F.col("component"),
+            (-F.col("_k.ns")).alias(score_col),
+        )
     )
     clustered_ids = comp.select(F.col("id").alias("_cid"))
-    kept_clustered = keepers.select(
-        F.col("_kid").alias(id_col), F.col("component")
+    singletons = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(clustered_ids, F.col(id_col) == F.col("_cid"), "left_anti")
+        .withColumn("component", F.col(id_col).cast("bigint"))
+        .select(id_col, "component", score_col)
     )
-    singletons = df.select(F.col(id_col)).join(
-        clustered_ids, F.col(id_col) == F.col("_cid"), "left_anti"
-    ).withColumn("component", F.col(id_col).cast("bigint"))
-    kept = kept_clustered.unionByName(singletons)
-    return kept.join(
-        df.select(F.col(id_col), F.col(score_col)), id_col
-    ).select(id_col, "component", score_col)
+    return keepers.unionByName(singletons).select(id_col, "component", score_col)
 
 
 def passage_dedup_keep_first(
