@@ -493,23 +493,31 @@ def train_bigram_lm(
             )
         ).alias("_p")
     ).select("_p.w1", "_p.w2")
-    big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    top_big = (
-        big_counts.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
-        .limit(bigram_size)
-        .collect()
+    big_counts = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     )
-    # w1 continuation totals: how many bigrams START with w1 (the
-    # denominator of c12/c1) — fold from the pair frame, bounded to the
-    # w1s that actually appear in the retained table
-    w1_set = {r.w1 for r in top_big}
-    c1_rows = (
-        pairs.groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-        .where(F.col("w1").isin(list(w1_set)) if w1_set else F.lit(False))
-        .collect()
-    )
-    c1 = {r.w1: int(r.c1) for r in c1_rows}
+    try:
+        top_big = (
+            big_counts.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+            .limit(bigram_size)
+            .collect()
+        )
+        # w1 continuation totals: how many bigrams START with w1 (the
+        # denominator of c12/c1). Identity: count of pairs starting with
+        # w1 = Σ_w2 c12(w1, w2), so fold from the persisted distinct-
+        # bigram frame — the old pairs.groupBy(w1) re-ran the tokenize
+        # and pair explode over the whole corpus for the same integers
+        # (r14, guide §2.4; exact: integer sum of counts)
+        w1_set = {r.w1 for r in top_big}
+        c1_rows = (
+            big_counts.groupBy("w1")
+            .agg(F.sum("c12").alias("c1"))
+            .where(F.col("w1").isin(list(w1_set)) if w1_set else F.lit(False))
+            .collect()
+        )
+        c1 = {r.w1: int(r.c1) for r in c1_rows}
+    finally:
+        big_counts.unpersist()
     bigrams = [
         (r.w1, r.w2, round(math.log(r.c12 / c1[r.w1]), 7)) for r in top_big
     ]
