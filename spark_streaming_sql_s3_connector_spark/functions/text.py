@@ -447,6 +447,69 @@ def unigram_nll_docs(
     )
 
 
+def train_unigram_lm_pair(
+    df,
+    text_col: str,
+    subset_cond: Column,
+    vocab_size: int = 4096,
+    alpha: float = 0.5,
+) -> tuple[dict, dict]:
+    """Train TWO unigram LMs in ONE corpus pass: the full ``df`` and
+    the slice where ``subset_cond`` holds (NULL condition = excluded,
+    matching a ``.where(subset_cond)`` prefilter). The DSIR shape —
+    target-slice LM vs raw-corpus LM — tokenized the corpus twice; a
+    conditional count in the same explode+groupBy produces both count
+    tables from one shuffle (r14, guide §2.3/§2.4). Outputs are
+    BIT-IDENTICAL to two :func:`train_unigram_lm` calls: same counts
+    (integer sums), same (count desc, token asc) vocabulary cut, same
+    7-dp rounded logprobs. Returns ``(full_lm, subset_lm)``."""
+    import math
+
+    toks = df.select(
+        subset_cond.alias("_in"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("_c_all"),
+            F.sum(F.when(F.col("_in"), 1).otherwise(0)).alias("_c_sub"),
+        )
+        .persist()
+    )
+    try:
+        tot = counts.agg(F.sum("_c_all"), F.sum("_c_sub")).collect()[0]
+        total_all, total_sub = int(tot[0] or 0), int(tot[1] or 0)
+        top_all = (
+            counts.orderBy(F.desc("_c_all"), F.asc("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+        # a token absent from the subset must not enter the subset
+        # vocabulary (two-call parity: its counts frame never saw it)
+        top_sub = (
+            counts.where(F.col("_c_sub") > 0)
+            .orderBy(F.desc("_c_sub"), F.asc("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+
+    def _lm(top, key, total):
+        denom = total + alpha * (len(top) + 1)
+        return {
+            "vocab": [
+                (r["tok"], round(math.log((r[key] + alpha) / denom), 7))
+                for r in top
+            ],
+            "oov_lp": round(math.log(alpha / denom), 7),
+            "total_tokens": total,
+        }
+
+    return _lm(top_all, "_c_all", total_all), _lm(top_sub, "_c_sub", total_sub)
+
+
 def train_bigram_lm(
     df,
     text_col: str,

@@ -4270,15 +4270,18 @@ def _dsir_resample_docs(spark, sf):
     a scan-local key + TakeOrderedAndProject. sample_key is a raw
     double (ln parity holds to ≤1 ulp; the gate compares at 9 dp)."""
     from spark_streaming_sql_s3_connector_spark.functions.text import (
-        train_unigram_lm,
+        train_unigram_lm_pair,
     )
     from spark_streaming_sql_s3_connector_spark.operators.importance import (
         dsir_resample,
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
-    tlm = train_unigram_lm(docs.where("lang = 'en'"), "text", vocab_size=2048, alpha=0.5)
-    rlm = train_unigram_lm(docs, "text", vocab_size=2048, alpha=0.5)
+    # one corpus pass trains both LMs (bit-identical to the two-call
+    # form — see train_unigram_lm_pair)
+    rlm, tlm = train_unigram_lm_pair(
+        docs, "text", F.col("lang") == "en", vocab_size=2048, alpha=0.5
+    )
     return dsir_resample(
         docs, "text", "doc_id", tlm, rlm, n_keep=120, salt="dsir"
     )
