@@ -51,6 +51,7 @@ def pack_concat(
     text_col: str | None = None,
     token_col: str | None = None,
     num_shards: int = 32,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-split packing. Returns one row per document:
 
@@ -66,14 +67,22 @@ def pack_concat(
     Empty documents (0 tokens) attach to the sequence at their offset.
     Global sequence ids are ``(shard, seq_first)`` pairs — shard streams
     are independent by design so packing parallelizes.
+
+    ``keep_cols``: extra input columns carried verbatim onto each doc's
+    manifest row (emitted right after ``id_col``). Lets a caller that
+    needs per-doc metadata BESIDE the packing columns (the incremental
+    curation finalize carries ``lang``/``qscore``) get them in the SAME
+    window pass instead of joining the manifest back against its input —
+    the packing arithmetic is unchanged and the default is a no-op.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     base, tok = _with_tokens(df, text_col, token_col)
     shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
     w = Window.partitionBy("shard").orderBy(id_col)
+    keep = [F.col(c) for c in keep_cols]
     sized = base.select(
-        F.col(id_col), shard.alias("shard"), tok.cast("bigint").alias("n_tokens")
+        F.col(id_col), *keep, shard.alias("shard"), tok.cast("bigint").alias("n_tokens")
     )
     start = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -81,11 +90,13 @@ def pack_concat(
     )
     return sized.select(
         id_col,
+        *keep_cols,
         "shard",
         start.alias("start_offset"),
         "n_tokens",
     ).select(
         id_col,
+        *keep_cols,
         "shard",
         "start_offset",
         "n_tokens",

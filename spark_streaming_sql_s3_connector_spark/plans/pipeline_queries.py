@@ -6246,7 +6246,10 @@ def _incremental_curation_dir_for(sf: str) -> str:
         ident = os.path.abspath(src)
     # v2 (r13): clustered delta writes — rebuild so the prewarmed state
     # carries the one-file-per-shard layout the trigger now produces
-    fp = hashlib.md5(f"{ident}:curation-incr-v2".encode()).hexdigest()[:16]
+    # v3 (r14): the gated plane is folded into the pack manifest
+    # (keep_cols) — the manifest schema changed, so stale v2 states
+    # (separate gated dirs, 6-column manifests) must not be replayed
+    fp = hashlib.md5(f"{ident}:curation-incr-v3".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_curation_incr", fp)
 
 

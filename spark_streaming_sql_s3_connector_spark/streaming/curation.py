@@ -553,7 +553,15 @@ def _pack_state_dir(pipeline_dir: str) -> str:
 
 
 def _gated_dir(pipeline_dir: str, batch_id: int) -> str:
-    return os.path.join(_pack_state_dir(pipeline_dir), "gated", f"batch={batch_id}")
+    """Batch ``batch_id``'s gated (id, lang, qscore) rows. r14: the gated
+    plane is FOLDED INTO the pack manifest (``pack_batch_incremental``
+    ``keep_cols`` carries lang/qscore onto the manifest rows, 1:1 with
+    the gated docs), so the rows live in the manifest's own delta dir —
+    one plane write per trigger instead of two, and readers that want
+    only the gated columns select them off the manifest row."""
+    from spark_streaming_sql_s3_connector_spark.streaming.rollup import _delta_dir
+
+    return _delta_dir(os.path.join(_pack_state_dir(pipeline_dir), "pack"), batch_id)
 
 
 def _thresholds_path(pipeline_dir: str) -> str:
@@ -611,13 +619,14 @@ def freeze_quality_thresholds(
     return thr
 
 
-# --- append-only per-batch output planes (gated rows, (id, lang) side
-# rows): the _PACK concat-fold discipline, so a long-running pipeline's
-# dir count and reader listing cost stay bounded instead of growing one
-# directory per trigger forever. Rows never change in a fold — pure
-# file-count hygiene behind an atomic pointer; the schema persists once
-# at first write so zero-row batches (and the fold itself) never hit
-# parquet schema inference.
+# --- append-only per-batch output planes ((id, lang) ``_meta`` side
+# rows; the gated rows ride the pack manifest since r14): the _PACK
+# concat-fold discipline, so a long-running pipeline's dir count and
+# reader listing cost stay bounded instead of growing one directory per
+# trigger forever. Rows never change in a fold — pure file-count
+# hygiene behind an atomic pointer; the schema persists once at first
+# write so zero-row batches (and the fold itself) never hit parquet
+# schema inference.
 
 
 # atomic `_latest` pointer: state_io is the one shared implementation
@@ -708,14 +717,12 @@ def _compact_concat_plane(
 def compact_curation_outputs(
     spark: SparkSession, pipeline_dir: str, upto_batch: Optional[int] = None
 ) -> None:
-    """File-count hygiene for the two append-only per-batch output
-    planes the incremental finalize maintains — the gated
-    (id, lang, qscore) rows and the (id, lang) ``_meta`` side table.
-    Piggybacked on the same maintenance cadence as `vacuum()` in
-    `process_curation_batch_incremental`."""
-    _compact_concat_plane(
-        spark, os.path.join(_pack_state_dir(pipeline_dir), "gated"), upto_batch
-    )
+    """File-count hygiene for the append-only per-batch output plane
+    the incremental finalize maintains outside the pack state — the
+    (id, lang) ``_meta`` side table. (The gated rows ride the pack
+    manifest since r14, whose own compactor `compact_pack_state` folds
+    them on the vacuum cadence.) Piggybacked on the same maintenance
+    cadence as `vacuum()` in `process_curation_batch_incremental`."""
     _compact_concat_plane(
         spark, os.path.join(pipeline_dir, "_meta"), upto_batch
     )
@@ -795,12 +802,14 @@ def finalize_curation_batch(
     """Incrementally finalize ONE committed micro-batch (call after
     `process_curation_batch` in the same trigger): freeze the quality
     thresholds if this is the bootstrap batch, gate the batch's own
-    survivors with the frozen map, record the gated (id, lang, qscore)
-    rows under ``pack_state/gated/batch=<id>``, and extend the packed
-    manifest via `packing_state.pack_batch_incremental`. Per-trigger
-    cost: three batch-sized scans + one batch window shuffle; the
-    already-packed manifest never moves. ``docs_df`` optionally reuses
-    the trigger's cached rebuilt-docs frame (see `_batch_survivors`)."""
+    survivors with the frozen map, and extend the packed manifest via
+    `packing_state.pack_batch_incremental` — whose rows CARRY the gated
+    (lang, qscore) columns (``keep_cols``), so the manifest delta IS the
+    gated plane (r14: one write job per trigger, join-free
+    `read_curated_pack`). Per-trigger cost: three batch-sized scans +
+    one batch window shuffle; the already-packed manifest never moves.
+    ``docs_df`` optionally reuses the trigger's cached rebuilt-docs
+    frame (see `_batch_survivors`)."""
     from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
         pack_batch_incremental,
     )
@@ -812,37 +821,25 @@ def finalize_curation_batch(
         thresholds = read_frozen_thresholds(pipeline_dir)
         if thresholds is None:
             thresholds = freeze_quality_thresholds(scored, pipeline_dir, frac)
-        gated = _gate_frozen(scored, thresholds).persist()
-    try:
-        # the gated-plane write and the pack extension both consume the
-        # CACHED gated frame and touch disjoint planes with no ordering
-        # contract (overwrite-by-batch, replay-convergent, readers run
-        # between triggers) — submit them concurrently so their fixed
-        # per-job costs overlap (r14, streaming/concurrency). The span
-        # split becomes: finalize_gate = scoring + both writes' overlap
-        # window, finalize_pack = the pack tail beyond it.
-        with _span(clock, "finalize_gate"):
-            out = gated.select(id_col, "lang", "qscore")
-            _write_plane_schema_once(
-                os.path.join(_pack_state_dir(pipeline_dir), "gated"), out.schema
-            )
-        with _span(clock, "finalize_pack"):
-            run_concurrently(
-                lambda: out.write.mode("overwrite").parquet(
-                    _gated_dir(pipeline_dir, batch_id)
-                ),
-                lambda: pack_batch_incremental(
-                    gated,
-                    batch_id,
-                    _pack_state_dir(pipeline_dir),
-                    id_col,
-                    capacity,
-                    text_col="deduped_text",
-                    num_shards=num_shards,
-                ),
-            )
-    finally:
-        gated.unpersist()
+        gated = _gate_frozen(scored, thresholds)
+    # r14: the gated (id, lang, qscore) rows ride the pack manifest via
+    # ``keep_cols`` — ONE delta write per trigger where the gated plane
+    # used to cost a second write job + its own schema/compaction plane,
+    # and `read_curated_pack` becomes a plain manifest read (no join).
+    # `gated` now has a single consumer, so the persist went with it
+    # (pack_batch_incremental caches its own packed frame for the
+    # manifest + cursor writes).
+    with _span(clock, "finalize_pack"):
+        pack_batch_incremental(
+            gated,
+            batch_id,
+            _pack_state_dir(pipeline_dir),
+            id_col,
+            capacity,
+            text_col="deduped_text",
+            num_shards=num_shards,
+            keep_cols=("lang", "qscore"),
+        )
 
 
 def read_curated_pack(
@@ -850,16 +847,18 @@ def read_curated_pack(
 ) -> DataFrame:
     """The continuously-maintained finalized corpus: one row per packed
     doc, `finalize_curation`'s exact output schema — (id, lang, qscore,
-    shard, start_offset, n_tokens, seq_first, seq_last)."""
+    shard, start_offset, n_tokens, seq_first, seq_last). r14: the gated
+    columns ride the manifest rows themselves (``keep_cols``), so this
+    is ONE plane read — the former gated×manifest equi-join is gone."""
     from spark_streaming_sql_s3_connector_spark.streaming.packing_state import (
         read_packed_manifest,
     )
 
-    gated = _read_concat_plane(
-        spark, os.path.join(_pack_state_dir(pipeline_dir), "gated")
-    ).select(id_col, "lang", "qscore")
     packed = read_packed_manifest(spark, _pack_state_dir(pipeline_dir))
-    return gated.join(packed, id_col).orderBy(id_col)
+    return packed.select(
+        id_col, "lang", "qscore", "shard", "start_offset", "n_tokens",
+        "seq_first", "seq_last",
+    ).orderBy(id_col)
 
 
 def finalize_curation_frozen(

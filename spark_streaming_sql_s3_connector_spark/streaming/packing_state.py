@@ -141,12 +141,19 @@ def pack_batch_incremental(
     text_col: str | None = None,
     token_col: str | None = None,
     num_shards: int = 32,
+    keep_cols: tuple[str, ...] = (),
 ) -> None:
     """Pack one micro-batch of new survivors into the persisted
     manifest (see module doc). Precondition: batches partition the doc
     id space in order (ids in batch N all above batch N-1's), the same
     contract every incremental dedup stage here carries — otherwise
-    the incremental==batch law has no order to agree on."""
+    the incremental==batch law has no order to agree on.
+
+    ``keep_cols``: extra batch columns carried verbatim onto the
+    manifest rows (see ``pack_concat``) — the curation finalize folds
+    its (lang, qscore) plane into the manifest this way, ONE delta
+    write per trigger instead of two and a join-free
+    ``read_curated_pack``."""
     spark = batch.sparkSession
     # persisted: `local` feeds BOTH the manifest-delta and the cursor
     # writes — without the cache the second write re-runs the pack's
@@ -155,6 +162,7 @@ def pack_batch_incremental(
     local = pack_concat(
         batch, id_col, capacity,
         text_col=text_col, token_col=token_col, num_shards=num_shards,
+        keep_cols=keep_cols,
     ).persist()
     cursors = _cursor_base(spark, pack_dir, before_batch=batch_id)
     shifted = (
@@ -165,6 +173,7 @@ def pack_batch_incremental(
         )
         .select(
             F.col(id_col),
+            *keep_cols,
             "shard",
             "start_offset",
             "n_tokens",

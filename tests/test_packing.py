@@ -57,6 +57,41 @@ def test_concat_empty_doc_attaches_at_offset(spark):
     assert out[8].seq_first == out[8].seq_last == out[8].start_offset // 4
 
 
+def test_concat_keep_cols_carry_through_unchanged(spark):
+    """r14: ``keep_cols`` carries extra input columns verbatim onto each
+    manifest row (the curation finalize folds lang/qscore in this way)
+    WITHOUT touching the packing arithmetic — the packing columns equal
+    the default call's row-for-row, and each kept value matches its
+    input row's."""
+    rows = [(i, ["en", "de", "fr"][i % 3], float(i) / 7.0, "tok " * (i % 11 + 1))
+            for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, qscore double, text string"
+    )
+    plain = {
+        r.doc_id: r
+        for r in pack_concat(
+            docs, "doc_id", capacity=16, text_col="text", num_shards=4
+        ).collect()
+    }
+    kept = pack_concat(
+        docs, "doc_id", capacity=16, text_col="text", num_shards=4,
+        keep_cols=("lang", "qscore"),
+    )
+    assert kept.columns == [
+        "doc_id", "lang", "qscore", "shard", "start_offset", "n_tokens",
+        "seq_first", "seq_last",
+    ]
+    want = {(i, lang, q) for i, lang, q, _ in rows}
+    got = kept.collect()
+    assert {(r.doc_id, r.lang, r.qscore) for r in got} == want
+    for r in got:
+        p = plain[r.doc_id]
+        assert (r.shard, r.start_offset, r.n_tokens, r.seq_first, r.seq_last) == (
+            p.shard, p.start_offset, p.n_tokens, p.seq_first, p.seq_last
+        )
+
+
 def test_concat_rejects_bad_args(spark, docs):
     with pytest.raises(ValueError):
         pack_concat(docs, "doc_id", capacity=0, text_col="text")

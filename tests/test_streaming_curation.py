@@ -532,13 +532,14 @@ def test_curation_output_fold_preserves_results(spark, tmp_path):
         )
     before = _rows(read_curated_pack(spark, pipeline_dir))
     compact_curation_outputs(spark, pipeline_dir, upto_batch=2)
-    for root in (
-        os.path.join(pipeline_dir, "_meta"),
-        os.path.join(pipeline_dir, "pack_state", "gated"),
-    ):
+    # the gated rows ride the pack manifest since r14 (keep_cols), so
+    # _meta is the only concat plane this compactor still owns — the
+    # manifest folds with compact_pack_state on the vacuum cadence
+    for root in (os.path.join(pipeline_dir, "_meta"),):
         assert os.path.isdir(os.path.join(root, "base", "v=1"))
         live = [e for e in os.listdir(root) if e.startswith("batch=")]
         assert live == ["batch=2"]
+    assert not os.path.exists(os.path.join(pipeline_dir, "pack_state", "gated"))
     assert _rows(read_curated_pack(spark, pipeline_dir)) == before
     # a replayed folded batch converges (delta at/below the pointer is
     # ignored; its rows already sit in the base verbatim)
