@@ -874,6 +874,35 @@ def main():
         flush=True,
     )
 
+    # r15 (VERDICT #2): the driver captures only a ~2 KB stdout TAIL, and
+    # at 150+ keys the full queries line above overflows it — PERF_r13/r14
+    # both degraded to `per_query: {}` / `now_bench_ok: false`. Two
+    # redundancies restore a driver-visible per-query surface:
+    # (a) the complete result object is written to bench_results.json
+    #     beside the repo root, so any consumer that can read a file gets
+    #     the full map regardless of tail size;
+    # (b) every query prints its own SHORT JSON line below — at ~50 chars
+    #     per line any 2 KB tail window carries the last ~40 keys intact.
+    # The compact headline stays the FINAL line (it is the line the
+    # driver parsed successfully in r13/r14 — ordering is load-bearing).
+    full_result = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+    }
+    try:
+        with open(os.path.join(REPO, "bench_results.json"), "w") as f:
+            json.dump(full_result, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"# bench_results.json write failed: {e}", file=sys.stderr)
+    for name in sorted(results):
+        print(
+            json.dumps({"metric": "query_sec", "q": name, "sec": results[name]}),
+            flush=True,
+        )
+
     # Compact headline printed LAST: the full line above can exceed the
     # driver's parse/tail buffer (BENCH_r{1..7}.json all have
     # "parsed": null), so a short final line carries the in-run signals
