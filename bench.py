@@ -711,17 +711,6 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    # Partition-discovery threshold (r14, guide §6/§1): the 64-shard
-    # state planes (dedup indexes, pack/gated dirs) cross the default
-    # threshold of 32 dirs, so EVERY read of one launched a distributed
-    # "listing leaf files" job — the event log showed 5 such jobs
-    # (~1.5-2 s) inside one curation trigger, listing tiny LOCAL dirs.
-    # Local/fast filesystems want the driver-side listing; on an object
-    # store with wide partitioned tables the parallel job earns its
-    # keep, so the knob stays env-tunable rather than hard-coded.
-    discovery_threshold = os.environ.get(
-        "SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "1024"
-    )
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("spark-streaming-sql-s3-connector-bench")
@@ -730,13 +719,19 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .config(
-            "spark.sql.sources.parallelPartitionDiscovery.threshold",
-            discovery_threshold,
-        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # engine-owned state-plane confs (r15, verdict #7): the partition-
+    # discovery threshold for the 64-shard layouts now lives in
+    # spark_streaming_sql_s3_connector_spark/session.py — the bench uses
+    # the same documented call a deployment makes, instead of being the
+    # only place that sets it (rationale + env override in that module).
+    from spark_streaming_sql_s3_connector_spark.session import (
+        apply_engine_defaults,
+    )
+
+    apply_engine_defaults(spark)
 
     # JVM warmup outside the timed loop (first parquet scan pays codegen +
     # class-loading; attributing that to b1 would misstate per-query cost)

@@ -152,6 +152,19 @@ def _write_drift_state(
 
     sub_root = _drift_state_root(root)
     v_dir = os.path.join(sub_root, f"v={version}")
+    # REPLAYED commit (version == the pointed version, e.g. a restarted
+    # trigger re-running its cadence refresh): the input frames are lazy
+    # over THIS v_dir's files (the drift probe's reused reads), and the
+    # overwrite deletes those files at job start — the concurrent
+    # baseline/window writes would race their own inputs
+    # (FAILED_READ_FILE mid-commit, i.e. a torn pointed version).
+    # Materialize the d-row frames first so every v_dir read completes
+    # before any delete; fresh versions (the common path, incl. the
+    # benched forced refresh) skip the extra tiny jobs.
+    if _read_pointer(sub_root) == version:
+        baseline = baseline.localCheckpoint(eager=True)
+        if window is not None:
+            window = window.localCheckpoint(eager=True)
 
     def _write(df: DataFrame, name: str):
         return lambda: df.select(*_MOMENT_COLS).coalesce(1).write.mode(

@@ -73,6 +73,9 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     path for known-hot keys."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # the suite session runs AQE off (tiny-data dispatch cost);
+        # this test IS about AQE, so it scopes it back on
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",

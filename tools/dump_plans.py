@@ -1,6 +1,6 @@
-"""Dump .explain("formatted") for registry keys to plans/r14/<key>_<tag>.txt.
+"""Dump .explain("formatted") for registry keys to plans/$SPARK_GRAFT_ROUND/<key>_<tag>.txt.
 
-Usage: python tools/dump_plans.py TAG key [key ...]
+Usage: [SPARK_GRAFT_ROUND=r15] python tools/dump_plans.py TAG key [key ...]
 
 TAG is e.g. "before" or "after". Keys whose query functions collect
 driver-side (self-check composites) still dump the plan of the RETURNED
@@ -17,7 +17,7 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OUT_DIR = os.path.join(REPO, "plans", "r14")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_ROUND", "r15"))
 
 
 def main() -> None:

@@ -45,16 +45,17 @@ def main() -> None:
         .appName("microbench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
-        .config(
-            "spark.sql.sources.parallelPartitionDiscovery.threshold",
-            os.environ.get("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "1024"),
-        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from spark_streaming_sql_s3_connector_spark.session import (
+        apply_engine_defaults,
+    )
+
+    apply_engine_defaults(spark)  # discovery threshold (see session.py)
 
     from spark_streaming_sql_s3_connector_spark.plans.io import load_table
 

@@ -384,14 +384,6 @@ def main():
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
-        # same env-tunable listing knob as bench.py/microbench.py — the
-        # serve/lifecycle keys read 8-64-dir state planes per call, and
-        # without it this session pays distributed listing jobs the
-        # bench session does not (rows were systematically inflated)
-        .config(
-            "spark.sql.sources.parallelPartitionDiscovery.threshold",
-            os.environ.get("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "1024"),
-        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -399,6 +391,13 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # engine-owned state-plane confs (discovery threshold for the
+    # 64-shard layouts) — see spark_streaming_sql_s3_connector_spark/session.py
+    from spark_streaming_sql_s3_connector_spark.session import (
+        apply_engine_defaults,
+    )
+
+    apply_engine_defaults(spark)
 
     from spark_streaming_sql_s3_connector_spark.operators.dedup import (
         minhash_near_dup_pairs,
